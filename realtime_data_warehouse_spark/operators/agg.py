@@ -1,0 +1,81 @@
+"""Windowed aggregation operators (SURVEY §2.5 A1–A5).
+
+Every DWS app in the reference is a keyed (or global) tumbling
+event-time window with an incremental reduce plus a
+ProcessWindowFunction that stamps window bounds
+(DwsTradeSkuOrderWindow.java:124-156). In Spark this is one
+declarative `groupBy(window(ts, d), *keys).agg(...)`:
+
+- the incremental reduce = Spark partial aggregation (map-side
+  combine), automatic — no custom pre-agg operator;
+- the window-bound stamping = `window.start` / `window.end`
+  projected as `stt`/`edt` strings;
+- `cur_date` derives from window start (event time), not wall clock,
+  so results are deterministic (SURVEY §7.4.6: the reference mixes
+  System.currentTimeMillis and window start; we standardize on the
+  latter, as DwsTradeOrderWindow.java:102 does).
+
+At scale: the only shuffle is the hash exchange on
+(window, *keys) — identical key-space to the reference's keyBy;
+AQE coalesces post-shuffle partitions. Global windows (A4) still
+parallelize the partial aggregation and only merge one group's
+finals, same as Flink's windowAll pre-aggregated by `reduce`.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.scalar import fmt_date, fmt_datetime
+
+
+def stamp_window_bounds(df: DataFrame, window_col: str = "window") -> DataFrame:
+    """Project window struct → stt/edt datetime strings + cur_date
+    (TradeSkuOrderBean stt/edt/cur_date fields,
+    DwsTradeSkuOrderWindow.java:142-147)."""
+    return (
+        df.withColumn("stt", fmt_datetime(F.col(f"{window_col}.start")))
+        .withColumn("edt", fmt_datetime(F.col(f"{window_col}.end")))
+        .withColumn("cur_date", fmt_date(F.col(f"{window_col}.start")))
+        .drop(window_col)
+    )
+
+
+def tumble(df: DataFrame, ts_col: str, duration: str,
+           keys: list[str] | None = None,
+           aggs: Mapping[str, Column] | None = None,
+           stamp: bool = True) -> DataFrame:
+    """A1/A2/A4/A5 — tumbling event-time window aggregate.
+
+    keys=[] gives the reference's windowAll
+    (DwsTradeOrderWindow.java:82); keys=[...] the keyed variant
+    (DwsTradeSkuOrderWindow.java:125-130). `aggs` maps output alias →
+    aggregate Column, so callers control exact output names (the
+    oracle contract requires stable aliases).
+    """
+    keys = keys or []
+    aggs = dict(aggs or {"row_count": F.count(F.lit(1))})
+    grouped = df.groupBy(F.window(F.col(ts_col), duration), *keys)
+    out = grouped.agg(*[c.alias(name) for name, c in aggs.items()])
+    return stamp_window_bounds(out) if stamp else out
+
+
+def distinct_set_agg(df: DataFrame, keys: list[str], set_col: str,
+                     sum_cols: Mapping[str, Column],
+                     count_alias: str = "order_count",
+                     exact: bool = True) -> DataFrame:
+    """A3 — per-key sum + distinct-id count
+    (DwsTradeProvinceOrderWindow.java:117-145 keeps a Set<String> of
+    order ids and emits set.size). Exact mode = count_distinct —
+    unlike the reference's in-memory Set this is a shuffle-based
+    exact distinct that scales; at 100 TB switch exact=False for
+    approx_count_distinct (HLL, no second shuffle)."""
+    counter = (
+        F.count_distinct(F.col(set_col)) if exact
+        else F.approx_count_distinct(F.col(set_col))
+    )
+    aggs = [c.alias(name) for name, c in sum_cols.items()]
+    return df.groupBy(*keys).agg(counter.alias(count_alias), *aggs)

@@ -1,0 +1,131 @@
+"""Join operators (SURVEY §2.4 J1–J6).
+
+The reference hand-builds joins as Flink keyed state machines with
+TTLs; here each is a declarative join Catalyst plans — broadcast-hash
+for the dim sides (no shuffle), sort-merge/shuffle-hash for the big
+fact×fact sides, with AQE skew handling. Watermarked streaming twins
+are in streaming/.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# J1 — multi-way fact join (DwdTradeOrderDetail.java:68-92)
+# ---------------------------------------------------------------------------
+
+def order_wide_join(detail: DataFrame, order: DataFrame,
+                    activity: DataFrame | None = None,
+                    coupon: DataFrame | None = None,
+                    detail_key: str = "order_id",
+                    detail_id: str = "id") -> DataFrame:
+    """order_detail ⋈ order_info ⟕ activity ⟕ coupon.
+
+    Batch mode is exact (the reference bounds its state with a 5s TTL
+    only to cap memory — semantics are the full join). The two left
+    sides are per-detail-id attachments. At scale: detail×order is
+    the one real shuffle (both sides large, co-partitioned on
+    order_id by the exchange); activity/coupon are small and
+    broadcast."""
+    out = detail.join(order, detail_key, "inner")
+    if activity is not None:
+        out = out.join(F.broadcast(activity), out[detail_id] == activity["order_detail_id"], "left") \
+                 .drop("order_detail_id")
+    if coupon is not None:
+        out = out.join(F.broadcast(coupon), out[detail_id] == coupon["order_detail_id"], "left") \
+                 .drop("order_detail_id")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# J2 — interval join (DwdTradeOrderPaySucDetail.java:123-148)
+# ---------------------------------------------------------------------------
+
+def interval_join(left: DataFrame, right: DataFrame, key: str,
+                  left_ts: str, right_ts: str,
+                  lower: str, upper: str,
+                  how: str = "inner") -> DataFrame:
+    """`l.key = r.key AND r.ts BETWEEN l.ts - lower AND l.ts + upper`
+    (reference: payment.row_time BETWEEN od.row_time - 15' AND + 5'').
+
+    Planned as an equi-join on `key` with the range as a post-join
+    filter — the shuffle is on the equi key, so this scales like a
+    plain join; the range predicate never forces a cartesian. In
+    streaming the same expression plus watermarks on both sides is
+    Spark's native stream-stream interval join."""
+    lcols = {c for c in left.columns} & {c for c in right.columns} - {key}
+    r = right
+    for c in lcols:
+        r = r.withColumnRenamed(c, f"r_{c}")
+    rts = f"r_{right_ts}" if right_ts in lcols else right_ts
+    cond = (
+        (left[key] == r[key])
+        & (F.col(rts) >= F.col(left_ts) - F.expr(f"INTERVAL {lower}"))
+        & (F.col(rts) <= F.col(left_ts) + F.expr(f"INTERVAL {upper}"))
+    )
+    return left.join(r, cond, how).drop(r[key])
+
+
+# ---------------------------------------------------------------------------
+# J3 — lookup/temporal join (DwdInteractionCommentInfo.java:53-68)
+# ---------------------------------------------------------------------------
+
+def lookup_join(fact: DataFrame, dim: DataFrame, on, how: str = "left",
+                projected: Sequence[str] | None = None) -> DataFrame:
+    """FOR SYSTEM_TIME AS OF proc_time ≈ stream-static join against
+    the current dim snapshot, broadcast (dims are small relative to
+    facts; the Redis/HBase cache tier of the reference is replaced by
+    the broadcast itself — SURVEY §1.1)."""
+    d = dim.select(*projected) if projected else dim
+    return fact.join(F.broadcast(d), on, how)
+
+
+# ---------------------------------------------------------------------------
+# J4 — broadcast config routing join (DimApp.java:52-100)
+# ---------------------------------------------------------------------------
+
+def config_routing_join(stream: DataFrame, config: DataFrame,
+                        stream_keys: Sequence[str] = ("table",),
+                        config_keys: Sequence[str] = ("source_table",)) -> DataFrame:
+    """connect + broadcast state ≈ inner join with broadcast(config):
+    a record survives iff its (table[, type]) has a config entry, and
+    comes out paired with that entry's routing columns. Config is
+    re-read per micro-batch upstream, giving the reference's
+    "latest config wins" (DimBroadcastFunction.java:17-93)."""
+    cond = None
+    for s_k, c_k in zip(stream_keys, config_keys):
+        clause = stream[s_k] == config[c_k]
+        cond = clause if cond is None else (cond & clause)
+    out = stream.join(F.broadcast(config), cond, "inner")
+    for c_k in config_keys:
+        out = out.drop(config[c_k])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# J5 — snowflake dim enrichment chain (DwsTradeSkuOrderWindow.java:72-122)
+# ---------------------------------------------------------------------------
+
+def snowflake_join(fact: DataFrame,
+                   chain: Sequence[tuple[DataFrame, str | Column, Sequence[str]]],
+                   how: str = "left") -> DataFrame:
+    """Sequence of stream-static left joins walking a dim hierarchy
+    (sku→spu→c3→c2→c1→tm in the reference; customer→nation→region on
+    the driver tables). Each dim is broadcast: 6 chained broadcast-hash
+    joins = zero extra shuffles, vs the reference's 6 async RPC stages
+    + Redis cache (DimAsyncFunction.java:22-91 made obsolete)."""
+    out = fact
+    for dim, on, projected in chain:
+        d = dim.select(*projected) if projected else dim
+        out = out.join(F.broadcast(d), on, how)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# J6 — lateral UDTF join lives in functions.tokenize.explode_keywords
+# ---------------------------------------------------------------------------

@@ -1,0 +1,155 @@
+"""Named query registry — the driver/test contract.
+
+Each entry pairs a Spark query (spark, sf_dir) -> DataFrame with an
+ANSI-SQL oracle DuckDB runs on the same parquet views. Conventions
+that keep value-hashes stable across engines:
+
+- money/metric sums: cast the addend to DECIMAL(18,2) *before*
+  SUM (exact, order-independent in both engines), cast the result
+  back to DOUBLE;
+- double products (price*(1-disc)): the product is IEEE-identical in
+  both engines, so casting the product to DECIMAL(18,4) rounds the
+  same bits the same way;
+- timestamps are emitted as formatted strings (session tz pinned
+  UTC), never raw;
+- every computed column aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.tokenize import tokenize
+from ..operators.agg import tumble
+from ..sources.batch import load_table
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, SparkQuery] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: SparkQuery) -> SparkQuery:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+    return deco
+
+
+def dec_sum(col, alias: str, scale: int = 2):
+    """SUM(CAST(x AS DECIMAL)) → DOUBLE, the hash-stable money sum."""
+    return F.sum(col.cast(f"decimal(18,{scale})")).cast("double").alias(alias)
+
+
+# ---------------------------------------------------------------------------
+# Flagship 1 — DWS traffic page-view window (SURVEY A2/A4/T5):
+# keyed tumbling event-time window with pv/uv/value metrics over the
+# events stream table (reference shape:
+# DwsTrafficVcChArIsNewPageViewWindow.java:70-106).
+# ---------------------------------------------------------------------------
+
+@register(
+    "dws_traffic_page_view_window",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')              AS stt,
+           strftime(date_trunc('hour', ts) + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS edt,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d')                        AS cur_date,
+           event_type,
+           count(*)                                                            AS pv,
+           count(DISTINCT user_id)                                             AS uv,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)                   AS value_sum
+    FROM events
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def dws_traffic_page_view_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return tumble(
+        events, "ts", "1 hour", keys=["event_type"],
+        aggs={
+            "pv": F.count(F.lit(1)),
+            "uv": F.count_distinct("user_id"),
+            "value_sum": F.sum(F.col("value").cast("decimal(18,2)")).cast("double"),
+        },
+    ).select("stt", "edt", "cur_date", "event_type", "pv", "uv", "value_sum")
+
+
+# ---------------------------------------------------------------------------
+# Flagship 2 — keyword count (SURVEY U1 + J6 + A5):
+# tokenize → lateral explode → grouped count, the reference's
+# DwsTrafficSourceKeywordPageViewWindow pipeline over documents.
+# ---------------------------------------------------------------------------
+
+@register(
+    "dws_keyword_count",
+    oracle="""
+    SELECT token AS keyword,
+           count(*)            AS keyword_count,
+           count(DISTINCT doc_id) AS doc_count
+    FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS token
+        FROM documents
+    )
+    WHERE token <> ''
+    GROUP BY 1
+    """,
+)
+def dws_keyword_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(tokenize("text")).alias("keyword"))
+        .groupBy("keyword")
+        .agg(
+            F.count(F.lit(1)).alias("keyword_count"),
+            F.count_distinct("doc_id").alias("doc_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Flagship 3 — pricing summary (TPC-H Q1 shape; bench headline).
+# Exercises scan pushdown + two-key partial aggregation at any scale.
+# ---------------------------------------------------------------------------
+
+@register(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)       AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)  AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(1 - l_discount AS DECIMAL(3,2))) AS DOUBLE)  AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(1 - l_discount AS DECIMAL(3,2))
+                    * CAST(1 + l_tax AS DECIMAL(3,2))) AS DOUBLE)       AS sum_charge,
+           count(*)                                                     AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    # Exact-decimal product: inputs are 2-decimal money/rate values, so
+    # casting each *operand* (not the double product) to decimal makes
+    # the multiply exact and engine-independent.
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = (F.lit(1) - F.col("l_discount")).cast("decimal(3,2)")
+    tax1 = (F.lit(1) + F.col("l_tax")).cast("decimal(3,2)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dec_sum(F.col("l_quantity"), "sum_qty"),
+            dec_sum(F.col("l_extendedprice"), "sum_base_price"),
+            F.sum(price * disc).cast("double").alias("sum_disc_price"),
+            F.sum(price * disc * tax1).cast("double").alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )

@@ -1,0 +1,69 @@
+"""SparkSession factory tuned for this engine.
+
+Defaults follow the scale guidance: AQE on (runtime re-plan,
+partition coalescing, skew-join handling), shuffle partitions sized
+to the local core count (the driver runs local[$SPARK_GRAFT_CPUS]),
+UTC session timezone so window bounds / date strings are
+hash-stable against the DuckDB oracle (reference pins +08:00 in
+DateFormatUtil.java:21; we pin UTC — the fixed-zone requirement is
+what matters, not the zone itself).
+
+On a real cluster the same builder applies; only master/memory
+change. Every operator in this package is written against the
+multi-executor model (no driver-side collect loops, broadcast for
+small dims, partial aggregation) so local[N] → 1000 executors is a
+config change, not a code change.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(app_name: str = "realtime_data_warehouse_spark",
+              extra_conf: dict[str, str] | None = None) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession."""
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.default.parallelism", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        # The testdata events table stores INT64 TIMESTAMP(NANOS), which
+        # Spark's TimestampType (micros) cannot represent; read the raw
+        # nanos as long and convert via `ts div 1000` → timestamp_micros
+        # in sources.batch.load_table — identical truncation to DuckDB's
+        # ns→µs read, so oracle hashes line up.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def tune_for_scale(spark: SparkSession, target_partition_bytes: int = 128 * 1024 * 1024) -> None:
+    """Knobs that matter when the same plans run against ~100 TB:
+
+    - files.maxPartitionBytes bounds scan-task size so a 100 TB scan
+      fans out instead of producing oversized partitions;
+    - advisoryPartitionSizeInBytes lets AQE coalesce post-shuffle
+      partitions to a spill-safe size.
+    """
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(target_partition_bytes))
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", str(64 * 1024 * 1024))

@@ -1,0 +1,66 @@
+"""Batch sources: parquet warehouse tables and JDBC lookups.
+
+Reference analogues: the HBase dim tables (HBaseUtil.java:80-103),
+the JDBC config bootstrap (JdbcUtil.java:30-67) and the `base_dic`
+lookup table (Test03.java:37-49). In this engine every warehouse
+table is a parquet (or Delta, when available) directory that Spark
+scans with pushdown + pruning, so "lookup" is just a broadcastable
+DataFrame — no KV store or cache tier needed (SURVEY §1.1: Redis
+cache row replaced by broadcast).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..schemas import TESTDATA_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: columns stored as INT64 TIMESTAMP(NANOS) in the driver parquet —
+#: Spark reads them as raw nanos (legacy.parquet.nanosAsLong=true in
+#: session.py) and we truncate to micros, same as DuckDB's ns→µs read.
+_NANO_TS_COLS = {"events": ("ts",)}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one warehouse table. Column pruning + predicate pushdown
+    reach the parquet scan because callers filter/select on the
+    returned DataFrame before any action."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for col in _NANO_TS_COLS.get(name, ()):
+        if isinstance(df.schema[col].dataType, T.LongType):
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str,
+                names: tuple[str, ...] = TESTDATA_TABLES) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str,
+                   names: tuple[str, ...] = TESTDATA_TABLES) -> dict[str, DataFrame]:
+    """Register each table as a temp view for the SQL entry points."""
+    dfs = load_tables(spark, sf_dir, names)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs
+
+
+def jdbc_lookup(spark: SparkSession, url: str, table: str,
+                properties: dict[str, str] | None = None) -> DataFrame:
+    """JDBC batch read (S5/S6: JdbcUtil.java:30-67, Test03.java:37-49).
+
+    The reference preloads config into a driver HashMap; in Spark the
+    same rows stay a DataFrame and get broadcast into the join —
+    no driver-side map needed.
+    """
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    return reader.load()
