@@ -153,3 +153,11 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("count_order"),
         )
     )
+
+
+# Pipeline modules register themselves on import (they import
+# `register` from here, so this must stay at the bottom).
+from . import dwd  # noqa: E402,F401
+from . import dws  # noqa: E402,F401
+from . import extras  # noqa: E402,F401
+

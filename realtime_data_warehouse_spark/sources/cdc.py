@@ -42,10 +42,10 @@ def synthesize_updates(snapshot: DataFrame, table: str, key_col: str,
     """Deterministically re-emit a fraction of rows as `update` change
     rows with a changed `update_col` and an `old` map — the pattern
     FIXTURES.md §4 describes for exercising upsert/retraction. The
-    selection is keyed on a stable hash of the key (no randomness, so
-    golden tests stay stable)."""
+    selection is `key % 10000 < bps` — no randomness and trivially
+    re-expressible in the oracle SQL, so golden tests stay stable."""
     picked = snapshot.filter(
-        F.pmod(F.xxhash64(F.col(key_col)), F.lit(10_000)) < F.lit(fraction_bps)
+        F.pmod(F.col(key_col).cast("long"), F.lit(10_000)) < F.lit(fraction_bps)
     )
     cols = snapshot.columns
     kv = []

@@ -1,0 +1,113 @@
+"""Unit tests for operator building blocks on tiny literal frames
+(SURVEY §5 layer 1)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from realtime_data_warehouse_spark.functions.scalar import snake_case
+from realtime_data_warehouse_spark.functions.tokenize import tokenize
+from realtime_data_warehouse_spark.operators.etl import (
+    cdc_etl_filter,
+    prune_map_by_config,
+    split_log_stream,
+)
+from realtime_data_warehouse_spark.operators.state import (
+    first_visit_repair,
+    latest_per_key,
+)
+from realtime_data_warehouse_spark.schemas import TOPIC_LOG
+from realtime_data_warehouse_spark.sources.cdc import changelog
+
+
+def test_split_log_stream_routes_and_explodes(spark):
+    rows = [
+        # err record
+        {"common": {"mid": "m1"}, "err": {"code": "1"}, "ts": 1},
+        # start record
+        {"common": {"mid": "m2"}, "start": {"entry": "icon"}, "ts": 2},
+        # page record with 2 displays and 1 action
+        {
+            "common": {"mid": "m3"},
+            "page": {"page_id": "home"},
+            "displays": [{"pos": "1"}, {"pos": "2"}],
+            "actions": [{"aid": "fav"}],
+            "ts": 3,
+        },
+    ]
+    raw = spark.createDataFrame([(json.dumps(r),) for r in rows], "value string")
+    log = raw.select(F.from_json("value", TOPIC_LOG).alias("j")).select("j.*")
+    outs = split_log_stream(log)
+    assert outs["err"].count() == 1
+    assert outs["start"].count() == 1
+    assert outs["page"].count() == 1
+    # exploded: one row per display element (the reference emitted the
+    # whole array per element — SURVEY §7.5.2; we emit the element)
+    displays = outs["display"].collect()
+    assert len(displays) == 2
+    assert {r.display["pos"] for r in displays} == {"1", "2"}
+    assert outs["action"].count() == 1
+
+
+def test_prune_map_by_config(spark):
+    df = spark.createDataFrame(
+        [({"id": "1", "name": "x", "secret": "s"}, "id,name")],
+        "data map<string,string>, sink_columns string",
+    )
+    out = prune_map_by_config(df).collect()[0]
+    assert set(out.data.keys()) == {"id", "name"}
+
+
+def test_cdc_changelog_and_filter(spark):
+    snap = spark.createDataFrame(
+        [(1, 10.0, "2024-01-01"), (20000, 20.0, "2024-01-02")],
+        "id long, amount double, dt string",
+    ).withColumn("dt", F.to_date("dt"))
+    log = changelog(snap, "t", "id", "dt", "amount")
+    rows = log.collect()
+    # 2 bootstrap-inserts + 1 update (id % 10000 < 500 → ids 1 and 20000)
+    types = sorted(r.type for r in rows)
+    assert types == ["bootstrap-insert", "bootstrap-insert", "update", "update"]
+    filtered = cdc_etl_filter(log)
+    assert filtered.count() == 4  # bootstrap-insert is data, not control
+    upd = [r for r in filtered.collect() if r.type == "update"][0]
+    assert upd.old == {"amount": "10.0"} or upd.old == {"amount": "20.0"}
+    assert float(upd.data["amount"]) == float(upd.old["amount"]) * 2
+
+
+def test_latest_per_key_deterministic_tiebreak(spark):
+    df = spark.createDataFrame(
+        [(1, 5, 100), (1, 5, 200), (2, 1, 10)],
+        "id long, version long, amount long",
+    )
+    out = latest_per_key(df, ["id"], "version", tiebreak=["amount"]).collect()
+    got = {r.id: r.amount for r in out}
+    assert got == {1: 200, 2: 10}
+
+
+def test_first_visit_repair_downgrades_forged_is_new(spark):
+    df = spark.createDataFrame(
+        [
+            (7, "2024-01-01 10:00:00", 1),   # true first visit
+            (7, "2024-01-03 10:00:00", 1),   # forged claim → 0
+            (8, "2024-01-02 09:00:00", 0),   # honest old-user claim stays 0
+        ],
+        "user_id long, ts string, is_new int",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    rows = first_visit_repair(df, "user_id", "ts").orderBy("user_id", "ts").collect()
+    assert [r.is_new_fixed for r in rows] == [1, 0, 0]
+
+
+def test_tokenize_expression(spark):
+    df = spark.createDataFrame([("Hello, World 42!",), ("",)], "s string")
+    toks = df.select(tokenize("s").alias("t")).collect()
+    assert toks[0].t == ["hello", "world", "42"]
+    assert toks[1].t == []
+
+
+def test_snake_case():
+    assert snake_case("skuName") == "sku_name"
+    assert snake_case("orderDetailId") == "order_detail_id"
+    assert snake_case("id") == "id"
