@@ -23,12 +23,25 @@ from realtime_data_warehouse_spark.plans.registry import (  # noqa: E402
     ORACLE_SQL,
     QUERIES,
 )
+from realtime_data_warehouse_spark.shipping import (  # noqa: E402
+    export_pythonpath,
+    ship_package,
+)
+
+# Python workers must import this package for pandas-UDF stages even
+# when the driver wasn't launched from the repo root.
+export_pythonpath()
+
+
+def _prepare(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ship_package(spark)
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _prepare(spark)
     return QUERIES["dws_traffic_page_view_window"](spark, "/root/testdata/sf0.001")
 
 
@@ -37,8 +50,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def _wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-            spark.conf.set("spark.sql.session.timeZone", "UTC")
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            _prepare(spark)
             return fn(spark, sf_dir)
 
         return run

@@ -1,0 +1,116 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exact baseline, and an IVF-style
+cell-restricted variant as the scale path. The arithmetic is
+expression-only (zip_with/aggregate fold in double precision — a
+sequential left fold, so the oracle's loop computes bit-identical
+sums), no Python in the hot path.
+
+Scale notes: brute-force is O(n_queries × n_corpus) — fine when the
+query side is small enough to broadcast (the common "probe batch"
+case). The IVF variant equi-joins on the cell id first, so the
+shuffle moves only same-cell rows; with balanced cells that is a
+1/n_cells fraction of the cross product. At 100 TB you'd train real
+centroids; the operator shape (assign cell → equi-join → local
+top-k) is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_double(vec) -> F.Column:
+    c = F.col(vec) if isinstance(vec, str) else vec
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a, b) -> F.Column:
+    """Sequential-fold dot product in double (matches a scalar loop)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm2(a) -> F.Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0),
+                              lambda acc, x: acc + x))
+
+
+def cosine(a, b) -> F.Column:
+    return dot(a, b) / (norm2(a) * norm2(b))
+
+
+def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k neighbors per query by cosine.
+
+    queries is broadcast (probe batches are small); the corpus is
+    scanned once per batch; per-query ranking is a window over the
+    (query, corpus) pairs partitioned by query id. Deterministic
+    tie-break on neighbor id."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
+    )
+    pairs = c.crossJoin(F.broadcast(q)).filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = pairs.withColumn("cos_sim", cosine(F.col("qv"), F.col("cv")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"))
+    )
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             cell_col: str = "label") -> DataFrame:
+    """IVF-style ANN: restrict the search to the query's coarse cell
+    (here the pre-assigned `label`; in production, argmin over trained
+    centroids) and rank within it. The join is an equi-join on the
+    cell — shuffle moves only same-cell rows."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"),
+        F.col(cell_col).alias("cell"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv"),
+        F.col(cell_col).alias("cell"),
+    )
+    pairs = c.join(F.broadcast(q), "cell").filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = pairs.withColumn("cos_sim", cosine(F.col("qv"), F.col("cv")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"))
+    )
+
+
+def cosine_near_dup_pairs(vectors: DataFrame, threshold: float = 0.95,
+                          id_col: str = "vec_id", vec_col: str = "embedding",
+                          block_col: str = "label") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within blocks.
+
+    Blocking on `block_col` keeps the pair space n²/blocks; at scale
+    the block key would be an LSH bucket (random-hyperplane sign
+    bits) — same plan shape: equi-join on block, filter by cosine."""
+    v = vectors.select(F.col(id_col), as_double(vec_col).alias("v"), F.col(block_col))
+    a = v.alias("a")
+    b = v.alias("b")
+    pairs = a.join(
+        b,
+        (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        cosine(F.col("a.v"), F.col("b.v")).alias("cos_sim"),
+    )
+    return pairs.filter(F.col("cos_sim") >= threshold).select(
+        "id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim")
+    )

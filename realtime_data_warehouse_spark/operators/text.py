@@ -1,0 +1,103 @@
+"""Text-analysis operators for training-data pipelines.
+
+Language-ID (stopword n-gram heuristic), quality scoring, token
+counting (whitespace + BPE-ish regex), and document fingerprinting
+over the `documents` table. All pure JVM-side expressions — these run
+inside whole-stage codegen over the text column, so a 100 TB corpus
+pays one scan and zero shuffles for per-document scoring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..functions.tokenize import tokenize
+
+#: BPE-ish token pattern: letter runs | digit runs | single symbol.
+BPE_ISH_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+#: tiny per-language stopword lists for the langid heuristic. The
+#: testdata text is synthetic word soup, so this is a demonstrator of
+#: the operator shape (per-language token-hit scoring + argmax), not a
+#: linguistic model; swap lists for real ones in production.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "es": ("el", "la", "los", "de", "y", "que", "en"),
+    "de": ("der", "die", "das", "und", "nicht", "ist"),
+    "fr": ("le", "la", "les", "et", "de", "un", "est"),
+}
+
+
+def ws_token_count(text: str | Column) -> Column:
+    """Whitespace token count."""
+    c = F.col(text) if isinstance(text, str) else text
+    trimmed = F.trim(c)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def bpe_ish_token_count(text: str | Column) -> Column:
+    """Sub-word-ish token count via the BPE-ish regex (letter runs,
+    digit runs, single symbols) — the cheap stand-in for a real BPE
+    vocab when budgeting tokens at corpus scale."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(F.lower(c), F.lit(BPE_ISH_PATTERN), F.lit(0)))
+
+
+def punct_ratio(text: str | Column) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    punct = F.length(F.regexp_replace(F.lower(c), r"[a-z0-9\s]", ""))
+    return punct / F.length(c)
+
+
+def stopword_ratio(text: str | Column, stops: tuple[str, ...] = LANG_STOPWORDS["en"]) -> Column:
+    """Fraction of tokens that are stopwords (token-occurrence based,
+    not distinct)."""
+    toks = tokenize(text)
+    stop_arr = F.array(*[F.lit(s) for s in stops])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    return hits / F.size(toks)
+
+
+def avg_token_len(text: str | Column) -> Column:
+    toks = tokenize(text)
+    total = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda acc, x: acc + x
+    )
+    return total / F.size(toks)
+
+
+def lang_scores(text: str | Column) -> dict[str, Column]:
+    """Distinct-stopword hit count per language — the n-gram-heuristic
+    scoring half of language ID."""
+    toks_distinct = F.array_distinct(tokenize(text))
+    out = {}
+    for lang, stops in LANG_STOPWORDS.items():
+        stop_arr = F.array(*[F.lit(s) for s in stops])
+        out[lang] = F.size(F.array_intersect(toks_distinct, stop_arr))
+    return out
+
+
+def langid(text: str | Column) -> Column:
+    """argmax over lang_scores with deterministic tie order (list
+    order of LANG_STOPWORDS); score 0 everywhere → 'und'."""
+    scores = lang_scores(text)
+    langs = list(scores)
+    best = scores[langs[0]]
+    for lang in langs[1:]:
+        best = F.greatest(best, scores[lang])
+    pred = F.lit("und")
+    for lang in reversed(langs):
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    return F.when(best == 0, F.lit("und")).otherwise(pred)
+
+
+def fingerprint(text: str | Column) -> Column:
+    """Deterministic document fingerprint: md5 of the
+    whitespace-normalized lowercase text. Used as the exact-dedup key
+    — two docs differing only in spacing/case collide on purpose."""
+    c = F.col(text) if isinstance(text, str) else text
+    normalized = F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+    return F.md5(normalized)

@@ -1,0 +1,346 @@
+"""Training-data pipeline queries (dedup / similarity / text / multimodal)
+over the `documents` and `embeddings` tables — the 100 TB-scale
+operator set layered on top of the warehouse (BASELINE.json north
+star). Oracle SQL mirrors each algorithm exactly; only the
+xxhash64-based ops (SimHash, and the LSH *candidate* stage) have no
+DuckDB twin — MinHash-LSH is still oracle-checked because its
+verified output provably equals the exact Jaccard result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators import multimodal as M
+from ..operators import similarity as S
+from ..operators import text as X
+from ..sources.batch import load_table
+from .registry import register
+
+# Shared oracle fragment: tokenize exactly like functions.tokenize.tokenize
+_TOKS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+
+# Shared oracle fragment: distinct word-bigram shingles
+_SHINGLES = f"""
+    SELECT doc_id,
+           list_distinct(list_transform(range(1, len(toks)),
+                                        i -> toks[i] || ' ' || toks[i+1])) AS sh
+    FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+"""
+
+_JACCARD_PAIRS_SQL = f"""
+    WITH sh AS ({_SHINGLES}),
+    inv AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    sized AS (
+        SELECT p.doc_a, p.doc_b, p.common, sa.n AS size_a, sb.n AS size_b
+        FROM pairs p
+        JOIN (SELECT doc_id, len(sh) AS n FROM sh) sa ON p.doc_a = sa.doc_id
+        JOIN (SELECT doc_id, len(sh) AS n FROM sh) sb ON p.doc_b = sb.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(common / (size_a + size_b - common), 6) AS jaccard
+    FROM sized
+    WHERE common / (size_a + size_b - common) >= 0.8
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_stats",
+    oracle=f"""
+    SELECT doc_id,
+           len({_TOKS})                                             AS ws_tokens,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS bpe_tokens,
+           round(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))
+                 / length(text), 6)                                 AS punct_ratio,
+           round(len(list_filter({_TOKS},
+                     t -> list_contains(['the','a','of','and','to','in','is'], t)))
+                 / len({_TOKS}), 6)                                 AS stopword_ratio,
+           round(list_aggregate(list_transform({_TOKS}, t -> length(t)), 'sum')
+                 / len({_TOKS}), 6)                                 AS avg_token_len
+    FROM documents
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality-signal components: whitespace tokens,
+    BPE-ish regex tokens, punctuation/stopword ratios, mean token
+    length. One codegen'd projection, zero shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        X.ws_token_count("text").alias("ws_tokens"),
+        X.bpe_ish_token_count("text").alias("bpe_tokens"),
+        F.round(X.punct_ratio("text"), 6).alias("punct_ratio"),
+        F.round(X.stopword_ratio("text"), 6).alias("stopword_ratio"),
+        F.round(X.avg_token_len("text"), 6).alias("avg_token_len"),
+    )
+
+
+@register(
+    "text_quality_filter",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               len({_TOKS}) AS n_tokens,
+               len(list_filter({_TOKS},
+                   t -> list_contains(['the','a','of','and','to','in','is'], t)))
+                   / len({_TOKS}) AS stop_ratio
+        FROM documents
+    )
+    SELECT doc_id, lang, n_tokens, round(stop_ratio, 6) AS stop_ratio
+    FROM scored
+    WHERE n_tokens BETWEEN 20 AND 500 AND stop_ratio >= 0.01
+    """,
+)
+def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gate: keep documents in a sane token-length band with a
+    minimum stopword ratio (boilerplate/garbage rejection). The filter
+    runs pre-shuffle — at corpus scale this is the cheap pass that
+    shrinks everything downstream."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "lang",
+        X.ws_token_count("text").alias("n_tokens"),
+        X.stopword_ratio("text").alias("stop_ratio_raw"),
+    )
+    return scored.filter(
+        (F.col("n_tokens").between(20, 500)) & (F.col("stop_ratio_raw") >= 0.01)
+    ).select("doc_id", "lang", "n_tokens", F.round("stop_ratio_raw", 6).alias("stop_ratio"))
+
+
+@register(
+    "text_langid",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id, lang,
+               len(list_intersect(list_distinct({_TOKS}),
+                   ['the','a','of','and','to','in','is']))            AS s_en,
+               len(list_intersect(list_distinct({_TOKS}),
+                   ['el','la','los','de','y','que','en']))            AS s_es,
+               len(list_intersect(list_distinct({_TOKS}),
+                   ['der','die','das','und','nicht','ist']))          AS s_de,
+               len(list_intersect(list_distinct({_TOKS}),
+                   ['le','la','les','et','de','un','est']))           AS s_fr
+        FROM documents
+    )
+    SELECT doc_id, lang AS labeled_lang,
+           CASE WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+                WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+                WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+                WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
+                ELSE 'fr' END AS predicted_lang
+    FROM s
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID via per-language stopword-hit scoring + argmax with
+    deterministic tie order (operators.text.langid). A real system
+    swaps in char-n-gram profiles; the operator shape is identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        X.langid("text").alias("predicted_lang"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-text md5 fingerprint (the exact-dedup key)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", X.fingerprint("text").alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact_stats",
+    oracle="""
+    SELECT lang,
+           count(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))
+               AS unique_docs,
+           CAST(count(*) - count(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))
+               AS BIGINT) AS duplicate_docs
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup (hash-groupBy on the fingerprint): per-language
+    survivor/duplicate counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.exact_dedup_stats(docs).withColumn(
+        "duplicate_docs", F.col("duplicate_docs").cast("long")
+    )
+
+
+@register("dedup_ngram_jaccard", oracle=_JACCARD_PAIRS_SQL)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-bigram Jaccard near-dup pairs (≥ 0.8) via the
+    inverted-index candidate join — the ground-truth path."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.jaccard_pairs(docs, threshold=0.8)
+
+
+@register("dedup_minhash_lsh", oracle=_JACCARD_PAIRS_SQL)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(128) + LSH(32×4) candidates, exact-Jaccard verified.
+    Output provably equals dedup_ngram_jaccard (recall ≈ 1−5e-8,
+    verification kills false positives) — hence the same oracle —
+    while the candidate join scales bucket-locally."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(docs, threshold=0.8)
+
+
+@register("dedup_simhash")  # xxhash64-based: no DuckDB twin → rows-only check
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(64) near-dup pairs, hamming ≤ 8, candidates from the
+    pigeonhole block join (radius sized for this corpus's short docs —
+    one token edit flips ~4-7 bits at ~20 tokens/doc). Hash function
+    has no DuckDB equivalent, so the driver records the weaker
+    rows-only check; the pytest suite cross-checks SimHash pairs ⊇
+    the exact ≥0.95-Jaccard pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_pairs(docs, max_hamming=8)
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_inner_product(a.e, b.e)
+                 / sqrt(list_inner_product(a.e, a.e) * list_inner_product(b.e, b.e)), 6)
+               AS cos_sim
+    FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_inner_product(a.e, b.e)
+          / sqrt(list_inner_product(a.e, a.e) * list_inner_product(b.e, b.e)) >= 0.4
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs within label blocks (block key
+    = LSH bucket at scale). Threshold 0.4 fits the synthetic
+    embeddings' similarity range."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.cosine_near_dup_pairs(emb, threshold=0.4)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_ANN_ORACLE = """
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round(list_inner_product(q.e, c.e)
+                 / sqrt(list_inner_product(q.e, q.e) * list_inner_product(c.e, c.e)), 6)
+               AS cos_sim
+    FROM v q JOIN v c ON c.vec_id <> q.vec_id {cell_cond}
+    WHERE q.vec_id < 10
+    QUALIFY row_number() OVER (
+        PARTITION BY q.vec_id
+        ORDER BY list_inner_product(q.e, c.e)
+                 / sqrt(list_inner_product(q.e, q.e) * list_inner_product(c.e, c.e)) DESC,
+                 c.vec_id
+    ) <= 5
+"""
+
+
+@register("ann_brute_topk", oracle=_ANN_ORACLE.format(cell_cond=""))
+def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for probe vectors (vec_id < 10): broadcast
+    probes × corpus scan + per-query window rank."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.brute_force_topk(emb, queries, k=5)
+
+
+@register("ann_ivf_topk", oracle=_ANN_ORACLE.format(cell_cond="AND c.label = q.label"))
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: search restricted to the query's coarse cell —
+    the 1/n_cells-cost scale path with identical plan shape."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.ivf_topk(emb, queries, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal
+# ---------------------------------------------------------------------------
+
+@register(
+    "multimodal_metadata",
+    oracle="""
+    SELECT doc_id,
+           'application/octet-stream'                          AS mime,
+           CAST(octet_length(encode(text)) AS BIGINT)          AS n_bytes,
+           CAST(octet_length(encode(text)) % 640 AS INT)       AS width,
+           CAST((octet_length(encode(text)) // 7) % 480 AS INT) AS height
+    FROM documents
+    """,
+)
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque binary payload + typed header metadata without decode
+    (operators.multimodal.with_media_metadata)."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = M.attach_binary_payload(docs)
+    out = M.with_media_metadata(payloads)
+    return out.select(
+        "doc_id",
+        F.col("media_meta.mime").alias("mime"),
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.col("media_meta.width").alias("width"),
+        F.col("media_meta.height").alias("height"),
+    )
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT d.doc_id,
+           CAST(i AS INT)                                   AS frame_idx,
+           ascii(substr(d.text, CAST(i AS INT) * 64 + 1, 1)) AS frame_byte
+    FROM documents d,
+         LATERAL unnest(range(0, CAST(ceil(length(d.text) / 64.0) AS BIGINT))) AS t(i)
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary payloads via mapInPandas (fixed byte
+    stride standing in for a timestamp stride). The payload is UTF-8
+    of ASCII text, so the DuckDB oracle can state the same bytes with
+    substr+ascii — a rare case where the pandas path has an exact SQL
+    twin."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = M.attach_binary_payload(docs)
+    return M.frame_sample(payloads).withColumn(
+        "frame_byte", F.col("frame_byte").cast("int")
+    )
+
+
+@register("multimodal_features")  # pandas-computed features: rows-only check
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction (deterministic fake decode —
+    media libs absent; operators.multimodal.fake_features documents
+    the real-decoder hook)."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = M.attach_binary_payload(docs)
+    feats = M.extract_features(payloads)
+    return feats.select("doc_id", "n_bytes", F.element_at("features", 1).alias("f0"))

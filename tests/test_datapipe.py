@@ -1,0 +1,65 @@
+"""Cross-checks for the training-data operators beyond the oracle gate."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from realtime_data_warehouse_spark.operators import dedup as D
+from realtime_data_warehouse_spark.operators import multimodal as M
+from realtime_data_warehouse_spark.sources.batch import load_table
+
+
+def test_simhash_catches_high_jaccard_pairs(spark, sf_small):
+    """SimHash (hamming ≤ 3) must recall the near-identical pairs the
+    exact bigram-Jaccard path finds at ≥ 0.95 — they share only the
+    rows-only driver check, so pin the relationship here."""
+    docs = load_table(spark, sf_small, "documents")
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in D.jaccard_pairs(docs, threshold=0.95).collect()
+    }
+    sim = {
+        (r.doc_a, r.doc_b)
+        for r in D.simhash_pairs(docs, max_hamming=8).collect()
+    }
+    assert exact, "fixture should contain planted near-duplicates"
+    missed = exact - sim
+    assert not missed, f"simhash missed near-identical pairs: {sorted(missed)[:5]}"
+
+
+def test_minhash_lsh_equals_exact_jaccard(spark, sf_small):
+    """The LSH path's verified output must equal the exact
+    inverted-index result (recall ≈ 1 at j ≥ 0.8 with 32×4 banding)."""
+    docs = load_table(spark, sf_small, "documents")
+    exact = {(r.doc_a, r.doc_b, r.jaccard)
+             for r in D.jaccard_pairs(docs, threshold=0.8).collect()}
+    lsh = {(r.doc_a, r.doc_b, r.jaccard)
+           for r in D.minhash_lsh_pairs(docs, threshold=0.8).collect()}
+    assert exact == lsh
+
+
+def test_exact_dedup_keeps_lowest_id(spark):
+    df = spark.createDataFrame(
+        [(3, "Same  Doc"), (1, "same doc"), (2, "other")],
+        "doc_id long, text string",
+    )
+    out = D.exact_dedup(df).orderBy("doc_id").collect()
+    assert [(r.doc_id, r.dup_count) for r in out] == [(1, 2), (2, 1)]
+
+
+def test_extract_features_batch_shape(spark):
+    df = spark.createDataFrame([(1, "hello world"), (2, "")], "doc_id long, text string")
+    payloads = M.attach_binary_payload(df)
+    rows = {r.doc_id: r for r in M.extract_features(payloads).collect()}
+    assert len(rows[1].features) == M.FEATURE_DIM
+    assert rows[1].n_bytes == len(b"hello world")
+    assert rows[2].features == [0.0] * M.FEATURE_DIM
+    # deterministic across runs
+    again = {r.doc_id: r for r in M.extract_features(payloads).collect()}
+    assert rows[1].features == again[1].features
+
+
+def test_decode_image_is_marked_stub():
+    with pytest.raises(NotImplementedError):
+        M.decode_image(b"\x89PNG")
