@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Benchmark harness — the driver runs this per round.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query executes to completion through the noop sink (full
+computation, no driver-side collect). JVM/session startup is excluded;
+per-query time includes Catalyst planning — that's what a user pays.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from realtime_data_warehouse_spark.plans.registry import QUERIES  # noqa: E402
+from realtime_data_warehouse_spark.session import get_spark, tune_for_scale  # noqa: E402
+
+#: headline set: one per operator family — scan+agg, window aggs,
+#: multi-way join, interval join, snowflake+distinct, dedup (LSH),
+#: ANN, text scoring, top-k rank.
+HEADLINE = [
+    "pricing_summary",
+    "dws_traffic_page_view_window",
+    "dws_keyword_count",
+    "dwd_trade_order_detail",
+    "dwd_trade_pay_suc_interval",
+    "dws_sku_order_window",
+    "dws_province_order_window",
+    "a6_latest_per_key_sum",
+    "topk_parts_per_brand",
+    "text_stats",
+    "dedup_minhash_lsh",
+    "ann_brute_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = get_spark("rdw-bench")
+    tune_for_scale(spark)
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()
