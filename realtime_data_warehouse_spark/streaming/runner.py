@@ -1,0 +1,93 @@
+"""availableNow replay runner — deterministic stream execution.
+
+The reference validates pipelines by replaying Kafka topics and
+eyeballing output (SURVEY §5); our substitute is
+`trigger(availableNow=True)`: consume everything currently in the
+source as a bounded sequence of micro-batches, run the no-data batch
+that lets the watermark close windows, then stop. The same code path
+(checkpointing, state store, watermark bookkeeping) a 24/7 job uses —
+exercised as a finite, assertable run.
+
+Scale note: availableNow is also the production backfill story — the
+identical query graph that runs continuously can re-run over months of
+retained files without a separate batch codepath (Kappa architecture,
+SURVEY intro).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def run_available_now(sdf: DataFrame, out_dir: str, checkpoint_dir: str,
+                      output_mode: str = "append",
+                      timeout_s: int = 300) -> None:
+    """Write a streaming DataFrame to parquet until the source drains.
+
+    Parquet sink is append-only (K1/K3 analogue: FlinkSinkUtil.java:22-33
+    → files instead of Kafka/Doris). Checkpoint dir gives exactly-once
+    file output across restarts — the 2PC role of BaseApp.java:28-41.
+    """
+    q = (
+        sdf.writeStream.format("parquet")
+        .outputMode(output_mode)
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+
+
+def run_foreach_batch(sdf: DataFrame, batch_fn, checkpoint_dir: str,
+                      output_mode: str = "update",
+                      timeout_s: int = 300) -> None:
+    """Drive a stream through a foreachBatch sink until drained."""
+    q = (
+        sdf.writeStream.foreachBatch(batch_fn)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+
+
+def read_back(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Read a replay's parquet output (empty dir → empty result is a
+    caller-level assertion failure, surfaced as AnalysisException)."""
+    return spark.read.parquet(out_dir)
+
+
+def staged_files_dir(df: DataFrame, base_dir: str, n_files: int = 1,
+                     order_col: str | None = None) -> str:
+    """Materialize a batch DataFrame as `n_files` parquet files under
+    `base_dir/in` so a file_stream with maxFilesPerTrigger=1 replays it
+    as n_files micro-batches — the harness for multi-batch state tests
+    (A6–A8 twins must converge across batch boundaries, not just within
+    one batch).
+
+    With order_col, rows are range-split by that column so earlier
+    files hold earlier event times — matching a Kafka topic's rough
+    time order and keeping watermark semantics meaningful.
+    """
+    in_dir = os.path.join(base_dir, "in")
+    if order_col is not None:
+        df = df.repartitionByRange(n_files, order_col)
+    else:
+        df = df.repartition(n_files)
+    df.write.mode("overwrite").parquet(in_dir)
+    # FileStreamSource orders files by modification time; one bulk
+    # write gives every part file the same mtime, making batch order
+    # nondeterministic. Stamp strictly increasing mtimes so part-N
+    # (range N under repartitionByRange) replays as micro-batch N.
+    parts = sorted(
+        f for f in os.listdir(in_dir) if f.startswith("part-") and f.endswith(".parquet")
+    )
+    base = int(time.time()) - len(parts) - 10
+    for i, f in enumerate(parts):
+        os.utime(os.path.join(in_dir, f), (base + i, base + i))
+    return in_dir

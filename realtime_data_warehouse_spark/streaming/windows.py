@@ -1,0 +1,104 @@
+"""Streaming windowed aggregations (SURVEY T1–T6, A1–A5 twins).
+
+Same declarative tumble as operators/agg.py, but over an unbounded
+source with a watermark: `withWatermark(ts, delay)` bounds window
+state exactly like the reference's bounded-out-of-orderness watermark
+(3–5 s: DwsTradeSkuOrderWindow.java:213-221) — we default to "5
+seconds" to mirror it; callers widen it for replays of historical
+files where event time spans months.
+
+Append output mode = emit a window only once it is final (watermark
+passed window end), the same contract as Flink's default fire-once
+event-time trigger. Late rows beyond the watermark are dropped — T6:
+the reference sets no allowedLateness either.
+
+Scale: state per in-flight window key lives in the executor state
+store; watermark GC bounds it to (delay / window-length + 1) windows
+per key — identical asymptotics to Flink's window state. The shuffle
+on (window, keys) is the only exchange, and partial aggregation
+happens map-side before it, so a 1000-executor run shuffles
+pre-aggregated partials, not raw events.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.agg import stamp_window_bounds
+from ..sources.streams import file_stream
+
+#: events.parquet carries INT64 TIMESTAMP(NANOS); streaming reads need
+#: the raw-long schema + explicit nanos→micros conversion (the stream
+#: twin of sources/batch.load_table's _NANO_TS_COLS handling).
+EVENTS_RAW = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.LongType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
+def stream_events(spark: SparkSession, path_or_sf_dir: str,
+                  watermark: str = "1 hour",
+                  max_files_per_trigger: int | None = None) -> DataFrame:
+    """events table as a watermarked stream (S1+S3 analogue).
+
+    Accepts either an sf dir (appends events.parquet) or a staged
+    stream-input dir of parquet files.
+    """
+    path = path_or_sf_dir
+    if os.path.isdir(path) and os.path.exists(os.path.join(path, "events.parquet")):
+        path = os.path.join(path, "events.parquet")
+    raw = file_stream(spark, path, EVENTS_RAW)
+    if max_files_per_trigger is not None:
+        raw = (
+            spark.readStream.format("parquet").schema(EVENTS_RAW)
+            .option("maxFilesPerTrigger", str(max_files_per_trigger))
+            .load(path)
+        )
+    return (
+        raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withWatermark("ts", watermark)
+    )
+
+
+def streaming_tumble(sdf: DataFrame, ts_col: str, duration: str,
+                     keys: list[str] | None = None,
+                     aggs: dict[str, F.Column] | None = None,
+                     stamp: bool = True) -> DataFrame:
+    """A1/A2/A4/A5 twin: tumbling event-time window over a watermarked
+    stream. Identical group/agg expression tree to operators/agg.tumble
+    — the parity test's whole premise is that only the source/trigger
+    differ, never the plan."""
+    keys = keys or []
+    aggs = dict(aggs or {"row_count": F.count(F.lit(1))})
+    grouped = sdf.groupBy(F.window(F.col(ts_col), duration), *keys)
+    out = grouped.agg(*[c.alias(name) for name, c in aggs.items()])
+    return stamp_window_bounds(out) if stamp else out
+
+
+def streaming_page_view_window(spark: SparkSession, source_path: str,
+                               watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of plans.registry.dws_traffic_page_view_window
+    (keyed hourly tumble with pv / uv / value_sum).
+
+    `uv` uses approx_count_distinct: exact count_distinct is
+    unsupported inside streaming aggregations (it would need all
+    member ids in window state); HLL sketch state is O(k) per window —
+    the same trade the reference's Set-based A3 cannot make.
+    """
+    events = stream_events(spark, source_path, watermark)
+    return streaming_tumble(
+        events, "ts", "1 hour", keys=["event_type"],
+        aggs={
+            "pv": F.count(F.lit(1)),
+            "uv": F.approx_count_distinct("user_id"),
+            "value_sum": F.sum(F.col("value").cast("decimal(18,2)")).cast("double"),
+        },
+    ).select("stt", "edt", "cur_date", "event_type", "pv", "uv", "value_sum")

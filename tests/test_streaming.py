@@ -1,0 +1,186 @@
+"""Streaming parity tests (SURVEY §5 layer 3): every streaming twin
+replayed with availableNow must reproduce its batch form.
+
+Multi-batch replays (maxFilesPerTrigger=1 over range-staged files)
+prove state survives micro-batch boundaries — the part a single-batch
+run would never exercise.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from realtime_data_warehouse_spark.operators.state import (
+    daily_first_event,
+    first_visit_repair,
+    latest_per_key,
+)
+from realtime_data_warehouse_spark.sources.batch import load_table
+from realtime_data_warehouse_spark.streaming.runner import (
+    read_back,
+    run_available_now,
+    staged_files_dir,
+)
+from realtime_data_warehouse_spark.streaming.stateful import (
+    daily_first_event_stream,
+    delta_correct,
+    is_new_repair_stream,
+)
+from realtime_data_warehouse_spark.streaming.windows import (
+    EVENTS_RAW,
+    stream_events,
+    streaming_page_view_window,
+)
+
+pytestmark = pytest.mark.slow
+
+_SENTINEL_NS = None  # filled per-fixture
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(spark, sf_small, tmp_path_factory) -> tuple[str, int]:
+    """Stage sf0.001 events + one far-future sentinel row so the
+    watermark passes every real window and availableNow's no-data
+    batch flushes them (append mode only emits closed windows)."""
+    base = str(tmp_path_factory.mktemp("events_stream"))
+    raw = spark.read.schema(EVENTS_RAW).parquet(os.path.join(sf_small, "events.parquet"))
+    max_ns = raw.agg(F.max("ts")).collect()[0][0]
+    sentinel_ns = max_ns + 30 * 24 * 3600 * 10**9
+    sentinel = spark.createDataFrame(
+        [(10**9, sentinel_ns, 10**9, "sentinel", 0.0, "{}")], EVENTS_RAW
+    )
+    in_dir = os.path.join(base, "in")
+    raw.coalesce(1).write.mode("overwrite").parquet(in_dir)
+    sentinel.coalesce(1).write.mode("append").parquet(in_dir)
+    return in_dir, sentinel_ns
+
+
+def test_streaming_window_parity(spark, sf_small, events_stream_dir, tmp_path):
+    in_dir, sentinel_ns = events_stream_dir
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    run_available_now(
+        streaming_page_view_window(spark, in_dir, watermark="1 hour"), out, ck
+    )
+    got = read_back(spark, out).filter(F.col("event_type") != "sentinel")
+
+    # Batch twin with the same expression tree (uv approximate in both:
+    # exact distinct is unsupported in streaming aggs; HLL merge is
+    # order-insensitive so both sides produce identical sketches).
+    events = load_table(spark, sf_small, "events")
+    from realtime_data_warehouse_spark.operators.agg import tumble
+    want = tumble(
+        events, "ts", "1 hour", keys=["event_type"],
+        aggs={
+            "pv": F.count(F.lit(1)),
+            "uv": F.approx_count_distinct("user_id"),
+            "value_sum": F.sum(F.col("value").cast("decimal(18,2)")).cast("double"),
+        },
+    ).select("stt", "edt", "cur_date", "event_type", "pv", "uv", "value_sum")
+
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_delta_correct_converges_to_latest(spark, tmp_path):
+    """A6 property: summed deltas == latest value per key, across
+    micro-batch boundaries and with a stale replay in a later batch."""
+    rows = []
+    for v in range(1, 6):
+        rows.append(("a", v, 10.0 * v, 2.0 * v))
+    rows += [("b", 1, 7.0, 1.0), ("b", 3, 9.0, 4.0)]
+    rows.append(("b", 2, 100.0, 100.0))  # stale: older ts arriving last
+    df = spark.createDataFrame(rows, "id string, ts long, amt double, fee double")
+    in_dir = staged_files_dir(df, str(tmp_path), n_files=3, order_col="ts")
+
+    sdf = (
+        spark.readStream.schema("id string, ts long, amt double, fee double")
+        .option("maxFilesPerTrigger", "1").parquet(in_dir)
+    )
+    out = str(tmp_path / "out")
+    run_available_now(
+        delta_correct(sdf, "id", "ts", ["amt", "fee"]), out, str(tmp_path / "ck")
+    )
+    got = (
+        read_back(spark, out).groupBy("id")
+        .agg(F.sum("amt").alias("amt"), F.sum("fee").alias("fee"))
+    )
+    want = latest_per_key(df, ["id"], "ts").select("id", "amt", "fee")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_daily_first_event_stream_parity(spark, sf_small, tmp_path):
+    """A7 twin == batch daily_first_event on (user, day) pairs, and the
+    is_first_ever flag matches the batch first-day computation."""
+    events = (
+        load_table(spark, sf_small, "events")
+        .select(
+            F.col("user_id").cast("string").alias("uid"),
+            F.unix_timestamp("ts").alias("ts_s"),
+            "ts",
+        )
+    )
+    staged = events.select("uid", "ts_s")
+    in_dir = staged_files_dir(staged, str(tmp_path), n_files=3, order_col="ts_s")
+    sdf = (
+        spark.readStream.schema("uid string, ts_s long")
+        .option("maxFilesPerTrigger", "1").parquet(in_dir)
+    )
+    out = str(tmp_path / "out")
+    run_available_now(
+        daily_first_event_stream(sdf, "uid", "ts_s"), out, str(tmp_path / "ck")
+    )
+    got = read_back(spark, out)
+
+    want = daily_first_event(events, "uid", "ts").select(
+        "uid", F.date_format("dt", "yyyy-MM-dd").alias("dt")
+    )
+    assert got.count() == want.count()
+    assert got.select("uid", "dt").exceptAll(want).count() == 0
+    # exactly one is_first_ever per user, on their min date
+    firsts = got.filter("is_first_ever = 1")
+    assert firsts.count() == events.select("uid").distinct().count()
+    min_dt = got.groupBy("uid").agg(F.min("dt").alias("dt"))
+    assert firsts.select("uid", "dt").exceptAll(min_dt).count() == 0
+
+
+def test_is_new_repair_stream_parity(spark, sf_small, tmp_path):
+    """A8 twin: per-row is_new_fixed equals the batch window-function
+    repair (everyone claims is_new=1; later-day rows downgrade)."""
+    events = (
+        load_table(spark, sf_small, "events")
+        .select(
+            F.col("user_id").cast("string").alias("uid"),
+            F.unix_timestamp("ts").alias("ts_s"),
+            F.lit("1").alias("is_new"),
+            "ts", "event_id",
+        )
+    )
+    in_dir = staged_files_dir(
+        events.select("uid", "ts_s", "is_new"), str(tmp_path), 3, order_col="ts_s"
+    )
+    sdf = (
+        spark.readStream.schema("uid string, ts_s long, is_new string")
+        .option("maxFilesPerTrigger", "1").parquet(in_dir)
+    )
+    out = str(tmp_path / "out")
+    run_available_now(
+        is_new_repair_stream(sdf, "uid", "ts_s"), out, str(tmp_path / "ck")
+    )
+    got = read_back(spark, out)
+
+    want = first_visit_repair(events, "uid", "ts")
+    assert got.count() == events.count()
+    got_agg = got.groupBy("uid").agg(
+        F.sum("is_new_fixed").alias("n_new"), F.min("first_dt").alias("first_dt")
+    )
+    want_agg = want.groupBy("uid").agg(
+        F.sum("is_new_fixed").alias("n_new"),
+        F.date_format(F.min("first_dt"), "yyyy-MM-dd").alias("first_dt"),
+    )
+    assert got_agg.exceptAll(want_agg).count() == 0
+    assert want_agg.exceptAll(got_agg).count() == 0
