@@ -35,6 +35,8 @@ HEADLINE = [
     "dws_sku_order_window",
     "dws_province_order_window",
     "a6_latest_per_key_sum",
+    "dim_config_routing",
+    "dwd_log_split",
     "topk_parts_per_brand",
     "text_stats",
     "dedup_minhash_lsh",

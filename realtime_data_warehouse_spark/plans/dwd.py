@@ -288,3 +288,82 @@ def dwd_comment_dic_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = lookup_join(fact, dic, fact["appraise"] == dic["dic_code"], "left")
     return out.select("id", "appraise", F.col("dic_name").alias("appraise_name"), "amount")
+
+
+# ---------------------------------------------------------------------------
+# P8 — DwdBaseLog: parse + 5-way split + array explode, as one
+# oracle-checkable route-count query.
+# ---------------------------------------------------------------------------
+
+def synthesize_log_json(events: DataFrame) -> DataFrame:
+    """events → topic_log JSON strings (FIXTURES.md §1.2 shape):
+    'error' rows carry err, 'signup' rows carry start, the rest are
+    page views; 'view' pages embed k%3 display elements, 'click' pages
+    one action (DwdBaseLog.java:82-135's input contract). k derives
+    from the numeric in props, so the oracle can re-derive every count
+    with regexp_extract alone."""
+    k = F.regexp_extract("props", "[0-9]+", 0).cast("int")
+    et = F.col("event_type")
+    common = F.struct(
+        F.concat(F.lit("mid_"), F.col("user_id")).alias("mid"),
+        F.col("user_id").cast("string").alias("uid"),
+    )
+    page = F.when(
+        ~et.isin("error", "signup"),
+        F.struct(et.alias("page_id"), k.alias("during_time")),
+    )
+    err = F.when(et == "error", F.create_map(F.lit("code"), k.cast("string")))
+    start = F.when(et == "signup", F.create_map(F.lit("entry"), F.lit("icon")))
+    displays = F.when(
+        et == "view",
+        F.array_repeat(F.create_map(F.lit("pos_id"), F.lit("1")), k % 3),
+    )
+    actions = F.when(
+        et == "click",
+        F.array(F.create_map(F.lit("action_id"), F.lit("favor"))),
+    )
+    payload = F.struct(
+        common.alias("common"), page.alias("page"), start.alias("start"),
+        err.alias("err"), displays.alias("displays"), actions.alias("actions"),
+        (F.unix_timestamp("ts") * 1000).alias("ts"),
+    )
+    return events.select(F.to_json(payload).alias("value"))
+
+
+@register(
+    "dwd_log_split",
+    oracle="""
+    SELECT 'err' AS route, count(*) AS cnt FROM events WHERE event_type = 'error'
+    UNION ALL
+    SELECT 'start', count(*) FROM events WHERE event_type = 'signup'
+    UNION ALL
+    SELECT 'page', count(*) FROM events WHERE event_type NOT IN ('error', 'signup')
+    UNION ALL
+    SELECT 'display', CAST(COALESCE(SUM(CAST(regexp_extract(props, '[0-9]+') AS INT) % 3), 0) AS BIGINT)
+    FROM events WHERE event_type = 'view'
+    UNION ALL
+    SELECT 'action', count(*) FROM events WHERE event_type = 'click'
+    """,
+)
+def dwd_log_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DwdBaseLog (P1+P8+U4): raw JSON log → parse with TOPIC_LOG
+    schema (malformed → dropped) → 5-way side-output split with
+    display/action explode (DwdBaseLog.java:82-135; the split emits
+    array *elements*, fixing the reference's whole-array quirk, SURVEY
+    §7.5.2). Returns per-route cardinalities; the streaming drive of
+    the same split writes 5 sinks from one cached pass
+    (streaming/sinks.split_sink)."""
+    from ..operators.etl import parse_json_stream, split_log_stream
+    from ..schemas import TOPIC_LOG
+
+    events = load_table(spark, sf_dir, "events")
+    parsed = parse_json_stream(synthesize_log_json(events), TOPIC_LOG)
+    routes = split_log_stream(parsed)
+    counts = [
+        df.agg(F.count(F.lit(1)).alias("cnt")).select(F.lit(name).alias("route"), "cnt")
+        for name, df in routes.items()
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out

@@ -340,3 +340,78 @@ def a8_is_new_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return per_day.select(F.date_format("dt", "yyyy-MM-dd").alias("cur_date"),
                           "claimed_new", "fixed_new")
+
+
+# ---------------------------------------------------------------------------
+# A7/T12 — cart-add unique users per day (DwsTradeCartAddUuWindow)
+# ---------------------------------------------------------------------------
+
+@register(
+    "dws_cart_add_uu_window",
+    oracle="""
+    SELECT strftime(CAST(l.l_shipdate AS DATE), '%Y-%m-%d') AS cur_date,
+           count(DISTINCT o.o_custkey)                      AS cart_add_uu_ct
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+)
+def dws_cart_add_uu_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DwsTradeCartAddUuWindow (A7): daily unique cart-adding users
+    (keyed last-cart-date ValueState with 1-day TTL,
+    DwsTradeCartAddUuWindow.java:66-111). Cart-add facts model as
+    lineitem; the user arrives via the orders join — a shuffle
+    hash/sort-merge join on orderkey between two fact tables, the one
+    join here that is legitimately NOT broadcastable; AQE picks the
+    strategy. The per-(user,day) ValueState dedup collapses into
+    count_distinct (exact; partial aggregation map-side)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    joined = li.join(orders, li["l_orderkey"] == orders["o_orderkey"], "inner")
+    return (
+        joined.withColumn("dt", F.to_date("l_shipdate"))
+        .groupBy("dt")
+        .agg(F.count_distinct("o_custkey").alias("cart_add_uu_ct"))
+        .select(F.date_format("dt", "yyyy-MM-dd").alias("cur_date"), "cart_add_uu_ct")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A7 — payment-success window (DwsTradePaymentSucWindow)
+# ---------------------------------------------------------------------------
+
+@register(
+    "dws_payment_suc_window",
+    oracle="""
+    WITH paid AS (
+        SELECT DISTINCT o_custkey AS user_id, CAST(o_orderdate AS DATE) AS dt
+        FROM orders WHERE o_orderstatus = 'F'
+    ), firsts AS (
+        SELECT user_id, dt,
+               CASE WHEN dt = min(dt) OVER (PARTITION BY user_id) THEN 1 ELSE 0 END AS is_first
+        FROM paid
+    )
+    SELECT strftime(dt, '%Y-%m-%d')                      AS cur_date,
+           count(*)                                      AS payment_suc_unique_user_count,
+           count(CASE WHEN is_first = 1 THEN 1 END)      AS payment_new_user_count
+    FROM firsts GROUP BY 1
+    """,
+)
+def dws_payment_suc_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DwsTradePaymentSucWindow (A7+P5): payment success = the
+    status-gated subset of orders (the reference filters
+    payment_status='1602', DwdTradeOrderPaySucDetail.java:173-189 →
+    o_orderstatus='F' here); per-day unique paying users + first-ever
+    payers (keyed first-payment-date state,
+    DwsTradePaymentSucWindow.java:42-109). The status filter pushes
+    down to the parquet scan; one shuffle on user for the
+    first-ever window function, reused by the daily dedup."""
+    orders = load_table(spark, sf_dir, "orders")
+    paid = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("user_id"), F.col("o_orderdate").alias("ts")
+    )
+    flagged = new_vs_returning(paid, "user_id", "ts")
+    return flagged.groupBy("dt").agg(
+        F.count(F.lit(1)).alias("payment_suc_unique_user_count"),
+        F.count(F.when(F.col("is_first_ever") == 1, 1)).alias("payment_new_user_count"),
+    ).select(F.date_format("dt", "yyyy-MM-dd").alias("cur_date"),
+             "payment_suc_unique_user_count", "payment_new_user_count")

@@ -158,6 +158,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Pipeline modules register themselves on import (they import
 # `register` from here, so this must stay at the bottom).
 from . import datapipe  # noqa: E402,F401
+from . import dim  # noqa: E402,F401
 from . import dwd  # noqa: E402,F401
 from . import dws  # noqa: E402,F401
 from . import extras  # noqa: E402,F401

@@ -5,38 +5,58 @@ DataFrame of change rows carrying the Maxwell-style envelope the
 reference consumes from `topic_db` (type: insert/update/delete/
 bootstrap-*, data, old — FIXTURES.md §1.1, DimApp.java:126-151).
 Downstream operators apply them with MERGE-style upsert semantics
-(sinks.upsert). This module synthesizes deterministic change streams
-from the driver's batch tables so the upsert / retraction paths
-(SURVEY J1, A6, K5) are exercised without a database.
+(streaming/sinks.upsert_batch / dim_upsert_batch). This module
+synthesizes deterministic change streams from the driver's batch
+tables so the upsert / retraction / delete paths (SURVEY J1, A6, K5,
+K6) are exercised without a database.
+
+Determinism contract: row selection is pure key arithmetic
+(`key % 10000 < bps` for updates, `key % 1000 == 7` for deletes) and
+the synthetic version clock is type-ranked (bootstrap=0 < update=1 <
+delete=2, offset from the row ts when one exists) — both trivially
+re-expressible in the DuckDB oracle SQL.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+DELETE_MOD = 1_000
+DELETE_RESIDUE = 7
+
+
+def _base_ts(ts_col: str | None) -> Column:
+    """Dimension tables carry no event time (HBase dims are pure KV,
+    HBaseUtil.java:80-103); their changelog clock starts at 0."""
+    return F.unix_timestamp(F.col(ts_col)) if ts_col else F.lit(0).cast("long")
+
+
+def _data_map(cols: list[str], double_col: str | None = None) -> Column:
+    kv = []
+    for c in cols:
+        val = (F.col(c) * 2).cast("string") if c == double_col else F.col(c).cast("string")
+        kv.extend([F.lit(c), val])
+    return F.create_map(*kv)
 
 
 def to_change_rows(snapshot: DataFrame, table: str, key_col: str,
-                   ts_col: str, database: str = "gmall") -> DataFrame:
+                   ts_col: str | None, database: str = "gmall") -> DataFrame:
     """Wrap a batch snapshot as bootstrap-insert change rows: every
     column stringified into the `data` map — the shape
     DimApp.java:184-188 accepts during the initial snapshot phase."""
-    cols = snapshot.columns
-    kv = []
-    for c in cols:
-        kv.extend([F.lit(c), F.col(c).cast("string")])
     return snapshot.select(
         F.lit(database).alias("database"),
         F.lit(table).alias("table"),
         F.lit("bootstrap-insert").alias("type"),
-        F.unix_timestamp(F.col(ts_col)).alias("ts"),
-        F.create_map(*kv).alias("data"),
+        _base_ts(ts_col).alias("ts"),
+        _data_map(snapshot.columns).alias("data"),
         F.lit(None).cast("map<string,string>").alias("old"),
     )
 
 
 def synthesize_updates(snapshot: DataFrame, table: str, key_col: str,
-                       ts_col: str, update_col: str,
+                       ts_col: str | None, update_col: str,
                        fraction_bps: int = 500,
                        database: str = "gmall") -> DataFrame:
     """Deterministically re-emit a fraction of rows as `update` change
@@ -47,28 +67,48 @@ def synthesize_updates(snapshot: DataFrame, table: str, key_col: str,
     picked = snapshot.filter(
         F.pmod(F.col(key_col).cast("long"), F.lit(10_000)) < F.lit(fraction_bps)
     )
-    cols = snapshot.columns
-    kv = []
-    for c in cols:
-        new_val = (
-            (F.col(c) * 2).cast("string") if c == update_col else F.col(c).cast("string")
-        )
-        kv.extend([F.lit(c), new_val])
     return picked.select(
         F.lit(database).alias("database"),
         F.lit(table).alias("table"),
         F.lit("update").alias("type"),
-        (F.unix_timestamp(F.col(ts_col)) + F.lit(1)).alias("ts"),
-        F.create_map(*kv).alias("data"),
+        (_base_ts(ts_col) + F.lit(1)).alias("ts"),
+        _data_map(snapshot.columns, double_col=update_col).alias("data"),
         F.create_map(F.lit(update_col), F.col(update_col).cast("string")).alias("old"),
     )
 
 
-def changelog(snapshot: DataFrame, table: str, key_col: str, ts_col: str,
-              update_col: str, database: str = "gmall") -> DataFrame:
-    """bootstrap snapshot + deterministic updates, union'd — a full
-    StartupOptions.initial()-style changelog (FlinkSourceUtil.java:46-62)."""
-    return to_change_rows(snapshot, table, key_col, ts_col, database).unionByName(
+def synthesize_deletes(snapshot: DataFrame, table: str, key_col: str,
+                       ts_col: str | None,
+                       database: str = "gmall") -> DataFrame:
+    """Deterministic `delete` change rows (`key % 1000 == 7`), carrying
+    the deleted row's post-image like Maxwell does — the K6 delete
+    path (DimHBaseSinkFunction.java:53-62: op 'delete' → HBase Delete,
+    others → Put)."""
+    picked = snapshot.filter(
+        F.pmod(F.col(key_col).cast("long"), F.lit(DELETE_MOD)) == F.lit(DELETE_RESIDUE)
+    )
+    return picked.select(
+        F.lit(database).alias("database"),
+        F.lit(table).alias("table"),
+        F.lit("delete").alias("type"),
+        (_base_ts(ts_col) + F.lit(2)).alias("ts"),
+        _data_map(snapshot.columns).alias("data"),
+        F.lit(None).cast("map<string,string>").alias("old"),
+    )
+
+
+def changelog(snapshot: DataFrame, table: str, key_col: str, ts_col: str | None,
+              update_col: str, with_deletes: bool = False,
+              database: str = "gmall") -> DataFrame:
+    """bootstrap snapshot + deterministic updates (+ optional deletes),
+    union'd — a full StartupOptions.initial()-style changelog
+    (FlinkSourceUtil.java:46-62)."""
+    out = to_change_rows(snapshot, table, key_col, ts_col, database).unionByName(
         synthesize_updates(snapshot, table, key_col, ts_col, update_col,
                            database=database)
     )
+    if with_deletes:
+        out = out.unionByName(
+            synthesize_deletes(snapshot, table, key_col, ts_col, database=database)
+        )
+    return out
