@@ -36,6 +36,13 @@ export_pythonpath()
 def _prepare(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # see session.py: the inferred size()>0 filter from explode()
+    # re-derives interpreted shingle expressions per row — a large
+    # pessimization for the dedup family; runtime-settable SQL conf.
+    spark.conf.set(
+        "spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+    )
     ship_package(spark)
 
 

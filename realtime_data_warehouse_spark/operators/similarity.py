@@ -49,15 +49,22 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     queries is broadcast (probe batches are small); the corpus is
     scanned once per batch; per-query ranking is a window over the
     (query, corpus) pairs partitioned by query id. Deterministic
-    tie-break on neighbor id."""
+    tie-break on neighbor id.
+
+    Norms are precomputed per side BEFORE the join — inside the pair
+    expression they would be folded again for every (query, corpus)
+    pair (HOF folds are interpreted, no CSE): 3 vector passes per pair
+    → 1."""
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
-    )
+    ).withColumn("qn", norm2(F.col("qv")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
-    )
+    ).withColumn("cn", norm2(F.col("cv")))
     pairs = c.crossJoin(F.broadcast(q)).filter(F.col("neighbor_id") != F.col("query_id"))
-    scored = pairs.withColumn("cos_sim", cosine(F.col("qv"), F.col("cv")))
+    scored = pairs.withColumn(
+        "cos_sim", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rk", F.row_number().over(w))
@@ -76,13 +83,15 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"),
         F.col(cell_col).alias("cell"),
-    )
+    ).withColumn("qn", norm2(F.col("qv")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv"),
         F.col(cell_col).alias("cell"),
-    )
+    ).withColumn("cn", norm2(F.col("cv")))
     pairs = c.join(F.broadcast(q), "cell").filter(F.col("neighbor_id") != F.col("query_id"))
-    scored = pairs.withColumn("cos_sim", cosine(F.col("qv"), F.col("cv")))
+    scored = pairs.withColumn(
+        "cos_sim", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rk", F.row_number().over(w))
@@ -99,7 +108,9 @@ def cosine_near_dup_pairs(vectors: DataFrame, threshold: float = 0.95,
     Blocking on `block_col` keeps the pair space n²/blocks; at scale
     the block key would be an LSH bucket (random-hyperplane sign
     bits) — same plan shape: equi-join on block, filter by cosine."""
-    v = vectors.select(F.col(id_col), as_double(vec_col).alias("v"), F.col(block_col))
+    v = vectors.select(
+        F.col(id_col), as_double(vec_col).alias("v"), F.col(block_col)
+    ).withColumn("n", norm2(F.col("v")))
     a = v.alias("a")
     b = v.alias("b")
     pairs = a.join(
@@ -109,7 +120,7 @@ def cosine_near_dup_pairs(vectors: DataFrame, threshold: float = 0.95,
     ).select(
         F.col(f"a.{id_col}").alias("id_a"),
         F.col(f"b.{id_col}").alias("id_b"),
-        cosine(F.col("a.v"), F.col("b.v")).alias("cos_sim"),
+        (dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n"))).alias("cos_sim"),
     )
     return pairs.filter(F.col("cos_sim") >= threshold).select(
         "id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim")

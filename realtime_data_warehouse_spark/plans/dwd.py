@@ -350,20 +350,35 @@ def dwd_log_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema (malformed → dropped) → 5-way side-output split with
     display/action explode (DwdBaseLog.java:82-135; the split emits
     array *elements*, fixing the reference's whole-array quirk, SURVEY
-    §7.5.2). Returns per-route cardinalities; the streaming drive of
-    the same split writes 5 sinks from one cached pass
-    (streaming/sinks.split_sink)."""
-    from ..operators.etl import parse_json_stream, split_log_stream
+    §7.5.2).
+
+    Route cardinalities come from ONE conditional-aggregation scan of
+    the parsed stream (routes are disjoint predicates; exploded-route
+    counts are sum(size(array))). A per-route `.agg()` union would
+    re-synthesize + re-parse the JSON five times — 5 scans for a
+    5-route split (16 s → 3 s at sf0.1). The materializing form of the
+    split (5 real outputs, one cached pass) is split_log_stream +
+    streaming/sinks.split_sink, exercised by the unit and streaming
+    tests."""
+    from ..operators.etl import parse_json_stream
     from ..schemas import TOPIC_LOG
 
     events = load_table(spark, sf_dir, "events")
     parsed = parse_json_stream(synthesize_log_json(events), TOPIC_LOG)
-    routes = split_log_stream(parsed)
-    counts = [
-        df.agg(F.count(F.lit(1)).alias("cnt")).select(F.lit(name).alias("route"), "cnt")
-        for name, df in routes.items()
-    ]
-    out = counts[0]
-    for c in counts[1:]:
-        out = out.unionByName(c)
-    return out
+    is_err = F.col("err").isNotNull()
+    is_start = F.col("err").isNull() & F.col("start").isNotNull()
+    is_page = F.col("err").isNull() & F.col("start").isNull()
+    one = F.lit(1).cast("long")
+    agg = parsed.agg(
+        F.sum(F.when(is_err, one).otherwise(0)).alias("err"),
+        F.sum(F.when(is_start, one).otherwise(0)).alias("start"),
+        F.sum(F.when(is_page, one).otherwise(0)).alias("page"),
+        F.sum(F.when(is_page, F.coalesce(F.size("displays"), F.lit(0))).otherwise(0))
+        .cast("long").alias("display"),
+        F.sum(F.when(is_page, F.coalesce(F.size("actions"), F.lit(0))).otherwise(0))
+        .cast("long").alias("action"),
+    )
+    return agg.selectExpr(
+        "stack(5, 'err', err, 'start', start, 'page', page, "
+        "'display', display, 'action', action) AS (route, cnt)"
+    )

@@ -49,6 +49,17 @@ def get_spark(app_name: str = "realtime_data_warehouse_spark",
         # ns→µs read, so oracle hashes line up.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # InferFiltersFromGenerate turns explode(expensive_expr) into a
+        # pushed-down Filter that re-derives the expression several
+        # times per row (size(...)>0 AND isnotnull(...)); with
+        # interpreted HOF shingle pipelines that filter costs more than
+        # the whole query (16 s vs 2.5 s for the LSH shingle index at
+        # sf0.1). We pre-filter explicitly where it matters
+        # (with_shingles drop_empty), so the inferred filter only hurts.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
