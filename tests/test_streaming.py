@@ -184,3 +184,73 @@ def test_is_new_repair_stream_parity(spark, sf_small, tmp_path):
     )
     assert got_agg.exceptAll(want_agg).count() == 0
     assert want_agg.exceptAll(got_agg).count() == 0
+
+
+def test_stream_stream_interval_join_parity(spark, sf_small, tmp_path):
+    """J2 twin: watermarked stream-stream interval join (inner) drains
+    to exactly the batch join result — lineitem ships within 30 days
+    of its order's date."""
+    from realtime_data_warehouse_spark.streaming.joins import interval_join
+
+    orders_b = (
+        load_table(spark, sf_small, "orders")
+        .select("o_orderkey", F.col("o_orderdate").cast("timestamp").alias("o_ts"))
+    )
+    li_b = (
+        load_table(spark, sf_small, "lineitem")
+        .select("l_orderkey", F.col("l_shipdate").cast("timestamp").alias("l_ts"))
+    )
+    o_dir = staged_files_dir(orders_b, str(tmp_path / "o"), 2, order_col="o_ts")
+    l_dir = staged_files_dir(li_b, str(tmp_path / "l"), 2, order_col="l_ts")
+
+    orders_s = (
+        spark.readStream.schema("o_orderkey long, o_ts timestamp").parquet(o_dir)
+        .withWatermark("o_ts", "1 day")
+    )
+    li_s = (
+        spark.readStream.schema("l_orderkey long, l_ts timestamp").parquet(l_dir)
+        .withWatermark("l_ts", "1 day")
+    )
+    joined = interval_join(
+        li_s, orders_s,
+        F.col("l_orderkey") == F.col("o_orderkey"),
+        "l_ts", "o_ts", lower="30 days", upper="0 seconds",
+    ).select("l_orderkey", "l_ts", "o_ts")
+
+    out = str(tmp_path / "out")
+    run_available_now(joined, out, str(tmp_path / "ck"))
+    got = read_back(spark, out)
+
+    want = li_b.join(
+        orders_b,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("o_ts") >= F.expr("l_ts - interval 30 days"))
+        & (F.col("o_ts") <= F.col("l_ts")),
+    ).select("l_orderkey", "l_ts", "o_ts")
+
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_upsert_sink_latest_per_key(spark, tmp_path):
+    """K5 twin: the upsert foreachBatch sink leaves exactly the
+    latest-ts row per key across micro-batches."""
+    from realtime_data_warehouse_spark.streaming.runner import run_foreach_batch
+    from realtime_data_warehouse_spark.streaming.sinks import upsert_batch
+
+    rows = [("a", 1, "v1"), ("a", 2, "v2"), ("b", 1, "w1"),
+            ("a", 3, "v3"), ("b", 2, "w2"), ("c", 1, "x1")]
+    df = spark.createDataFrame(rows, "id string, ts long, val string")
+    in_dir = staged_files_dir(df, str(tmp_path), 3, order_col="ts")
+    sdf = (
+        spark.readStream.schema("id string, ts long, val string")
+        .option("maxFilesPerTrigger", "1").parquet(in_dir)
+    )
+    table_dir = str(tmp_path / "table")
+    run_foreach_batch(
+        sdf, upsert_batch(table_dir, ["id"], "ts"),
+        str(tmp_path / "ck"), output_mode="append",
+    )
+    got = {(r.id, r.ts, r.val) for r in spark.read.parquet(table_dir).collect()}
+    assert got == {("a", 3, "v3"), ("b", 2, "w2"), ("c", 1, "x1")}
