@@ -129,3 +129,32 @@ def snowflake_join(fact: DataFrame,
 # ---------------------------------------------------------------------------
 # J6 — lateral UDTF join lives in functions.tokenize.explode_keywords
 # ---------------------------------------------------------------------------
+
+
+# ---------------------------------------------------------------------------
+# Skew mitigation — salted join (the explicit form of what AQE's
+# skew-join split does at runtime; use when skew is known a priori,
+# e.g. a "null key" or celebrity-entity hot spot at 100 TB).
+# ---------------------------------------------------------------------------
+
+def salted_join(big: DataFrame, small: DataFrame, key: str,
+                salt_buckets: int = 16, how: str = "inner") -> DataFrame:
+    """Equi-join where `big`.`key` is skewed: salt the big side with a
+    random bucket in [0, salt_buckets), replicate the small side
+    across every bucket, and join on (key, salt). A hot key's rows
+    spread over `salt_buckets` reducers instead of one straggler task.
+
+    The salt is rand()-derived (per-row, no correctness impact for an
+    equi join: every big row still meets exactly its key's small rows
+    via the matching replica). Cost: small side × salt_buckets —
+    acceptable precisely when the small side broadcasts or nearly
+    does. Results are identical to big.join(small, key, how).
+    """
+    salted_big = big.withColumn(
+        "__salt", (F.rand(seed=42) * salt_buckets).cast("int")
+    )
+    replicas = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    out = salted_big.join(replicas, [key, "__salt"], how)
+    return out.drop("__salt")

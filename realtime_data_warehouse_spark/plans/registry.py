@@ -162,4 +162,5 @@ from . import dim  # noqa: E402,F401
 from . import dwd  # noqa: E402,F401
 from . import dws  # noqa: E402,F401
 from . import extras  # noqa: E402,F401
+from . import sql_apps  # noqa: E402,F401
 

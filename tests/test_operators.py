@@ -111,3 +111,25 @@ def test_snake_case():
     assert snake_case("skuName") == "sku_name"
     assert snake_case("orderDetailId") == "order_detail_id"
     assert snake_case("id") == "id"
+
+
+def test_salted_join_matches_plain_join(spark):
+    from realtime_data_warehouse_spark.operators.joins import salted_join
+
+    # heavily skewed big side: one hot key
+    big = spark.createDataFrame(
+        [("hot", i) for i in range(500)] + [("cold", i) for i in range(5)],
+        "k string, v int",
+    )
+    small = spark.createDataFrame(
+        [("hot", "H"), ("cold", "C"), ("unused", "U")], "k string, label string"
+    )
+    got = salted_join(big, small, "k", salt_buckets=8)
+    want = big.join(small, "k")
+    assert got.count() == want.count() == 505
+    assert got.exceptAll(want).count() == 0
+    # left join keeps unmatched big rows exactly once
+    big2 = big.union(spark.createDataFrame([("orphan", 1)], "k string, v int"))
+    got_l = salted_join(big2, small, "k", salt_buckets=8, how="left")
+    assert got_l.count() == 506
+    assert got_l.filter("k = 'orphan' and label is null").count() == 1
