@@ -382,3 +382,82 @@ def dwd_log_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack(5, 'err', err, 'start', start, 'page', page, "
         "'display', display, 'action', action) AS (route, cnt)"
     )
+
+
+# ---------------------------------------------------------------------------
+# J4 (table:type keyed) — DwdBaseDb: config-driven routing of business
+# CDC rows to DWD fact topics, with column pruning.
+# ---------------------------------------------------------------------------
+
+#: table_process_dwd rows (TableProcessDwd.java:10-24): route is keyed
+#: by (source_table, source_type) — the same change stream fans out to
+#: different facts depending on the op type (DwdBaseDb.java:79-129).
+DWD_CONFIG = [
+    ("orders", "bootstrap-insert", "dwd_order_info",
+     "o_custkey,o_orderkey,o_orderstatus"),
+    ("orders", "update", "dwd_order_update",
+     "o_orderkey,o_orderpriority"),
+    ("lineitem", "bootstrap-insert", "dwd_order_detail_db",
+     "l_linenumber,l_orderkey,l_partkey,l_quantity"),
+]
+
+
+def _dwd_db_oracle_sql() -> str:
+    selects = []
+    for table, typ, sink_table, sink_columns in DWD_CONFIG:
+        cols = sorted(sink_columns.split(","))
+        kv = " || ',' || ".join(
+            f"'{c}=' || CAST({'o_custkey*2' if (typ == 'update' and c == 'o_custkey') else c} AS VARCHAR)"
+            for c in cols
+        )
+        ts_col = "o_orderdate" if table == "orders" else "l_shipdate"
+        off = 1 if typ == "update" else 0
+        where = "" if typ != "update" else f"WHERE {'o_orderkey' if table == 'orders' else 'l_orderkey'} % 10000 < 500"
+        selects.append(f"""
+        SELECT '{sink_table}' AS sink_table, '{typ}' AS op,
+               CAST(epoch({ts_col}) + {off} AS BIGINT) AS ts, {kv} AS kv
+        FROM {table} {where}""")
+    return "\nUNION ALL\n".join(selects)
+
+
+@register("dwd_base_db_routing", oracle=_dwd_db_oracle_sql())
+def dwd_base_db_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DwdBaseDb (J4 keyed by table:type + P6 + K2): broadcast the
+    (source_table, source_type)-keyed config into the CDC stream,
+    prune each row's data map to sink_columns, tag with the dynamic
+    destination (DwdBaseDb.java:79-145). The downstream K2 sink is one
+    partitioned write on sink_table (streaming/sinks.route_by_column).
+    Output serialized as the hash-stable sorted k=v string."""
+    from ..schemas import TABLE_PROCESS_DWD
+    from ..sources.cdc import changelog
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    changes = changelog(orders, "orders", "o_orderkey", "o_orderdate",
+                        "o_custkey").unionByName(
+        changelog(li, "lineitem", "l_orderkey", "l_shipdate", "l_quantity")
+    )
+    config = spark.createDataFrame(
+        [(t, typ, sink, cols, "r") for t, typ, sink, cols in DWD_CONFIG],
+        TABLE_PROCESS_DWD,
+    )
+    cfg = F.broadcast(config)
+    joined = changes.join(
+        cfg,
+        (changes["table"] == cfg["source_table"])
+        & (changes["type"] == cfg["source_type"]),
+        "inner",
+    )
+    cols = F.split(F.col("sink_columns"), ",")
+    pruned = F.map_filter("data", lambda k, v: F.array_contains(cols, k))
+    d = pruned
+    kv = F.array_join(
+        F.transform(
+            F.array_sort(F.map_keys(d)),
+            lambda k: F.concat(k, F.lit("="), F.element_at(d, k)),
+        ),
+        ",",
+    )
+    return joined.select(
+        "sink_table", F.col("type").alias("op"), "ts", kv.alias("kv")
+    )

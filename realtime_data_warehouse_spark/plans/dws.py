@@ -415,3 +415,72 @@ def dws_payment_suc_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("is_first_ever") == 1, 1)).alias("payment_new_user_count"),
     ).select(F.date_format("dt", "yyyy-MM-dd").alias("cur_date"),
              "payment_suc_unique_user_count", "payment_new_user_count")
+
+
+# ---------------------------------------------------------------------------
+# A2 — composite-key traffic window (DwsTrafficVcChArIsNewPageViewWindow)
+# ---------------------------------------------------------------------------
+
+@register(
+    "dws_traffic_vc_ch_ar_is_new_window",
+    oracle="""
+    WITH enriched AS (
+        SELECT 'v3.' || CAST(user_id % 3 AS VARCHAR)  AS vc,
+               ['appstore','xiaomi','huawei','web'][CAST(event_id % 4 AS INT) + 1] AS ch,
+               CAST(user_id % 6 AS VARCHAR)            AS ar,
+               CASE WHEN CAST(ts AS DATE) =
+                    min(CAST(ts AS DATE)) OVER (PARTITION BY user_id)
+                    THEN '1' ELSE '0' END              AS is_new,
+               CAST(ts AS DATE)                        AS dt,
+               user_id,
+               CAST(regexp_extract(props, '[0-9]+') AS INT) % 5 AS k5,
+               value
+        FROM events
+    )
+    SELECT strftime(dt, '%Y-%m-%d')                       AS cur_date,
+           vc, ch, ar, is_new,
+           count(*)                                       AS pv,
+           count(DISTINCT user_id)                        AS uv,
+           count(CASE WHEN k5 = 0 THEN 1 END)             AS sv,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS dur_sum
+    FROM enriched
+    GROUP BY 1, 2, 3, 4, 5
+    """,
+)
+def dws_traffic_vc_ch_ar_is_new_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DwsTrafficVcChArIsNewPageViewWindow (A2+A7+A8): the composite
+    (vc, ch, ar, is_new) key stays separate group columns — no string
+    concat key like the reference's `vc:ch:ar:isNew`
+    (DwsTrafficVcChArIsNewPageViewWindow.java:99-106); Spark shuffles
+    the tuple directly. is_new derives from the user's first-ever day
+    (the keyed-state repair, :120-178) as a window function; sv models
+    session starts via the deterministic props digit. One shuffle for
+    the user window, one for the group-by — the first partitioning is
+    NOT reusable for the second (different keys), same as the
+    reference's keyBy(mid) → keyBy(vc,ch,ar,isNew) chain."""
+    events = load_table(spark, sf_dir, "events")
+    chans = F.array(*[F.lit(c) for c in ("appstore", "xiaomi", "huawei", "web")])
+    from pyspark.sql import Window
+
+    w_user = Window.partitionBy("user_id")
+    enriched = events.select(
+        F.concat(F.lit("v3."), (F.col("user_id") % 3).cast("string")).alias("vc"),
+        F.element_at(chans, (F.col("event_id") % 4).cast("int") + 1).alias("ch"),
+        (F.col("user_id") % 6).cast("string").alias("ar"),
+        F.to_date("ts").alias("dt"),
+        "user_id",
+        (F.regexp_extract("props", "[0-9]+", 0).cast("int") % 5).alias("k5"),
+        "value",
+    ).withColumn(
+        "is_new",
+        F.when(F.col("dt") == F.min("dt").over(w_user), "1").otherwise("0"),
+    )
+    return enriched.groupBy("dt", "vc", "ch", "ar", "is_new").agg(
+        F.count(F.lit(1)).alias("pv"),
+        F.count_distinct("user_id").alias("uv"),
+        F.count(F.when(F.col("k5") == 0, 1)).alias("sv"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("dur_sum"),
+    ).select(
+        F.date_format("dt", "yyyy-MM-dd").alias("cur_date"),
+        "vc", "ch", "ar", "is_new", "pv", "uv", "sv", "dur_sum",
+    )
