@@ -50,6 +50,12 @@ def main() -> None:
     spark = get_spark("rdw-bench")
     tune_for_scale(spark)
 
+    # One-time engine init (executor launch, shuffle service, parquet
+    # reader) is startup cost, not query cost — the docstring contract
+    # excludes it. A trivial shuffle + scan pays it before timing.
+    spark.range(1000).repartition(8).count()
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]

@@ -1,0 +1,89 @@
+"""Property tests (SURVEY §5 layer 4).
+
+Hypothesis generates adversarial inputs for the two places a subtle
+correctness bug would hide: the A6 latest-per-key/delta semantics and
+the PPJoin prefix filter's completeness claim. Spark round-trips are
+slow, so examples are capped low — the properties do the work, the
+corpus size does not.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from realtime_data_warehouse_spark.operators.dedup import jaccard_pairs
+from realtime_data_warehouse_spark.operators.state import latest_per_key
+
+_settings = settings(
+    max_examples=8, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(
+    updates=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),          # key
+            st.integers(min_value=0, max_value=50),    # ts
+            st.integers(min_value=-100, max_value=100) # amount
+        ),
+        min_size=1, max_size=30,
+    )
+)
+@_settings
+def test_latest_per_key_equals_python_fold(spark, updates):
+    """A6 batch form: latest_per_key picks exactly the max-ts row per
+    key (ties broken identically to a stable right-fold)."""
+    df = spark.createDataFrame(updates, "id string, ts long, amt long")
+    got = {
+        r.id: (r.ts, r.amt)
+        for r in latest_per_key(df, ["id"], "ts", tiebreak=["amt"]).collect()
+    }
+    want: dict[str, tuple[int, int]] = {}
+    for k, ts, amt in updates:
+        # max (ts, amt) per key — the same (order_col desc, tiebreak
+        # desc) ordering latest_per_key ranks by
+        if k not in want or (ts, amt) > want[k]:
+            want[k] = (ts, amt)
+    assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from("abcdefgh"), min_size=2, max_size=8
+        ).map(" ".join),
+        min_size=2, max_size=12,
+    )
+)
+@_settings
+def test_prefix_filter_jaccard_complete_vs_bruteforce(spark, docs):
+    """jaccard_pairs (prefix-filtered) finds EXACTLY the pairs a
+    brute-force O(n²) bigram-Jaccard computation finds — the prefix
+    filter may prune candidates, never results."""
+    threshold = 0.6
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in jaccard_pairs(df, threshold=threshold, n=2).collect()
+    }
+
+    def bigrams(t: str) -> set[str]:
+        toks = [w for w in t.lower().split() if w]
+        return {f"{a} {b}" for a, b in zip(toks, toks[1:])}
+
+    want = set()
+    for i, a in rows:
+        for j, b in rows:
+            if i >= j:
+                continue
+            sa, sb = bigrams(a), bigrams(b)
+            if not sa or not sb:
+                continue
+            jac = len(sa & sb) / len(sa | sb)
+            if jac >= threshold:
+                want.add((i, j))
+    assert got == want
