@@ -254,3 +254,67 @@ def test_upsert_sink_latest_per_key(spark, tmp_path):
     )
     got = {(r.id, r.ts, r.val) for r in spark.read.parquet(table_dir).collect()}
     assert got == {("a", 3, "v3"), ("b", 2, "w2"), ("c", 1, "x1")}
+
+
+def test_checkpoint_restart_is_idempotent(spark, tmp_path):
+    """T10: re-running a drained availableNow query against the same
+    checkpoint adds nothing — the exactly-once file-sink contract."""
+    df = spark.createDataFrame([(i, i * 10) for i in range(20)], "id long, v long")
+    in_dir = staged_files_dir(df, str(tmp_path), 2, order_col="id")
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+
+    def run():
+        sdf = spark.readStream.schema("id long, v long").parquet(in_dir)
+        run_available_now(sdf.filter(F.col("v") >= 0), out, ck)
+
+    run()
+    n1 = spark.read.parquet(out).count()
+    run()  # same checkpoint: no offsets left -> no-op
+    n2 = spark.read.parquet(out).count()
+    assert n1 == 20 and n2 == 20
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """T6: a row arriving behind the watermark AFTER its window was
+    emitted+evicted is dropped (no allowedLateness — same as the
+    reference). Note Spark's drop guarantee is eviction-scoped: a late
+    row landing in the same micro-batch that finalizes its window is
+    still merged; only post-eviction arrivals must be dropped (append
+    mode would otherwise emit the window twice)."""
+    import datetime as dt
+    import os as _os
+    import time as _time
+
+    base = dt.datetime(2024, 1, 1)
+    batches = [
+        [(base + dt.timedelta(hours=h), 1) for h in range(3)],   # 00,01,02
+        [(base + dt.timedelta(days=2), 1)],                      # advances watermark
+        [(base + dt.timedelta(days=2, hours=1), 1)],             # triggers emission+eviction
+        [(base + dt.timedelta(hours=1, minutes=30), 1)],         # late: window already evicted
+    ]
+    in_dir = str(tmp_path / "in")
+    t0 = int(_time.time()) - 100
+    seen: set[str] = set()
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, "ts timestamp, v int")
+        df.coalesce(1).write.mode("append" if i else "overwrite").parquet(in_dir)
+        for f in set(_os.listdir(in_dir)) - seen:
+            if f.endswith(".parquet"):
+                _os.utime(_os.path.join(in_dir, f), (t0 + 10 * i, t0 + 10 * i))
+        seen = set(_os.listdir(in_dir))
+
+    sdf = (
+        spark.readStream.schema("ts timestamp, v int")
+        .option("maxFilesPerTrigger", "1").parquet(in_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour")).agg(F.sum("v").alias("n"))
+        .select(F.col("window.start").alias("stt"), "n")
+    )
+    out = str(tmp_path / "out")
+    run_available_now(sdf, out, str(tmp_path / "ck"))
+    rows = spark.read.parquet(out).collect()
+    got = {(r.stt.isoformat(), r.n) for r in rows}
+    # hour-01 window emitted once, count 1 — the post-eviction late row
+    # neither merged nor re-emitted the window
+    assert ("2024-01-01T01:00:00", 1) in got
+    assert len([r for r in rows if r.stt.isoformat() == "2024-01-01T01:00:00"]) == 1
