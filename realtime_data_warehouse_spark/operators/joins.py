@@ -158,3 +158,102 @@ def salted_join(big: DataFrame, small: DataFrame, key: str,
     )
     out = salted_big.join(replicas, [key, "__salt"], how)
     return out.drop("__salt")
+
+
+# ---------------------------------------------------------------------------
+# As-of join — an operator Spark lacks natively (absent in the
+# reference too, SURVEY §2.4 "not present"; first-class here because
+# time-series enrichment is a core warehouse capability and DuckDB
+# ships it as ASOF JOIN, giving the oracle).
+# ---------------------------------------------------------------------------
+
+def asof_join(left: DataFrame, right: DataFrame, key: str,
+              left_ts: str, right_ts: str,
+              direction: str = "backward",
+              tolerance: str | None = None) -> DataFrame:
+    """Left as-of join: for each left row, attach the single right row
+    of the same `key` with the greatest `right_ts` <= `left_ts`
+    (direction='backward'; 'forward' = smallest right_ts >= left_ts).
+    Equal timestamps match. Unmatched left rows keep nulls.
+
+    NOT implemented as a range join (per-row range probes explode on
+    dense keys) but as the scale-canonical union-scan plan:
+
+        union(right tagged 0, left tagged 1)
+        → one hash exchange on `key` + one sort on (ts, tag)
+        → running last_value(right cols, ignorenulls) per key
+        → keep left rows
+
+    One shuffle + one sort total, same cost envelope as a groupBy over
+    the union — survives any key density because each partition is a
+    single ordered scan, never a per-row probe. Sorting right (tag 0)
+    before left (tag 1) at equal ts yields the inclusive bound; for
+    'forward' the scan runs time-reversed with the same tag order.
+
+    `tolerance` (an INTERVAL literal, e.g. '1 hour') nulls out matches
+    farther than the window — left rows are kept either way, matching
+    pandas.merge_asof semantics.
+
+    Right rows must be unique per (key, right_ts): dedupe upstream
+    (the match "latest right row at ts T" is otherwise ill-defined —
+    DuckDB's ASOF picks one arbitrarily, which breaks hash parity).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction}")
+    rcols = [c for c in right.columns if c not in (key, right_ts)]
+    overlap = set(rcols) & set(left.columns)
+    if overlap:
+        raise ValueError(f"right payload columns collide with left: {sorted(overlap)}")
+
+    r = right.select(
+        F.col(key),
+        F.col(right_ts).alias("__ats"),
+        F.lit(0).alias("__tag"),
+        F.col(right_ts).alias("__rts"),
+        *[F.col(c) for c in rcols],
+    )
+    lpass = [c for c in left.columns if c not in (key, left_ts)]
+    l = left.select(  # noqa: E741
+        F.col(key),
+        F.col(left_ts).alias("__ats"),
+        F.lit(1).alias("__tag"),
+        F.lit(None).cast(r.schema["__rts"].dataType).alias("__rts"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in rcols],
+        *[F.col(c) for c in lpass],
+    )
+    unioned = r.select(
+        "*", *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lpass]
+    ).unionByName(l)
+
+    from pyspark.sql import Window
+
+    ts_order = F.col("__ats").asc() if direction == "backward" else F.col("__ats").desc()
+    w = (
+        Window.partitionBy(key)
+        .orderBy(ts_order, F.col("__tag").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        key, "__ats", "__tag",
+        F.last("__rts", ignorenulls=True).over(w).alias("__mts"),
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in rcols],
+        *[F.col(c) for c in lpass],
+    )
+    out = filled.filter(F.col("__tag") == 1)
+    if tolerance is not None:
+        if direction == "backward":
+            in_tol = F.col("__mts") >= F.col("__ats") - F.expr(f"INTERVAL {tolerance}")
+        else:
+            in_tol = F.col("__mts") <= F.col("__ats") + F.expr(f"INTERVAL {tolerance}")
+        out = out.select(
+            key, "__ats", "__mts",
+            *[F.when(in_tol, F.col(c)).otherwise(F.lit(None)).alias(c) for c in rcols],
+            *[F.col(c) for c in lpass],
+        ).withColumn("__mts", F.when(in_tol, F.col("__mts")))
+    return out.select(
+        key,
+        F.col("__ats").alias(left_ts),
+        F.col("__mts").alias(f"matched_{right_ts}"),
+        *[F.col(c) for c in rcols],
+        *[F.col(c) for c in lpass],
+    )

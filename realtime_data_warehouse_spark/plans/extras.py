@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.scalar import composite_key, iff
+from ..operators.joins import asof_join
 from ..sources.batch import load_table
 from .registry import register
 
@@ -143,4 +144,191 @@ def f_scalar_kitchen_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").cast("decimal(14,2)").cast("double").alias("price"),
         F.upper("o_orderpriority").alias("prio_upper"),
         F.split(F.col("o_orderpriority"), "-").getItem(0).alias("prio_code"),
+    )
+
+
+@register(
+    "asof_last_error",
+    oracle="""
+    WITH err AS (
+        SELECT user_id, ts, max(event_id) AS err_id
+        FROM events WHERE event_type = 'error' GROUP BY 1, 2
+    ), lft AS (
+        SELECT user_id, ts, event_id, event_type
+        FROM events WHERE event_type <> 'error'
+    )
+    SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us, l.event_type,
+           e.err_id, epoch_us(e.ts) AS err_ts_us
+    FROM lft l ASOF LEFT JOIN err e
+      ON l.user_id = e.user_id AND l.ts >= e.ts
+    """,
+)
+def asof_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/joins.asof_join): each non-error event
+    picks up the same user's most recent error event at or before it.
+    Oracle is DuckDB's native ASOF LEFT JOIN. The right side is
+    deduped per (user, ts) so the match is well-defined in both
+    engines. Plan: one shuffle + sort on user_id over the union —
+    no per-row range probe (see asof_join docstring)."""
+    ev = load_table(spark, sf_dir, "events")
+    err = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("err_id"))
+    )
+    left = ev.filter(F.col("event_type") != "error").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    j = asof_join(left, err, key="user_id", left_ts="ts", right_ts="ts")
+    return j.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_type",
+        "err_id",
+        F.unix_micros("matched_ts").alias("err_ts_us"),
+    )
+
+
+@register(
+    "semi_anti_customers",
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CASE WHEN EXISTS (
+                SELECT 1 FROM orders
+                WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+           ) THEN 1 ELSE 0 END) AS BIGINT) AS active_customers,
+           CAST(SUM(CASE WHEN NOT EXISTS (
+                SELECT 1 FROM orders
+                WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+           ) THEN 1 ELSE 0 END) AS BIGINT) AS inactive_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI / LEFT ANTI joins (§2.4 "not present in reference" —
+    first-class engine capability): per nation, customers with ≥1
+    urgent order vs none. Semi/anti are the scale-right plan for
+    EXISTS — the urgent-key side is distinct-projected to one narrow
+    column before the shuffle, and no payload is duplicated."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    urgent = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    active = (
+        customer.join(urgent, "c_custkey", "left_semi")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("active_customers"))
+    )
+    inactive = (
+        customer.join(urgent, "c_custkey", "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("inactive_customers"))
+    )
+    base = customer.select("c_nationkey").distinct()
+    return (
+        base.join(active, "c_nationkey", "left")
+        .join(inactive, "c_nationkey", "left")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            "n_name",
+            F.coalesce("active_customers", F.lit(0)).alias("active_customers"),
+            F.coalesce("inactive_customers", F.lit(0)).alias("inactive_customers"),
+        )
+    )
+
+
+@register(
+    "rollup_revenue",
+    oracle="""
+    SELECT COALESCE(r_name, 'ALL') AS r_name,
+           COALESCE(n_name, 'ALL') AS n_name,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           count(*) AS order_count
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP(region.r_name, nation.n_name)
+    """,
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (§2.5 "no grouping sets in reference" —
+    engine capability): region → nation → grand-total revenue in one
+    pass. Spark expands rollup into partial-aggregated grouping sets —
+    still a single shuffle; nation/region attach via broadcast before
+    the agg so the rollup keys are plain columns."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    enriched = (
+        orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        enriched.rollup("r_name", "n_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("order_count"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("r_name"),
+            F.coalesce("n_name", F.lit("ALL")).alias("n_name"),
+            "revenue",
+            "order_count",
+        )
+    )
+
+
+@register(
+    "local_supplier_volume",
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(1 - l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 6-way join + agg: revenue from local suppliers
+    per ASIA nation. The plan to want at 100 TB: lineitem⋈orders is
+    the one big shuffle (both huge, equi on orderkey); supplier,
+    nation, region broadcast; customer joins on custkey after the date
+    filter prunes orders. The region filter reaches the region scan
+    and cascades through the broadcast chain."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = (F.lit(1) - F.col("l_discount")).cast("decimal(3,2)")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supplier),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.sum(price * disc).cast("double").alias("revenue"))
     )

@@ -133,3 +133,52 @@ def test_salted_join_matches_plain_join(spark):
     got_l = salted_join(big2, small, "k", salt_buckets=8, how="left")
     assert got_l.count() == 506
     assert got_l.filter("k = 'orphan' and label is null").count() == 1
+
+
+def test_asof_join_backward_forward_and_tolerance(spark):
+    from datetime import datetime
+
+    from realtime_data_warehouse_spark.operators.joins import asof_join
+
+    T = lambda s: datetime.fromisoformat(s)  # noqa: E731
+    left = spark.createDataFrame(
+        [
+            (1, T("2024-01-01 10:00:00"), "a"),
+            (1, T("2024-01-01 12:00:00"), "b"),
+            (2, T("2024-01-01 09:00:00"), "c"),   # before any right row
+            (3, T("2024-01-01 09:00:00"), "d"),   # key with no right rows
+        ],
+        "k int, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, T("2024-01-01 09:30:00"), 10),
+            (1, T("2024-01-01 10:00:00"), 20),    # equal ts matches (inclusive)
+            (1, T("2024-01-01 11:00:00"), 30),
+            (2, T("2024-01-01 09:30:00"), 40),
+        ],
+        "k int, ts timestamp, v int",
+    )
+
+    back = {
+        (r["k"], r["tag"]): r["v"]
+        for r in asof_join(left, right, "k", "ts", "ts").collect()
+    }
+    assert back == {(1, "a"): 20, (1, "b"): 30, (2, "c"): None, (3, "d"): None}
+
+    fwd = {
+        (r["k"], r["tag"]): r["v"]
+        for r in asof_join(left, right, "k", "ts", "ts", direction="forward").collect()
+    }
+    assert fwd == {(1, "a"): 20, (1, "b"): None, (2, "c"): 40, (3, "d"): None}
+
+    tol = {
+        (r["k"], r["tag"]): (r["v"], r["matched_ts"])
+        for r in asof_join(left, right, "k", "ts", "ts", tolerance="30 minutes").collect()
+    }
+    # (1,"b"): last right row is 11:00, 60 min away -> nulled by tolerance
+    assert tol[(1, "a")] == (20, T("2024-01-01 10:00:00"))
+    assert tol[(1, "b")] == (None, None)
+    assert tol[(2, "c")] == (None, None)
+    # left rows are never dropped by tolerance (merge_asof semantics)
+    assert len(tol) == 4
