@@ -1,0 +1,75 @@
+"""Physical-plan audits — the scale discipline, encoded as tests.
+
+A query that is correct at sf0.001 but plans a cartesian product, an
+un-pushed filter, or a shuffle-everything join is wrong for the 100 TB
+target; these tests pin the plan shape we want, so a refactor that
+silently degrades the plan fails CI even though results still match.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from realtime_data_warehouse_spark.plans.registry import QUERIES
+from realtime_data_warehouse_spark.sources.batch import load_table
+
+
+def physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+#: brute-force ANN is all-pairs by definition; its BroadcastNestedLoop
+#: (small query set broadcast, corpus streamed) is the correct plan.
+ALL_PAIRS_BY_DESIGN = {"ann_brute_topk"}
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_accidental_cartesian(spark, sf_small, name):
+    plan = physical_plan(QUERIES[name](spark, sf_small))
+    if name in ALL_PAIRS_BY_DESIGN:
+        return
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+    assert "BroadcastNestedLoopJoin" not in plan, (
+        f"{name} plans a nested-loop join (non-equi or missing join keys)"
+    )
+
+
+def test_pricing_summary_scan_pushdown(spark, sf_small):
+    plan = physical_plan(QUERIES["pricing_summary"](spark, sf_small))
+    # the shipdate predicate must reach the parquet scan...
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # ...and column pruning must drop fact columns the query never touches
+    assert "l_partkey" not in plan.split("ReadSchema")[1]
+
+
+def test_dim_joins_are_broadcast(spark, sf_small):
+    for name in ("dws_sku_order_window", "local_supplier_volume", "dim_config_routing"):
+        plan = physical_plan(QUERIES[name](spark, sf_small))
+        assert "BroadcastHashJoin" in plan, f"{name}: dim join did not broadcast"
+        assert "SortMergeJoin" not in plan or name == "local_supplier_volume", (
+            f"{name}: unexpected sort-merge join at dim scale"
+        )
+
+
+def test_asof_join_is_not_a_range_join(spark, sf_small):
+    """The as-of plan must be the union-scan (Window over one exchange),
+    never an inequality join (nested-loop) between the two sides."""
+    plan = physical_plan(QUERIES["asof_last_error"](spark, sf_small))
+    assert "Window" in plan
+    for marker in ("SortMergeJoin", "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert marker not in plan, f"asof planned {marker}"
+
+
+def test_topk_orders_avoids_global_sort(spark, sf_small):
+    """ORDER BY + LIMIT must plan TakeOrderedAndProject (per-partition
+    top-k + single merge), not a full Exchange rangepartitioning sort."""
+    plan = physical_plan(QUERIES["top100_orders"](spark, sf_small))
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_events_scan_prunes_columns(spark, sf_small):
+    """A 2-column projection over events must not read all 6 columns."""
+    df = load_table(spark, sf_small, "events").select("user_id", "event_type")
+    schema_part = physical_plan(df).split("ReadSchema")[1]
+    assert "props" not in schema_part and "value" not in schema_part
