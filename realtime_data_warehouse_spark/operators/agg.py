@@ -79,3 +79,29 @@ def distinct_set_agg(df: DataFrame, keys: list[str], set_col: str,
     )
     aggs = [c.alias(name) for name, c in sum_cols.items()]
     return df.groupBy(*keys).agg(counter.alias(count_alias), *aggs)
+
+
+def session_agg(df: DataFrame, ts_col: str, gap: str, keys: list[str],
+                aggs: Mapping[str, Column]) -> DataFrame:
+    """Session-window aggregation — events of one key belong to the
+    same session while consecutive gaps stay under `gap`.
+
+    The reference has no session windows at all (SURVEY §2.9 T6);
+    Spark ships them natively (F.session_window), in batch and
+    Structured Streaming alike. The batch plan is one hash exchange
+    on the keys + a sort to merge overlapping raw windows — the same
+    cost envelope as the gaps-and-islands SQL a user would hand-write,
+    with the streaming twin for free (windows/streaming_tumble's
+    session variant would use the identical expression).
+
+    Output: keys + session_start / session_end (formatted strings,
+    hash-stable under the pinned session timezone) + the aggregates.
+    """
+    win = F.session_window(F.col(ts_col), gap)
+    grouped = df.groupBy(win, *keys).agg(*[c.alias(n) for n, c in aggs.items()])
+    return grouped.select(
+        F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_window.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        *keys,
+        *aggs.keys(),
+    )

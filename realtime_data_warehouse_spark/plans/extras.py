@@ -332,3 +332,45 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.sum(price * disc).cast("double").alias("revenue"))
     )
+
+
+@register(
+    "sessionize_user_events",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 2 HOUR
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+        SELECT *, SUM(new_s) OVER (
+            PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+        ) AS sid
+        FROM ordered
+    )
+    SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S')                    AS session_start,
+           strftime(max(ts) + INTERVAL 2 HOUR, '%Y-%m-%d %H:%M:%S')  AS session_end,
+           user_id,
+           count(*)                                                  AS events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)         AS value_sum
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def sessionize_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (operators/agg.session_agg): per-user activity
+    sessions closed by a 2-hour silence. The oracle is the equivalent
+    gaps-and-islands SQL (lag + running flag-sum); Spark's native
+    F.session_window plans the same single exchange + sort. A session's
+    end is last-event + gap — both sides encode that bound."""
+    from ..operators.agg import session_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    return session_agg(
+        ev, "ts", "2 hours", ["user_id"],
+        aggs={
+            "events": F.count(F.lit(1)),
+            "value_sum": F.sum(F.col("value").cast("decimal(18,2)")).cast("double"),
+        },
+    )

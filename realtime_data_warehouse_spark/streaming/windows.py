@@ -102,3 +102,24 @@ def streaming_page_view_window(spark: SparkSession, source_path: str,
             "value_sum": F.sum(F.col("value").cast("decimal(18,2)")).cast("double"),
         },
     ).select("stt", "edt", "cur_date", "event_type", "pv", "uv", "value_sum")
+
+
+def streaming_session(sdf: DataFrame, ts_col: str, gap: str,
+                      keys: list[str] | None = None,
+                      aggs: dict[str, F.Column] | None = None) -> DataFrame:
+    """Session-window twin of operators/agg.session_agg: same
+    F.session_window expression over a watermarked stream. A session
+    closes (and emits, in append mode) once the watermark passes its
+    end = last-event + gap; state per open session is one partial
+    aggregate, GC'd at close — unbounded keys stay bounded by watermark.
+    """
+    keys = keys or []
+    aggs = dict(aggs or {"events": F.count(F.lit(1))})
+    grouped = sdf.groupBy(F.session_window(F.col(ts_col), gap), *keys)
+    out = grouped.agg(*[c.alias(n) for n, c in aggs.items()])
+    return out.select(
+        F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_window.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        *keys,
+        *aggs.keys(),
+    )

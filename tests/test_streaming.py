@@ -318,3 +318,38 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     # neither merged nor re-emitted the window
     assert ("2024-01-01T01:00:00", 1) in got
     assert len([r for r in rows if r.stt.isoformat() == "2024-01-01T01:00:00"]) == 1
+
+
+def test_streaming_session_window_parity(spark, sf_small, events_stream_dir, tmp_path):
+    """Session windows across micro-batches must equal the batch
+    session_agg (sessions spanning batch boundaries merge in state)."""
+    from realtime_data_warehouse_spark.operators.agg import session_agg
+    from realtime_data_warehouse_spark.streaming.windows import streaming_session
+
+    in_dir, _ = events_stream_dir
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    sdf = stream_events(spark, in_dir, watermark="1 hour")
+    run_available_now(
+        streaming_session(
+            sdf, "ts", "2 hours", ["user_id"],
+            aggs={
+                "events": F.count(F.lit(1)),
+                "value_sum": F.sum(F.col("value").cast("decimal(18,2)")).cast("double"),
+            },
+        ),
+        out, ck,
+    )
+    got = read_back(spark, out).filter(F.col("user_id") != 10**9)
+
+    events = load_table(spark, sf_small, "events")
+    want = session_agg(
+        events, "ts", "2 hours", ["user_id"],
+        aggs={
+            "events": F.count(F.lit(1)),
+            "value_sum": F.sum(F.col("value").cast("decimal(18,2)")).cast("double"),
+        },
+    )
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
