@@ -223,6 +223,45 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_simhash_md5",
+    oracle=f"""
+    WITH hashes AS (
+        SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
+        FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+    ),
+    votes AS (
+        SELECT doc_id, b.bit,
+               CASE WHEN 2 * SUM((h >> b.bit) & 1) > COUNT(*)
+                    THEN (CAST(1 AS BIGINT) << b.bit) ELSE 0 END AS bv
+        FROM hashes CROSS JOIN (SELECT unnest(range(60)) AS bit) b
+        GROUP BY doc_id, b.bit
+    ),
+    sh AS (
+        SELECT d.doc_id, COALESCE(v.sh, 0) AS sh
+        FROM documents d
+        LEFT JOIN (SELECT doc_id, CAST(SUM(bv) AS BIGINT) AS sh
+                   FROM votes GROUP BY doc_id) v USING (doc_id)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh, b.sh)) <= 8
+    """,
+)
+def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs on the engine-portable 60-bit md5 hash
+    family — bit-for-bit reproducible in ANSI SQL, so the full chain
+    (tokenize → per-token hash → bit vote → pigeonhole block join →
+    hamming ≤ 8) is oracle-checked, closing the gap dedup_simhash
+    (xxhash64, rows-only) leaves. The oracle brute-forces the pair
+    space (fine at sf0.01); the Spark plan stays block-join-local."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_pairs(
+        docs, max_hamming=8, hasher=D.simhash60_md5, bits=60
+    )
+
+
+@register(
     "dedup_embedding_cosine",
     oracle="""
     WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
