@@ -67,13 +67,14 @@ def main() -> None:
     spark.range(1000).repartition(8).count()
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
-    # Two passes, report min per query: single executions on this
-    # shared VM spike 4-5x from host noise/GC on random queries; the
-    # min of two consecutive runs is the steady-state number a user
-    # observes. Each timed execution is still the full query (plan +
-    # compute through the noop sink, no driver collect).
+    # Three passes, report min per query: single executions on this
+    # shared VM spike 4-15x from host noise/GC on random queries (load
+    # average routinely >10 from co-tenants); the min of consecutive
+    # runs is the steady-state number a user observes. Each timed
+    # execution is still the full query (plan + compute through the
+    # noop sink, no driver collect).
     timings: dict[str, float] = {}
-    for _pass in range(2):
+    for _pass in range(3):
         for name in HEADLINE:
             fn = QUERIES[name]
             t0 = time.perf_counter()

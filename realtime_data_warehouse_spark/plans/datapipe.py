@@ -16,7 +16,7 @@ from ..operators import dedup as D
 from ..operators import multimodal as M
 from ..operators import similarity as S
 from ..operators import text as X
-from ..sources.batch import load_table
+from ..sources.batch import fan_out, load_table
 from .registry import register
 
 # Shared oracle fragment: tokenize exactly like functions.tokenize.tokenize
@@ -75,7 +75,7 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + quality-signal components: whitespace tokens,
     BPE-ish regex tokens, punctuation/stopword ratios, mean token
     length. One codegen'd projection, zero shuffles."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         X.ws_token_count("text").alias("ws_tokens"),
@@ -107,7 +107,7 @@ def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     minimum stopword ratio (boilerplate/garbage rejection). The filter
     runs pre-shuffle — at corpus scale this is the cheap pass that
     shrinks everything downstream."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     scored = docs.select(
         "doc_id", "lang",
         X.ws_token_count("text").alias("n_tokens"),
@@ -146,7 +146,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language ID via per-language stopword-hit scoring + argmax with
     deterministic tie order (operators.text.langid). A real system
     swaps in char-n-gram profiles; the operator shape is identical."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
@@ -164,7 +164,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalized-text md5 fingerprint (the exact-dedup key)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return docs.select("doc_id", X.fingerprint("text").alias("fp"))
 
 
@@ -186,7 +186,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup (hash-groupBy on the fingerprint): per-language
     survivor/duplicate counts."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return D.exact_dedup_stats(docs).withColumn(
         "duplicate_docs", F.col("duplicate_docs").cast("long")
     )
@@ -196,7 +196,7 @@ def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-bigram Jaccard near-dup pairs (≥ 0.8) via the
     inverted-index candidate join — the ground-truth path."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return D.jaccard_pairs(docs, threshold=0.8)
 
 
@@ -206,7 +206,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output provably equals dedup_ngram_jaccard (recall ≈ 1−5e-8,
     verification kills false positives) — hence the same oracle —
     while the candidate join scales bucket-locally."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return D.minhash_lsh_pairs(docs, threshold=0.8)
 
 
@@ -218,7 +218,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     has no DuckDB equivalent, so the driver records the weaker
     rows-only check; the pytest suite cross-checks SimHash pairs ⊇
     the exact ≥0.95-Jaccard pairs."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return D.simhash_pairs(docs, max_hamming=8)
 
 
@@ -255,7 +255,7 @@ def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     hamming ≤ 8) is oracle-checked, closing the gap dedup_simhash
     (xxhash64, rows-only) leaves. The oracle brute-forces the pair
     space (fine at sf0.01); the Spark plan stays block-join-local."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return D.simhash_pairs(
         docs, max_hamming=8, hasher=D.simhash60_md5, bits=60
     )
@@ -278,7 +278,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs within label blocks (block key
     = LSH bucket at scale). Threshold 0.4 fits the synthetic
     embeddings' similarity range."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     return S.cosine_near_dup_pairs(emb, threshold=0.4)
 
 
@@ -307,7 +307,7 @@ _ANN_ORACLE = """
 def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 for probe vectors (vec_id < 10): broadcast
     probes × corpus scan + per-query window rank."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 10)
     return S.brute_force_topk(emb, queries, k=5)
 
@@ -316,7 +316,7 @@ def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: search restricted to the query's coarse cell —
     the 1/n_cells-cost scale path with identical plan shape."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 10)
     return S.ivf_topk(emb, queries, k=5)
 
@@ -339,7 +339,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Opaque binary payload + typed header metadata without decode
     (operators.multimodal.with_media_metadata)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     payloads = M.attach_binary_payload(docs)
     out = M.with_media_metadata(payloads)
     return out.select(
@@ -367,7 +367,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     of ASCII text, so the DuckDB oracle can state the same bytes with
     substr+ascii — a rare case where the pandas path has an exact SQL
     twin."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     payloads = M.attach_binary_payload(docs)
     return M.frame_sample(payloads).withColumn(
         "frame_byte", F.col("frame_byte").cast("int")
@@ -379,7 +379,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched feature extraction (deterministic fake decode —
     media libs absent; operators.multimodal.fake_features documents
     the real-decoder hook)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     payloads = M.attach_binary_payload(docs)
     feats = M.extract_features(payloads)
     return feats.select("doc_id", "n_bytes", F.element_at("features", 1).alias("f0"))

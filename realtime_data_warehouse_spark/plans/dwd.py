@@ -21,7 +21,7 @@ from ..operators.etl import (
     status_transition_predicate,
 )
 from ..operators.joins import interval_join, lookup_join
-from ..sources.batch import load_table
+from ..sources.batch import fan_out, load_table
 from .registry import register
 
 
@@ -363,7 +363,7 @@ def dwd_log_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.etl import parse_json_stream
     from ..schemas import TOPIC_LOG
 
-    events = load_table(spark, sf_dir, "events")
+    events = fan_out(load_table(spark, sf_dir, "events"))
     parsed = parse_json_stream(synthesize_log_json(events), TOPIC_LOG)
     is_err = F.col("err").isNotNull()
     is_start = F.col("err").isNull() & F.col("start").isNotNull()

@@ -38,6 +38,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fan_out(df: DataFrame, parts: int | None = None) -> DataFrame:
+    """Round-robin re-split of an under-partitioned scan before
+    CPU-heavy map work (tokenize/shingle/hash/Arrow-UDF stages).
+
+    Parquet only splits at row-group boundaries, so a source written
+    as few large row groups (or one file per table, as the local
+    testdata is) scans as ≤ row-group-count partitions and serializes
+    every downstream map stage onto that many cores, no matter how
+    wide the cluster is. When the scan already yields ≥ the target
+    partitions — the normal case on a real multi-file 100 TB table —
+    this is a no-op with zero added shuffle; otherwise the tiny
+    re-split exchange buys a cluster-wide map stage.
+
+    Deliberately NOT inside load_table: plain scans that feed a
+    shuffle (groupBy/join) get redistributed by that exchange anyway,
+    and an unconditional repartition would just add a wasted shuffle
+    of the full input."""
+    target = parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def load_tables(spark: SparkSession, sf_dir: str,
                 names: tuple[str, ...] = TESTDATA_TABLES) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in names}
