@@ -163,4 +163,5 @@ from . import dwd  # noqa: E402,F401
 from . import dws  # noqa: E402,F401
 from . import extras  # noqa: E402,F401
 from . import sql_apps  # noqa: E402,F401
+from . import streaming_queries  # noqa: E402,F401
 

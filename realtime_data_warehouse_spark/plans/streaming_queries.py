@@ -1,0 +1,230 @@
+"""Streaming-executed queries in the driver's graded registry.
+
+Each entry here runs a REAL Structured Streaming job — file-stream
+source, watermark, state store, availableNow drain (the same code
+path a 24/7 deployment runs, per streaming/runner.py) — and returns
+the sink's contents as a batch DataFrame. The oracle is the same
+ANSI SQL the batch twin matches, so the driver's hash check proves
+the full chain: streaming plan ≡ batch plan ≡ portable SQL.
+
+This is the strongest form of the reference's replay-validation
+(SURVEY §5: the Flink apps were checked by replaying Kafka topics and
+eyeballing Doris) — here the replay is deterministic and the check is
+a value hash, not an eyeball.
+
+Flush mechanics: append-mode window aggregation only emits a window
+once the watermark passes its end, and availableNow's final no-data
+batch advances the watermark to max-seen-event-time − delay. A far-
+future sentinel row (filtered from the result) pushes the watermark
+past every real window — the test-suite staging trick promoted into
+the queries themselves.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.batch import load_table
+from ..streaming.runner import read_back, run_available_now, staged_files_dir
+from ..streaming.stateful import delta_correct
+from ..streaming.windows import EVENTS_RAW, stream_events, streaming_tumble
+from .registry import register
+
+
+def _dirs() -> tuple[str, str, str]:
+    """Fresh (in, out, checkpoint) dirs per invocation — checkpoint
+    reuse across runs with re-staged input would resume offsets into
+    different files and corrupt results."""
+    base = tempfile.mkdtemp(prefix="rdw_streamq_")
+    return (
+        os.path.join(base, "in"),
+        os.path.join(base, "out"),
+        os.path.join(base, "ck"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2/A5 streaming twin — keyed tumbling window over the event stream
+# ---------------------------------------------------------------------------
+
+@register(
+    "stream_traffic_page_view_window",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')              AS stt,
+           strftime(date_trunc('hour', ts) + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS edt,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d')                        AS cur_date,
+           event_type,
+           count(*)                                                            AS pv,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)                   AS value_sum
+    FROM events
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def stream_traffic_page_view_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DwsTrafficVcChArIsNewPageViewWindow's shape (A2: keyed tumble,
+    DwsTrafficVcChArIsNewPageViewWindow.java:70-106) executed as a
+    genuine stream: watermarked hourly tumble over the replayed event
+    feed, append-mode parquet sink, result read back after the drain.
+    pv/value_sum only — exact distinct (uv) is not expressible inside
+    a streaming agg (HLL twin lives in streaming_page_view_window and
+    its parity test); this registry entry keeps the hash-exact subset.
+    """
+    in_dir, out, ck = _dirs()
+    raw = spark.read.schema(EVENTS_RAW).parquet(os.path.join(sf_dir, "events.parquet"))
+    max_ns = raw.agg(F.max("ts")).collect()[0][0]
+    sentinel = spark.createDataFrame(
+        [(10**9, max_ns + 40 * 24 * 3600 * 10**9, 10**9, "sentinel", 0.0, "{}")],
+        EVENTS_RAW,
+    )
+    raw.write.mode("overwrite").parquet(in_dir)
+    sentinel.coalesce(1).write.mode("append").parquet(in_dir)
+
+    events = stream_events(spark, in_dir, watermark="1 hour")
+    windowed = streaming_tumble(
+        events, "ts", "1 hour", keys=["event_type"],
+        aggs={
+            "pv": F.count(F.lit(1)),
+            "value_sum": F.sum(F.col("value").cast("decimal(18,2)")).cast("double"),
+        },
+    ).select("stt", "edt", "cur_date", "event_type", "pv", "value_sum")
+    run_available_now(windowed, out, ck)
+    return read_back(spark, out).filter(F.col("event_type") != "sentinel")
+
+
+# ---------------------------------------------------------------------------
+# A1+J5 streaming twin — per-sku window agg + post-agg dim enrichment
+# ---------------------------------------------------------------------------
+
+@register(
+    "stream_sku_order_window",
+    oracle="""
+    SELECT strftime(date_trunc('day', l.l_shipdate), '%Y-%m-%d %H:%M:%S') AS stt,
+           strftime(date_trunc('day', l.l_shipdate) + INTERVAL 1 DAY, '%Y-%m-%d %H:%M:%S') AS edt,
+           strftime(date_trunc('day', l.l_shipdate), '%Y-%m-%d')          AS cur_date,
+           l.l_partkey                                                    AS sku_id,
+           p.p_name                                                       AS sku_name,
+           p.p_brand                                                      AS trademark,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * CAST(1 - l.l_discount AS DECIMAL(3,2))) AS DOUBLE)  AS order_amount,
+           CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT)              AS sku_num
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1, 2, 3, 4, 5, 6
+    """,
+)
+def stream_sku_order_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DwsTradeSkuOrderWindow (A1 keyed tumble + J5 dim enrichment,
+    DwsTradeSkuOrderWindow.java:124-156, dim chain :72-122) run as a
+    stream: watermarked per-sku daily tumble over replayed lineitem,
+    then the part dim joined broadcast-static onto the *aggregates*
+    after read-back — same cardinality trick as the batch twin
+    (enrich per-window rows, not raw facts). Same oracle as
+    dws_sku_order_window: stream ≡ batch ≡ SQL."""
+    in_dir, out, ck = _dirs()
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"
+    )
+    max_ship = li.agg(F.max("l_shipdate")).collect()[0][0]
+    li.write.mode("overwrite").parquet(in_dir)
+    sentinel = spark.createDataFrame(
+        [(-1, 0.0, 0.0, 0.0, max_ship)], li.schema
+    ).withColumn("l_shipdate", F.col("l_shipdate") + F.expr("INTERVAL 40 DAYS"))
+    sentinel.coalesce(1).write.mode("append").parquet(in_dir)
+
+    # parquet TIMESTAMP_NTZ → TIMESTAMP (LTZ): watermarks only accept
+    # instant-typed event time; the session pins UTC so the wall time
+    # (and the stt/edt strings) are unchanged.
+    sli = (
+        spark.readStream.schema(li.schema).parquet(in_dir)
+        .withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp"))
+        .withWatermark("l_shipdate", "1 hour")
+    )
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = (F.lit(1) - F.col("l_discount")).cast("decimal(3,2)")
+    agg = streaming_tumble(
+        sli.withColumn("amount", price * disc), "l_shipdate", "1 day",
+        keys=["l_partkey"],
+        aggs={
+            "order_amount": F.sum("amount").cast("double"),
+            "sku_num": F.sum(F.col("l_quantity").cast("long")),
+        },
+    )
+    run_available_now(agg, out, ck)
+    part = load_table(spark, sf_dir, "part")
+    return (
+        read_back(spark, out)
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"), "inner")
+        .select(
+            "stt", "edt", "cur_date",
+            F.col("l_partkey").alias("sku_id"),
+            F.col("p_name").alias("sku_name"),
+            F.col("p_brand").alias("trademark"),
+            "order_amount", "sku_num",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6 streaming twin — upsert-stream delta correction, state across
+# micro-batch boundaries
+# ---------------------------------------------------------------------------
+
+@register(
+    "stream_a6_delta_sum",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           CAST(SUM(CASE WHEN o_orderkey % 20 = 0
+                         THEN CAST(o_totalprice AS DECIMAL(14,2)) + 100
+                         ELSE CAST(o_totalprice AS DECIMAL(14,2)) END) AS DOUBLE)
+               AS sum_amount
+    FROM orders GROUP BY 1
+    """,
+)
+def stream_a6_delta_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 "度量值修正" (DwsTradeSkuOrderWindow.java:158-201) executed
+    with real keyed state: an upsert changelog (v1 for every order, v2
+    with amount+100 for keys % 20 == 0) is replayed as TWO micro-
+    batches split by version, so the applyInPandasWithState operator
+    must carry per-key last-image state across the batch boundary.
+    Summing the emitted deltas reproduces the latest image per key —
+    the oracle aggregates that latest image directly. Deltas are cast
+    back to DECIMAL(14,2) before the final sum so the comparison is
+    exact, not float-accumulation-ordered."""
+    _, out, ck = _dirs()
+    orders = load_table(spark, sf_dir, "orders")
+    amount = F.col("o_totalprice").cast("decimal(14,2)")
+    base = orders.select(
+        F.col("o_orderkey").cast("string").alias("id"),
+        F.lit(1).cast("long").alias("version"),
+        amount.cast("double").alias("amount"),
+    )
+    v2 = orders.filter(F.col("o_orderkey") % 20 == 0).select(
+        F.col("o_orderkey").cast("string").alias("id"),
+        F.lit(2).cast("long").alias("version"),
+        (amount + 100).cast("double").alias("amount"),
+    )
+    staged = tempfile.mkdtemp(prefix="rdw_streamq_a6_")
+    in_dir = staged_files_dir(
+        base.unionByName(v2), staged, n_files=2, order_col="version"
+    )
+    sdf = (
+        spark.readStream.schema("id string, version long, amount double")
+        .option("maxFilesPerTrigger", "1").parquet(in_dir)
+    )
+    run_available_now(delta_correct(sdf, "id", "version", ["amount"]), out, ck)
+    deltas = read_back(spark, out)
+    dim = orders.select(
+        F.col("o_orderkey").cast("string").alias("id"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    return (
+        deltas.join(F.broadcast(dim), "id")
+        .groupBy("status")
+        .agg(
+            F.sum(F.col("amount").cast("decimal(14,2)")).cast("double")
+            .alias("sum_amount")
+        )
+    )
