@@ -24,7 +24,7 @@ finals, same as Flink's windowAll pre-aggregated by `reduce`.
 
 from __future__ import annotations
 
-from collections.abc import Mapping
+from collections.abc import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -105,3 +105,46 @@ def session_agg(df: DataFrame, ts_col: str, gap: str, keys: list[str],
         *keys,
         *aggs.keys(),
     )
+
+
+def time_bucket_rollup(df: DataFrame, ts_col: str,
+                       sum_cols: Mapping[str, Column],
+                       grains: Sequence[tuple[str, str]] = (
+                           ("hour", "hour"), ("day", "day"), ("month", "month"),
+                       )) -> DataFrame:
+    """Hypertable-style continuous-aggregate hierarchy: per-grain
+    time_bucket aggregates where every coarser grain re-aggregates the
+    NEXT-FINER grain's partials instead of rescanning the base table —
+    a month bucket sums ~30 day-rows, not millions of raw rows.
+
+    `sum_cols` must be re-aggregatable by summation (counts and sums;
+    for distinct counts store HLL sketches and hll_union at the coarser
+    grain — same plan shape). Output is the union of all grains with a
+    `grain` discriminator and the bucket start stamped hash-stably.
+
+    Scale: the base scan happens ONCE (the finest grain); each further
+    level shuffles only the previous level's bucket rows — at 100 TB
+    the hour level is the only big exchange, day/month are a few
+    thousand rows. This mirrors how a hypertable refreshes materialized
+    rollups, expressed as three Catalyst aggregates chained on partials.
+    """
+    finest_name, finest_unit = grains[0]
+    level = df.groupBy(
+        F.date_trunc(finest_unit, F.col(ts_col)).alias("bucket")
+    ).agg(*[c.alias(n) for n, c in sum_cols.items()])
+    names = list(sum_cols.keys())
+
+    def stamped(lvl: DataFrame, grain: str) -> DataFrame:
+        return lvl.select(
+            F.lit(grain).alias("grain"),
+            F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+            *names,
+        )
+
+    out = stamped(level, finest_name)
+    for grain_name, unit in grains[1:]:
+        level = level.groupBy(
+            F.date_trunc(unit, F.col("bucket")).alias("bucket")
+        ).agg(*[F.sum(n).alias(n) for n in names])
+        out = out.unionByName(stamped(level, grain_name))
+    return out

@@ -257,3 +257,62 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
         *[F.col(c) for c in rcols],
         *[F.col(c) for c in lpass],
     )
+
+
+# ---------------------------------------------------------------------------
+# Range join — point-in-interval / interval-overlap without the
+# nested-loop trap (absent in the reference; first-class here because
+# time-range enrichment is a core warehouse capability, and a naive
+# `p BETWEEN s AND e` join plans as BroadcastNestedLoop / cartesian).
+# ---------------------------------------------------------------------------
+
+def range_join(points: DataFrame, intervals: DataFrame,
+               point_col: str, start_col: str, end_col: str,
+               bin_width: int, keys: list[str] | None = None,
+               how: str = "inner") -> DataFrame:
+    """Join each point row to every interval row whose
+    `[start_col, end_col)` contains `point_col` (numeric columns —
+    callers convert timestamps to epoch first, keeping full precision).
+
+    Plan: the binning rewrite every range-join-capable engine applies.
+    Intervals explode to one row per `bin_width` bucket they overlap
+    (`sequence(floor(s/w), floor(e/w))`), points map to their single
+    bucket, and the join becomes an EQUI-join on (bucket[, keys]) with
+    the exact containment predicate as a residual filter. Catalyst
+    plans a plain shuffled/broadcast hash join — never a nested loop —
+    and each point meets only the intervals sharing its bucket.
+
+    No dedup is needed: a point lives in exactly one bucket, and each
+    interval appears once per bucket, so every (point, interval) pair
+    joins at most once.
+
+    Scale: the exchange key is the bucket — uniform when intervals are
+    spread over the domain. `bin_width` trades replication for
+    selectivity: interval rows replicate ~(len/bin_width + 1)×, while
+    each point's bucket holds intervals within bin_width of it; set it
+    near the median interval length so replication stays O(1) and the
+    residual filter discards little. Keyed variants (`keys`) shrink
+    buckets further by co-grouping on the equi-key first.
+    """
+    # integer `div`, not float division: epoch-micros exceed double's
+    # exact-integer range, and a one-ULP error at a bucket boundary
+    # would silently drop a matching pair.
+    keys = keys or []
+    iv = intervals.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.expr(f"cast({start_col} as long) div {bin_width}"),
+                F.expr(f"cast({end_col} as long) div {bin_width}"),
+            )
+        ),
+    )
+    pt = points.withColumn("__bin", F.expr(f"cast({point_col} as long) div {bin_width}"))
+    joined = pt.join(
+        iv,
+        on=["__bin", *keys],
+        how=how,
+    ).filter(
+        (F.col(point_col) >= F.col(start_col)) & (F.col(point_col) < F.col(end_col))
+    )
+    return joined.drop("__bin")

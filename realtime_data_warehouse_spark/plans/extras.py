@@ -374,3 +374,146 @@ def sessionize_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_sum": F.sum(F.col("value").cast("decimal(18,2)")).cast("double"),
         },
     )
+
+
+# ---------------------------------------------------------------------------
+# Range join — binned point-in-interval (operators/joins.range_join)
+# ---------------------------------------------------------------------------
+
+#: deterministic promo calendar: 120 windows of 90 min every 6 h
+#: through the events month (2024-01). Epochs in MICROseconds to keep
+#: full event-time precision through the bin arithmetic.
+_PROMO_BASE_US = 1_704_067_200_000_000  # 2024-01-01 00:00:00 UTC
+_PROMO_STEP_US = 6 * 3600 * 1_000_000
+_PROMO_LEN_US = 90 * 60 * 1_000_000
+_RANGE_BIN_US = 30 * 60 * 1_000_000  # ~median interval length / 3
+
+
+@register(
+    "range_join_promo_windows",
+    oracle="""
+    WITH promos AS (
+        SELECT i AS promo_id, i % 3 AS tier,
+               TIMESTAMP '2024-01-01 00:00:00'
+                   + to_microseconds(i * 21600000000)            AS st,
+               TIMESTAMP '2024-01-01 00:00:00'
+                   + to_microseconds(i * 21600000000 + 5400000000) AS en
+        FROM (SELECT unnest(range(0, 120)) AS i)
+    )
+    SELECT p.promo_id, p.tier,
+           count(*)                                           AS ev_ct,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+    FROM promos p JOIN events e ON e.ts >= p.st AND e.ts < p.en
+    GROUP BY 1, 2
+    """,
+)
+def range_join_promo_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join: attribute every event to the
+    active promo window. The binning rewrite turns `ts BETWEEN s AND e`
+    — which Catalyst can only plan as a nested loop — into an equi-join
+    on 30-min buckets with a residual filter (range_join docstring has
+    the cost model). The oracle brute-forces the BETWEEN join, proving
+    the rewrite loses no pairs at bucket boundaries."""
+    from ..operators.joins import range_join
+
+    events = load_table(spark, sf_dir, "events").select(
+        F.unix_micros("ts").alias("ev_us"), "value"
+    )
+    promos = spark.range(0, 120).select(
+        F.col("id").cast("int").alias("promo_id"),
+        (F.col("id") % 3).cast("int").alias("tier"),
+        (F.lit(_PROMO_BASE_US) + F.col("id") * _PROMO_STEP_US).alias("st_us"),
+        (F.lit(_PROMO_BASE_US) + F.col("id") * _PROMO_STEP_US + _PROMO_LEN_US)
+        .alias("en_us"),
+    )
+    joined = range_join(events, promos, "ev_us", "st_us", "en_us",
+                        bin_width=_RANGE_BIN_US)
+    return joined.groupBy("promo_id", "tier").agg(
+        F.count(F.lit(1)).alias("ev_ct"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hypertable rollup — hierarchical time_bucket partial re-aggregation
+# ---------------------------------------------------------------------------
+
+@register(
+    "time_bucket_rollup_events",
+    oracle="""
+    SELECT 'hour' AS grain, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_start,
+           count(*) AS ev_ct,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+    FROM events GROUP BY 2
+    UNION ALL
+    SELECT 'day', strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S'),
+           count(*), CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+    FROM events GROUP BY 2
+    UNION ALL
+    SELECT 'month', strftime(date_trunc('month', ts), '%Y-%m-%d %H:%M:%S'),
+           count(*), CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+    FROM events GROUP BY 2
+    """,
+)
+def time_bucket_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour→day→month continuous-aggregate hierarchy over events; the
+    day and month levels re-aggregate the hour partials (one base
+    scan total — agg.time_bucket_rollup docstring has the plan). The
+    oracle computes every grain straight from the base table, so the
+    hash check proves partial re-aggregation is lossless. Decimal sums
+    keep the check exact across the two aggregation orders."""
+    from ..operators.agg import time_bucket_rollup
+
+    events = load_table(spark, sf_dir, "events")
+    return time_bucket_rollup(
+        events, "ts",
+        {
+            "ev_ct": F.count(F.lit(1)),
+            "value_sum": F.sum(F.col("value").cast("decimal(18,2)")),
+        },
+    ).withColumn("value_sum", F.col("value_sum").cast("double"))
+
+
+# ---------------------------------------------------------------------------
+# Quantiles — exact interpolated percentiles (oracle) + sketch twin
+# ---------------------------------------------------------------------------
+
+@register(
+    "percentile_revenue",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.90), 4) AS p90,
+           round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+    FROM lineitem GROUP BY 1
+    """,
+)
+def percentile_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles per return flag —
+    F.percentile and DuckDB quantile_cont share the same definition,
+    so values match to float rounding (pinned at 4 decimals). At scale
+    exact percentile is a sort-heavy op; the sketch twin below is the
+    100 TB path."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.50)), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.90)), 4).alias("p90"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("p99"),
+    )
+
+
+@register("sketch_quantiles_distinct")  # sketch internals: rows-only check
+def sketch_quantiles_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeable-sketch surface for 100 TB interactive analytics:
+    approx_percentile (KLL-style) and approx_count_distinct (HLL) per
+    return flag — O(k) state per group, map-side partials merge
+    associatively, no sort. No SQL oracle: sketch estimates are
+    engine-specific by construction (the exact twins above and in A3
+    are the correctness anchors)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_extendedprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+        .alias("approx_pcts"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+    )

@@ -182,3 +182,79 @@ def test_asof_join_backward_forward_and_tolerance(spark):
     assert tol[(2, "c")] == (None, None)
     # left rows are never dropped by tolerance (merge_asof semantics)
     assert len(tol) == 4
+
+
+def test_range_join_matches_brute_force_and_plans_hash_join(spark):
+    """Binned range join == BETWEEN nested loop on random data,
+    including intervals that straddle bucket boundaries, zero-length
+    intervals, and points exactly on interval ends (exclusive)."""
+    import random
+
+    from realtime_data_warehouse_spark.operators.joins import range_join
+
+    rng = random.Random(7)
+    points = [(i, rng.randrange(0, 1000)) for i in range(300)]
+    ivs = []
+    for j in range(60):
+        s = rng.randrange(0, 990)
+        ivs.append((j, s, s + rng.randrange(0, 80)))
+    pdf = spark.createDataFrame(points, "pid long, p long")
+    idf = spark.createDataFrame(ivs, "iid long, s long, e long")
+
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in range_join(pdf, idf, "p", "s", "e", bin_width=32).collect()
+    )
+    want = sorted(
+        (pid, iid) for pid, p in points for iid, s, e in ivs if s <= p < e
+    )
+    assert got == want
+
+    plan = range_join(pdf, idf, "p", "s", "e", bin_width=32)._jdf.queryExecution().executedPlan().toString()
+    # equi-join on the bucket (hash or sort-merge, both fine), never...
+    assert ("HashJoin" in plan) or ("SortMergeJoin" in plan)
+    for marker in ("BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert marker not in plan
+
+
+def test_range_join_keyed_variant(spark):
+    from realtime_data_warehouse_spark.operators.joins import range_join
+
+    pdf = spark.createDataFrame(
+        [(1, "a", 5), (2, "b", 5), (3, "a", 50)], "pid long, k string, p long"
+    )
+    idf = spark.createDataFrame(
+        [(10, "a", 0, 10), (11, "b", 0, 10)], "iid long, k string, s long, e long"
+    )
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in range_join(pdf, idf, "p", "s", "e", bin_width=8, keys=["k"]).collect()
+    )
+    assert got == [(1, 10), (2, 11)]  # same-range interval of the other key never joins
+
+
+def test_time_bucket_rollup_partials_are_lossless(spark):
+    """day/month levels re-aggregate hour partials; totals must equal
+    a direct aggregation of the base table at every grain."""
+    from realtime_data_warehouse_spark.operators.agg import time_bucket_rollup
+
+    rows = [
+        (f"2024-0{m}-{d:02d} {h:02d}:15:00", float(m * 100 + d * 10 + h))
+        for m in (1, 2) for d in (1, 2, 15) for h in (0, 5, 23)
+    ]
+    df = spark.createDataFrame(rows, "ts string, v double").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = time_bucket_rollup(
+        df, "ts", {"n": F.count(F.lit(1)), "v": F.sum(F.col("v").cast("decimal(18,2)"))}
+    ).collect()
+    by_grain = {}
+    for r in out:
+        by_grain.setdefault(r["grain"], []).append(r)
+    assert len(by_grain["hour"]) == 18
+    assert len(by_grain["day"]) == 6
+    assert len(by_grain["month"]) == 2
+    total = sum(float(r["v"]) for r in by_grain["hour"])
+    for g in ("day", "month"):
+        assert sum(float(r["v"]) for r in by_grain[g]) == total
+        assert sum(r["n"] for r in by_grain[g]) == 18
