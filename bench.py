@@ -41,6 +41,9 @@ HEADLINE = [
     "text_stats",
     "dedup_minhash_lsh",
     "ann_brute_topk",
+    "range_join_promo_windows",
+    "time_bucket_rollup_events",
+    "percentile_revenue",
 ]
 
 

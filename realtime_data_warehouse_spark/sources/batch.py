@@ -87,3 +87,25 @@ def jdbc_lookup(spark: SparkSession, url: str, table: str,
     for k, v in (properties or {}).items():
         reader = reader.option(k, v)
     return reader.load()
+
+
+def write_bucketed(df: DataFrame, table: str, bucket_col: str,
+                   n_buckets: int = 16,
+                   sort_col: str | None = None) -> None:
+    """Persist a table bucketed (and optionally sorted) by its join
+    key. Two tables bucketed the same way equi-join WITHOUT any
+    exchange — each task zips bucket i with bucket i — which at 100 TB
+    turns the recurring fact⋈fact shuffle into a map-side join. The
+    shuffle is paid ONCE at write time instead of per query; this is
+    the batch analogue of the reference keeping HBase dim tables
+    pre-keyed by rowkey (HBaseUtil.java:80-103).
+
+    Uses the session catalog (saveAsTable — bucketing metadata lives
+    in the metastore; a plain .parquet(path) write cannot record it).
+    """
+    writer = df.write.mode("overwrite").format("parquet")
+    if sort_col is not None:
+        writer = writer.bucketBy(n_buckets, bucket_col).sortBy(sort_col)
+    else:
+        writer = writer.bucketBy(n_buckets, bucket_col)
+    writer.saveAsTable(table)

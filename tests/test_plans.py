@@ -73,3 +73,47 @@ def test_events_scan_prunes_columns(spark, sf_small):
     df = load_table(spark, sf_small, "events").select("user_id", "event_type")
     schema_part = physical_plan(df).split("ReadSchema")[1]
     assert "props" not in schema_part and "value" not in schema_part
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_small, tmp_path):
+    """Co-located fact⋈fact: both sides bucketed on the join key must
+    join with ZERO exchanges (the at-scale design claim for recurring
+    big-big joins — pay the shuffle once at write time)."""
+    from pyspark.sql import functions as F
+
+    from realtime_data_warehouse_spark.sources.batch import load_table, write_bucketed
+
+    li = load_table(spark, sf_small, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    orders = load_table(spark, sf_small, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    write_bucketed(li, "b_lineitem", "l_orderkey", n_buckets=8)
+    write_bucketed(orders, "b_orders", "o_orderkey", n_buckets=8)
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # at test scale the optimizer would broadcast either side;
+        # disable that so the plan shows what a fact⋈fact join does
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        bl = spark.table("b_lineitem")
+        bo = spark.table("b_orders")
+        joined = bl.join(bo, bl["l_orderkey"] == bo["o_orderkey"]).groupBy(
+            "o_orderstatus"
+        ).agg(F.count(F.lit(1)).alias("n"))
+        plan = physical_plan(joined)
+        assert "Exchange hashpartitioning(l_orderkey" not in plan
+        assert "Exchange hashpartitioning(o_orderkey" not in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        # and it still computes the right thing
+        got = {r["o_orderstatus"]: r["n"] for r in joined.collect()}
+        want = {
+            r["o_orderstatus"]: r["n"]
+            for r in li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
