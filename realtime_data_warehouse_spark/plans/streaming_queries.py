@@ -228,3 +228,78 @@ def stream_a6_delta_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_amount")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# J2 streaming twin — stream-stream interval join with cross-batch state
+# ---------------------------------------------------------------------------
+
+@register(
+    "stream_interval_join_pay_detail",
+    oracle="""
+    SELECT o.o_orderkey                          AS order_id,
+           l.l_orderkey * 100 + l.l_linenumber   AS detail_id,
+           CAST(l.l_extendedprice AS DECIMAL(12,2)) AS amount,
+           strftime(o.o_orderdate, '%Y-%m-%d')   AS pay_date,
+           strftime(l.l_shipdate, '%Y-%m-%d')    AS ship_date
+    FROM orders o
+    JOIN lineitem l
+      ON o.o_orderkey = l.l_orderkey
+     AND l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate <= o.o_orderdate + INTERVAL 30 DAY
+    """,
+)
+def stream_interval_join_pay_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DwdTradeOrderPaySucDetail's interval join (J2,
+    DwdTradeOrderPaySucDetail.java:123-148) as a REAL stream-stream
+    join: both sides watermarked, range predicate in the join
+    condition, detail side replayed as two ship-date-ordered micro-
+    batches so orders buffered in join state during batch 1 must still
+    match details arriving in batch 2. Join-state GC is driven by the
+    range bound (the reference's idle-state TTL analogue): an order
+    row is droppable only once the detail watermark passes
+    pay_ts + 30 days, and the 1-hour watermark delay keeps boundary
+    rows alive across the split. Inner joins emit eagerly, so no
+    sentinel is needed. Same oracle as the batch twin
+    dwd_trade_pay_suc_interval: stream ≡ batch ≡ SQL."""
+    from ..streaming.joins import interval_join as s_interval_join
+
+    base = tempfile.mkdtemp(prefix="rdw_streamq_j2_")
+    pay_dir = os.path.join(base, "pay")
+    out, ck = os.path.join(base, "out"), os.path.join(base, "ck")
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_orderdate").cast("timestamp").alias("pay_ts"),
+    )
+    orders.write.mode("overwrite").parquet(pay_dir)
+    detail = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("d_order_id"),
+        (F.col("l_orderkey") * 100 + F.col("l_linenumber")).alias("detail_id"),
+        F.col("l_extendedprice").cast("decimal(12,2)").alias("amount"),
+        F.col("l_shipdate").cast("timestamp").alias("ship_ts"),
+    )
+    detail_dir = staged_files_dir(detail, base, n_files=2, order_col="ship_ts")
+
+    s_pay = (
+        spark.readStream.schema(orders.schema).parquet(pay_dir)
+        .withWatermark("pay_ts", "1 hour")
+    )
+    s_detail = (
+        spark.readStream.schema(detail.schema)
+        .option("maxFilesPerTrigger", "1").parquet(detail_dir)
+        .withWatermark("ship_ts", "1 hour")
+    )
+    joined = s_interval_join(
+        s_pay, s_detail,
+        equi=F.col("order_id") == F.col("d_order_id"),
+        left_ts="pay_ts", right_ts="ship_ts",
+        lower="0 seconds", upper="30 days",
+    )
+    run_available_now(joined, out, ck)
+    return read_back(spark, out).select(
+        "order_id", "detail_id",
+        F.col("amount").cast("double").alias("amount"),
+        F.date_format("pay_ts", "yyyy-MM-dd").alias("pay_date"),
+        F.date_format("ship_ts", "yyyy-MM-dd").alias("ship_date"),
+    )
