@@ -383,3 +383,18 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads = M.attach_binary_payload(docs)
     feats = M.extract_features(payloads)
     return feats.select("doc_id", "n_bytes", F.element_at("features", 1).alias("f0"))
+
+
+@register("ann_ivf_trained_topk")  # iterative training: rows-only per contract
+def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full trained-IVF pipeline: distributed k-means (5 Lloyd's
+    iterations, deterministic init) → corpus assigned to argmin cells
+    → queries probe their 3 nearest cells → cell-local cosine top-5.
+    K-means is an iterative algorithm — the contract's declared
+    rows-only case; the exactness anchors are ann_brute_topk /
+    ann_ivf_topk (oracle-checked) plus the property test that
+    n_probe = k reproduces brute force exactly."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    centroids = S.kmeans_train(emb, k=10, iters=5)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.ivf_trained_topk(emb, queries, centroids, k=5, n_probe=3)

@@ -123,3 +123,40 @@ def split_sink(out_base: str, routes: dict[str, F.Column]):
             batch.unpersist()
 
     return fn
+
+
+def kafka_sink(sdf: DataFrame, brokers: str, topic: str,
+               checkpoint_dir: str, value_col: str = "value"):
+    """K1 — fixed-topic Kafka sink (FlinkSinkUtil.java:22-33). Returns
+    the configured DataStreamWriter; callers .start() it. Delivery is
+    at-least-once per attempt with exactly-once end-to-end via the
+    checkpointed offsets + an idempotent/upsert consumer (the
+    reference used transactional 2PC; Spark's equivalent contract is
+    checkpoint + idempotent sink). The Kafka jars may be absent in the
+    test container — building the writer is lazy and touches no
+    broker until start()."""
+    out = sdf.select(F.col(value_col).cast("string").alias("value"))
+    return (
+        out.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+
+
+def kafka_dynamic_sink(sdf: DataFrame, brokers: str, checkpoint_dir: str,
+                       topic_col: str = "sink_table",
+                       value_col: str = "value"):
+    """K2 — per-record topic routing (FlinkSinkUtil.java:35-50, fed by
+    DwdBaseDb.java:131-145): Spark's Kafka sink honors a `topic`
+    column per row natively, so dynamic routing is a projection, not a
+    custom sink. File-backed twin: route_by_column."""
+    out = sdf.select(
+        F.col(topic_col).cast("string").alias("topic"),
+        F.col(value_col).cast("string").alias("value"),
+    )
+    return (
+        out.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("checkpointLocation", checkpoint_dir)
+    )

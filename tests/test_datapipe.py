@@ -63,3 +63,49 @@ def test_extract_features_batch_shape(spark):
 def test_decode_image_is_marked_stub():
     with pytest.raises(NotImplementedError):
         M.decode_image(b"\x89PNG")
+
+
+def test_kmeans_inertia_non_increasing(spark, sf_small):
+    from realtime_data_warehouse_spark.operators import similarity as S
+    from realtime_data_warehouse_spark.sources.batch import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    prev = None
+    for iters in (0, 2, 5):
+        c = S.kmeans_train(emb, k=5, iters=iters)
+        j = S.inertia(emb, c)
+        if prev is not None:
+            assert j <= prev + 1e-9, f"inertia rose after more iterations: {prev} -> {j}"
+        prev = j
+
+
+def test_ivf_full_probe_equals_brute_force(spark, sf_small):
+    """n_probe = k probes every cell, so trained IVF must return
+    EXACTLY the brute-force top-k (same ids, same scores)."""
+    from realtime_data_warehouse_spark.operators import similarity as S
+    from realtime_data_warehouse_spark.sources.batch import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    centroids = S.kmeans_train(emb, k=4, iters=3)
+    got = sorted(map(tuple, S.ivf_trained_topk(emb, queries, centroids,
+                                               k=5, n_probe=4).collect()))
+    want = sorted(map(tuple, S.brute_force_topk(emb, queries, k=5).collect()))
+    assert got == want
+
+
+def test_assign_cells_is_argmin(spark, sf_small):
+    import numpy as np
+
+    from realtime_data_warehouse_spark.operators import similarity as S
+    from realtime_data_warehouse_spark.sources.batch import load_table
+
+    emb = load_table(spark, sf_small, "embeddings").limit(50)
+    v = emb.select("vec_id", S.as_double("embedding").alias("v"))
+    centroids = S.kmeans_train(emb, k=3, iters=1)
+    got = {r["vec_id"]: r["cell"] for r in S.assign_cells(v, centroids).collect()}
+    C = np.asarray(centroids)
+    for r in v.collect():
+        x = np.asarray(r["v"])
+        want = int(((x[None, :] - C) ** 2).sum(axis=1).argmin())
+        assert got[r["vec_id"]] == want
