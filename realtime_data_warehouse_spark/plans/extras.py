@@ -517,3 +517,80 @@ def sketch_quantiles_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
     )
+
+
+# ---------------------------------------------------------------------------
+# OVER-clause analytics (SURVEY §2.6: none in the reference — Spark
+# window functions made concrete, not just "available")
+# ---------------------------------------------------------------------------
+
+@register(
+    "running_revenue_by_customer",
+    oracle="""
+    WITH o AS (
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               CAST(o_totalprice AS DECIMAL(14,2)) AS amt
+        FROM orders WHERE o_custkey % 100 = 0
+    )
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           CAST(SUM(amt) OVER w AS DOUBLE) AS running_total,
+           CAST(COALESCE(amt - lag(amt) OVER w, 0) AS DOUBLE) AS delta_vs_prev,
+           row_number() OVER w AS order_seq
+    FROM o
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def running_revenue_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running totals, lag deltas and sequence numbers per customer —
+    the analytic OVER-clause family (running frame + lag + rank) in
+    one pass: all three share ONE window spec, so Catalyst plans a
+    single exchange on custkey + one sort, not three. The customer
+    filter keeps the driver comparison small; the plan is
+    filter-pushdown → exchange → sort → window, identical at any SF."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 100 == 0)
+    amt = F.col("o_totalprice").cast("decimal(14,2)")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.sum(amt).over(run).cast("double").alias("running_total"),
+        F.coalesce(amt - F.lag(amt).over(w), F.lit(0)).cast("double")
+        .alias("delta_vs_prev"),
+        F.row_number().over(w).alias("order_seq"),
+    )
+
+
+@register(
+    "pivot_status_by_year",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(14,2)) END) AS DOUBLE) AS f_amount,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(14,2)) END) AS DOUBLE) AS o_amount,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(14,2)) END) AS DOUBLE) AS p_amount
+    FROM orders GROUP BY 1
+    """,
+)
+def pivot_status_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide) with an EXPLICIT value list — the form that
+    scales: pivot without declared values costs an extra distinct scan
+    to discover columns, and unbounded status domains explode the
+    schema. Declared values compile to the same conditional aggregates
+    the oracle spells out; one shuffle on the year."""
+    orders = load_table(spark, sf_dir, "orders")
+    amt = F.col("o_totalprice").cast("decimal(14,2)")
+    wide = (
+        orders.select(F.year("o_orderdate").alias("order_year"),
+                      "o_orderstatus", amt.alias("amt"))
+        .groupBy("order_year")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.sum("amt"))
+    )
+    return wide.select(
+        "order_year",
+        F.col("F").cast("double").alias("f_amount"),
+        F.col("O").cast("double").alias("o_amount"),
+        F.col("P").cast("double").alias("p_amount"),
+    )

@@ -117,3 +117,29 @@ def test_bucketed_join_is_shuffle_free(spark, sf_small, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
         spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_partitioned_route_read_prunes(spark, sf_small, tmp_path):
+    """K2 routing writes partitioned by sink_table; reading ONE route
+    must plan a partition-pruned scan (PartitionFilters), not a full
+    scan plus filter — the reader-side half of topic-per-record."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "routed")
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3)], "sink_table string, v int"
+    )
+    df.write.partitionBy("sink_table").mode("overwrite").parquet(out)
+    rd = spark.read.parquet(out).filter(F.col("sink_table") == "a")
+    plan = physical_plan(rd)
+    assert "PartitionFilters" in plan
+    assert "isnotnull(sink_table" in plan or "sink_table" in plan.split("PartitionFilters")[1].split("]")[0]
+    assert rd.count() == 2
+
+
+def test_single_window_spec_plans_one_exchange(spark, sf_small):
+    """running_revenue_by_customer: three analytic functions over one
+    window spec must share a single exchange+sort, not stack three."""
+    plan = physical_plan(QUERIES["running_revenue_by_customer"](spark, sf_small))
+    assert plan.count("Exchange hashpartitioning(o_custkey") == 1
+    assert plan.count("Window") == 1
