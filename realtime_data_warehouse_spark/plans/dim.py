@@ -176,3 +176,34 @@ def run_dim_pipeline(spark: SparkSession, sf_dir: str, warehouse_dir: str,
         sink: spark.read.parquet(os.path.join(warehouse_dir, sink))
         for _, sink, *_ in DIM_CONFIG
     }
+
+
+@register(
+    "dim_sku_final_state",
+    oracle="""
+    SELECT CAST(p_partkey AS VARCHAR) AS rowkey,
+           'p_brand=' || p_brand
+               || ',p_name=' || p_name
+               || ',p_partkey=' || CAST(p_partkey AS VARCHAR)
+               || ',p_size=' || CAST(CASE WHEN p_partkey % 10000 < 500
+                                          THEN p_size * 2 ELSE p_size END AS VARCHAR)
+               AS kv
+    FROM part WHERE p_partkey % 1000 <> 7
+    """,
+)
+def dim_sku_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K6 end-to-end in the correctness gate: run the FULL DIM
+    maintenance pipeline (changelog → broadcast-config routing →
+    per-table MERGE with latest-per-rowkey upserts AND deletes,
+    DimHBaseSinkFunction.java:16-105) into a fresh warehouse dir, then
+    return dim_sku_info's final state. The oracle replays the same
+    bootstrap/update/delete synthesis as plain SQL over `part`:
+    updated rows (partkey %10000 < 500) carry the doubled p_size,
+    deleted rowkeys (%1000 == 7) are gone. This checks the MERGE
+    semantics themselves, not just the routed change stream
+    (dim_config_routing covers that)."""
+    import tempfile
+
+    wh = tempfile.mkdtemp(prefix="rdw_dimwh_")
+    tables = run_dim_pipeline(spark, sf_dir, wh)
+    return tables["dim_sku_info"].select("rowkey", _kv_string().alias("kv"))

@@ -303,3 +303,63 @@ def stream_interval_join_pay_detail(spark: SparkSession, sf_dir: str) -> DataFra
         F.date_format("pay_ts", "yyyy-MM-dd").alias("pay_date"),
         F.date_format("ship_ts", "yyyy-MM-dd").alias("ship_date"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Session-window streaming twin — watermark-closed sessions
+# ---------------------------------------------------------------------------
+
+@register(
+    "stream_sessionize_user_events",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 2 HOUR
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+        SELECT *, SUM(new_s) OVER (
+            PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+        ) AS sid
+        FROM ordered
+    )
+    SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S')                    AS session_start,
+           strftime(max(ts) + INTERVAL 2 HOUR, '%Y-%m-%d %H:%M:%S')  AS session_end,
+           user_id,
+           count(*)                                                  AS events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)         AS value_sum
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def stream_sessionize_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 2-hour-gap session windows executed as a stream
+    (F.session_window over a watermarked source): open sessions hold
+    one partial aggregate each and close — and emit, append mode —
+    when the watermark passes last-event + gap. Session state here is
+    genuinely merged across rows arriving out of order within the
+    watermark. Same gaps-and-islands oracle as the batch twin
+    sessionize_user_events: stream ≡ batch ≡ SQL."""
+    from ..streaming.windows import streaming_session
+
+    in_dir, out, ck = _dirs()
+    raw = spark.read.schema(EVENTS_RAW).parquet(os.path.join(sf_dir, "events.parquet"))
+    max_ns = raw.agg(F.max("ts")).collect()[0][0]
+    sentinel = spark.createDataFrame(
+        [(10**9, max_ns + 40 * 24 * 3600 * 10**9, 10**9, "sentinel", 0.0, "{}")],
+        EVENTS_RAW,
+    )
+    raw.write.mode("overwrite").parquet(in_dir)
+    sentinel.coalesce(1).write.mode("append").parquet(in_dir)
+
+    events = stream_events(spark, in_dir, watermark="1 hour")
+    sess = streaming_session(
+        events, "ts", "2 hours", keys=["user_id"],
+        aggs={
+            "events": F.count(F.lit(1)),
+            "value_sum": F.sum(F.col("value").cast("decimal(18,2)")).cast("double"),
+        },
+    )
+    run_available_now(sess, out, ck)
+    return read_back(spark, out).filter(F.col("user_id") != 10**9)
