@@ -101,3 +101,44 @@ def fingerprint(text: str | Column) -> Column:
     c = F.col(text) if isinstance(text, str) else text
     normalized = F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
     return F.md5(normalized)
+
+
+def hash_bucket(col, buckets: int = 100) -> Column:
+    """Deterministic, engine-portable bucket in [0, buckets): md5 of
+    the value's string form, folded to 60 bits (15 hex chars keeps the
+    intermediate inside a signed BIGINT in any engine), mod buckets.
+    The backbone of reproducible sampling / split assignment at any
+    scale: pure map-side, no state, stable across engines and runs —
+    DuckDB computes the identical bucket via
+    ('0x' || substr(md5(x), 1, 15))::BIGINT % buckets."""
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+    return F.pmod(h, F.lit(buckets))
+
+
+def chunk_tokens(df, text_col: str = "text", id_col: str = "doc_id",
+                 chunk_size: int = 50, stride: int = 40):
+    """Context-window chunking for training pipelines: tokenize, then
+    emit overlapping `chunk_size`-token windows every `stride` tokens
+    (overlap = chunk_size − stride). One projection + one explode —
+    map-side only, no shuffle; the fan-out factor is ~len/stride,
+    which is the same ratio a loader would create downstream anyway.
+
+    Output: (id, chunk_idx, n_tokens, chunk_text). Only non-empty
+    chunks are emitted; docs with no tokens produce no rows."""
+    from ..functions.tokenize import tokenize
+
+    toks = df.withColumn("__toks", tokenize(text_col)).filter(F.size("__toks") > 0)
+    starts = F.sequence(F.lit(1), F.size("__toks"), F.lit(stride))
+    exploded = toks.select(
+        F.col(id_col),
+        F.col("__toks"),
+        F.posexplode(starts).alias("chunk_idx", "start"),
+    )
+    chunk = F.slice(F.col("__toks"), F.col("start"), chunk_size)
+    return exploded.select(
+        id_col,
+        "chunk_idx",
+        F.size(chunk).alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )

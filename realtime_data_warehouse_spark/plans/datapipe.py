@@ -398,3 +398,56 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = S.kmeans_train(emb, k=10, iters=5)
     queries = emb.filter(F.col("vec_id") < 10)
     return S.ivf_trained_topk(emb, queries, centroids, k=5, n_probe=3)
+
+
+@register(
+    "train_val_test_split",
+    oracle="""
+    SELECT doc_id, lang,
+           CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+    FROM (
+        SELECT doc_id, lang,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS b
+        FROM documents
+    )
+    """,
+)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 80/10/10 split assignment via the engine-portable
+    md5 hash bucket (text.hash_bucket) — the way a 100 TB corpus gets
+    split: deterministic, map-side, no sampling state, identical
+    result from any engine that re-runs it (the oracle computes the
+    same buckets in SQL). Seeded `sample()` can't make that promise
+    across engines or partitionings."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = X.hash_bucket("doc_id", 100)
+    return docs.select(
+        "doc_id", "lang",
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test").alias("split"),
+    )
+
+
+@register(
+    "doc_chunking",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS} AS t FROM documents
+    ), starts AS (
+        SELECT doc_id, t,
+               unnest(range(1, len(t) + 1, 40)) AS start,
+               generate_subscripts(range(1, len(t) + 1, 40), 1) - 1 AS chunk_idx
+        FROM toks WHERE len(t) > 0
+    )
+    SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+           len(t[start : start + 49]) AS n_tokens,
+           array_to_string(t[start : start + 49], ' ') AS chunk_text
+    FROM starts
+    """,
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context-window chunking (50-token windows, stride
+    40) — the tokenize→window→explode shape every LLM data loader
+    needs, kept map-side (text.chunk_tokens docstring). Oracle builds
+    identical windows with list slicing."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return X.chunk_tokens(docs, chunk_size=50, stride=40)

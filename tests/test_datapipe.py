@@ -109,3 +109,38 @@ def test_assign_cells_is_argmin(spark, sf_small):
         x = np.asarray(r["v"])
         want = int(((x[None, :] - C) ** 2).sum(axis=1).argmin())
         assert got[r["vec_id"]] == want
+
+
+def test_chunk_tokens_covers_all_tokens_with_overlap(spark):
+    from realtime_data_warehouse_spark.operators.text import chunk_tokens
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(95))), (2, "a b"), (3, ""), (4, "!!!")],
+        "doc_id long, text string",
+    )
+    rows = chunk_tokens(df, chunk_size=50, stride=40).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: 95 tokens -> starts 1,41,81 -> sizes 50,50,15
+    d1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    assert [r["n_tokens"] for r in d1] == [50, 50, 15]
+    # consecutive chunks overlap by chunk_size - stride = 10 tokens
+    c0, c1 = d1[0]["chunk_text"].split(), d1[1]["chunk_text"].split()
+    assert c0[-10:] == c1[:10]
+    # full coverage: union of chunks == original token sequence
+    merged = c0 + c1[10:] + d1[2]["chunk_text"].split()[10:]
+    assert merged == [f"t{i}" for i in range(95)]
+    # tiny doc -> one chunk; empty/no-token docs -> no rows
+    assert [r["n_tokens"] for r in by_doc[2]] == [2]
+    assert 3 not in by_doc and 4 not in by_doc
+
+
+def test_hash_bucket_split_is_stable_and_complete(spark, sf_small):
+    from realtime_data_warehouse_spark.plans.registry import QUERIES
+
+    a = {r["doc_id"]: r["split"] for r in QUERIES["train_val_test_split"](spark, sf_small).collect()}
+    b = {r["doc_id"]: r["split"] for r in QUERIES["train_val_test_split"](spark, sf_small).collect()}
+    assert a == b  # deterministic across runs
+    frac_train = sum(1 for s in a.values() if s == "train") / len(a)
+    assert 0.7 < frac_train < 0.9  # md5 buckets are uniform-ish
