@@ -363,3 +363,52 @@ def stream_sessionize_user_events(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     run_available_now(sess, out, ck)
     return read_back(spark, out).filter(F.col("user_id") != 10**9)
+
+
+# ---------------------------------------------------------------------------
+# A7 streaming twin — daily-UV dedup with per-key date state
+# ---------------------------------------------------------------------------
+
+@register(
+    "stream_daily_uv_window",
+    oracle="""
+    WITH daily AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS dt FROM events
+    ), firsts AS (
+        SELECT user_id, min(dt) AS first_dt FROM daily GROUP BY 1
+    )
+    SELECT strftime(d.dt, '%Y-%m-%d') AS cur_date,
+           count(*)                   AS uu_ct,
+           count(CASE WHEN f.first_dt = d.dt THEN 1 END) AS new_ct
+    FROM daily d JOIN firsts f USING (user_id)
+    GROUP BY 1
+    """,
+)
+def stream_daily_uv_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 daily-UV dedup (keyed last-seen-date ValueState,
+    DwsTrafficHomeDetailPageViewWindow.java:83-135; new-user flag as
+    in DwsUserUserLoginWindow.java:83-126) with REAL per-key state:
+    events replay as three time-ordered micro-batches, so a user's
+    seen-dates state must persist across batches for repeat days to be
+    swallowed and the first-ever flag to fire exactly once. Daily
+    unique users and new users per day, read back and aggregated;
+    oracle = distinct-(user, day) + min-day in SQL."""
+    from ..streaming.stateful import daily_first_event_stream
+
+    base = tempfile.mkdtemp(prefix="rdw_streamq_a7_")
+    out, ck = os.path.join(base, "out"), os.path.join(base, "ck")
+    events = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("user_id"),
+        F.unix_timestamp("ts").cast("long").alias("ts"),
+    )
+    in_dir = staged_files_dir(events, base, n_files=3, order_col="ts")
+    sdf = (
+        spark.readStream.schema("user_id string, ts long")
+        .option("maxFilesPerTrigger", "1").parquet(in_dir)
+    )
+    run_available_now(daily_first_event_stream(sdf, "user_id", "ts"), out, ck)
+    emitted = read_back(spark, out)
+    return emitted.groupBy("dt").agg(
+        F.count(F.lit(1)).alias("uu_ct"),
+        F.sum("is_first_ever").alias("new_ct"),
+    ).select(F.col("dt").alias("cur_date"), "uu_ct", "new_ct")
