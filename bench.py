@@ -44,6 +44,7 @@ HEADLINE = [
     "range_join_promo_windows",
     "time_bucket_rollup_events",
     "percentile_revenue",
+    "curation_pipeline",
 ]
 
 

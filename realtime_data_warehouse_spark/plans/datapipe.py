@@ -451,3 +451,79 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical windows with list slicing."""
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     return X.chunk_tokens(docs, chunk_size=50, stride=40)
+
+
+@register(
+    "curation_pipeline",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang, text,
+               len({_TOKS}) AS n_tokens,
+               len(list_filter({_TOKS},
+                   t -> list_contains(['the','a','of','and','to','in','is'], t)))
+                   / len({_TOKS}) AS stop_ratio
+        FROM documents
+    ), quality AS (
+        SELECT doc_id, lang, text FROM scored
+        WHERE n_tokens BETWEEN 20 AND 500 AND stop_ratio >= 0.01
+    ), surv AS (
+        SELECT q.doc_id, q.lang, q.text
+        FROM quality q
+        JOIN (
+            SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+                   min(doc_id) AS keep_id
+            FROM quality GROUP BY 1
+        ) k ON q.doc_id = k.keep_id
+    ), split AS (
+        SELECT doc_id, lang, text,
+               CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 80
+                    THEN 'train'
+                    WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 90
+                    THEN 'val' ELSE 'test' END AS split
+        FROM surv
+    ), chunks AS (
+        SELECT doc_id, split, lang,
+               unnest(range(1, len({_TOKS}) + 1, 40)) AS start
+        FROM split
+    )
+    SELECT split, lang,
+           count(DISTINCT doc_id) AS n_docs,
+           count(*)               AS n_chunks
+    FROM chunks GROUP BY 1, 2
+    """,
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data curation flow as ONE declarative
+    plan: quality gate → exact-dedup survivors (lowest id per
+    fingerprint) → reproducible split assignment → context-window
+    chunking → per-(split, lang) doc and chunk counts. Everything
+    composes as DataFrame transformations, so Catalyst sees (and
+    optimizes) the whole pipeline at once — filters run before the
+    dedup shuffle, and the only exchanges are the fingerprint dedup
+    and the final small aggregate. The oracle replays every stage as
+    SQL CTEs."""
+    from ..operators.text import chunk_tokens, hash_bucket
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    scored = docs.select(
+        "doc_id", "lang", "text",
+        X.ws_token_count("text").alias("n_tokens"),
+        X.stopword_ratio("text").alias("stop_ratio"),
+    )
+    quality = scored.filter(
+        F.col("n_tokens").between(20, 500) & (F.col("stop_ratio") >= 0.01)
+    ).select("doc_id", "lang", "text")
+    surv = D.exact_dedup(quality, id_col="doc_id", text_col="text").drop("dup_count")
+    b = hash_bucket("doc_id", 100)
+    split = surv.withColumn(
+        "split",
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test"),
+    )
+    chunks = chunk_tokens(split.select("doc_id", "split", "lang", "text"))
+    enriched = chunks.join(
+        split.select("doc_id", "split", "lang"), "doc_id"
+    )
+    return enriched.groupBy("split", "lang").agg(
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_chunks"),
+    )

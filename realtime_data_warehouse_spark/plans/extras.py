@@ -495,10 +495,16 @@ def percentile_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact percentile is a sort-heavy op; the sketch twin below is the
     100 TB path."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_extendedprice", F.lit(0.50)), 4).alias("p50"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.90)), 4).alias("p90"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("p99"),
+    # one percentile agg with an array argument: a single value buffer
+    # + one sort per group, vs three separate aggregates each
+    # buffering and sorting the whole group (~3× the work)
+    pcts = F.percentile("l_extendedprice",
+                        F.array(F.lit(0.50), F.lit(0.90), F.lit(0.99)))
+    return li.groupBy("l_returnflag").agg(pcts.alias("__p")).select(
+        "l_returnflag",
+        F.round(F.col("__p")[0], 4).alias("p50"),
+        F.round(F.col("__p")[1], 4).alias("p90"),
+        F.round(F.col("__p")[2], 4).alias("p99"),
     )
 
 
