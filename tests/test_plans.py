@@ -143,3 +143,59 @@ def test_single_window_spec_plans_one_exchange(spark, sf_small):
     plan = physical_plan(QUERIES["running_revenue_by_customer"](spark, sf_small))
     assert plan.count("Exchange hashpartitioning(o_custkey") == 1
     assert plan.count("Window") == 1
+
+
+def test_aqe_splits_skewed_join(spark, tmp_path):
+    """Skew discipline: a join with one pathological hot key must be
+    handled by AQE's skew-join split (the runtime answer; salted_join
+    is the static one, test_salted_join_matches_plain_join). Thresholds
+    are lowered so the tiny fixture triggers the same OptimizeSkewedJoin
+    rule a hot key triggers at 100 TB."""
+    from pyspark.sql import functions as F
+
+    left_dir = str(tmp_path / "l")
+    right_dir = str(tmp_path / "r")
+    # key 0 holds ~99% of the left side
+    spark.range(0, 200_000).select(
+        F.when(F.col("id") % 100 == 0, F.col("id")).otherwise(F.lit(0)).alias("k"),
+        F.col("id").alias("v"),
+    ).write.mode("overwrite").parquet(left_dir)
+    spark.range(0, 1000).select(F.col("id").alias("k"), F.lit(1).alias("w")) \
+        .write.mode("overwrite").parquet(right_dir)
+
+    prev = {
+        "spark.sql.autoBroadcastJoinThreshold":
+            spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            spark.conf.get("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes":
+            spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes"),
+        "spark.sql.adaptive.coalescePartitions.enabled":
+            spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled"),
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        # the join must be terminal: a downstream groupBy on the same
+        # key would reuse the join's hash partitioning, and AQE then
+        # declines the skew split (it would force an extra shuffle —
+        # spark.sql.adaptive.forceOptimizeSkewedJoin is the override)
+        joined = (
+            spark.read.parquet(left_dir)
+            .join(spark.read.parquet(right_dir), "k")
+            .select(F.sum(F.col("v") + F.col("w")).alias("s"))
+        )
+        # execute THIS DataFrame's own QueryExecution (count() would
+        # spawn a fresh one whose AQE plan we couldn't inspect)
+        rows = joined.collect()
+        final = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in final
+        assert "skew=true" in final, "AQE did not split the skewed partition"
+        assert rows[0]["s"] is not None
+    finally:
+        for key, val in prev.items():
+            spark.conf.set(key, val)
