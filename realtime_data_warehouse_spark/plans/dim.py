@@ -207,3 +207,39 @@ def dim_sku_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     wh = tempfile.mkdtemp(prefix="rdw_dimwh_")
     tables = run_dim_pipeline(spark, sf_dir, wh)
     return tables["dim_sku_info"].select("rowkey", _kv_string().alias("kv"))
+
+
+@register(
+    "stream_dim_sku_final_state",
+    oracle="""
+    SELECT CAST(p_partkey AS VARCHAR) AS rowkey,
+           'p_brand=' || p_brand
+               || ',p_name=' || p_name
+               || ',p_partkey=' || CAST(p_partkey AS VARCHAR)
+               || ',p_size=' || CAST(CASE WHEN p_partkey % 10000 < 500
+                                          THEN p_size * 2 ELSE p_size END AS VARCHAR)
+               AS kv
+    FROM part WHERE p_partkey % 1000 <> 7
+    """,
+)
+def stream_dim_sku_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DIM pipeline driven through Structured Streaming foreachBatch
+    (SURVEY §3.3's full path: CDC stream → broadcast-config routing →
+    per-micro-batch MERGE with upserts AND deletes): the change rows
+    replay as three ts-ordered micro-batches, so the MERGE must be
+    correct incrementally — a bootstrap applied in batch 1 gets its
+    update in batch 2 and its delete in batch 3, against the table
+    state on disk, not an in-memory union. Same oracle as the batch
+    twin dim_sku_final_state; matching hashes prove batch and
+    streaming maintenance converge to identical warehouse state."""
+    import tempfile
+
+    from ..streaming.runner import staged_files_dir
+
+    base = tempfile.mkdtemp(prefix="rdw_dimwh_stream_")
+    changes = dim_changelog(spark, sf_dir)
+    stream_in = staged_files_dir(changes, base, n_files=3, order_col="ts")
+    tables = run_dim_pipeline(
+        spark, sf_dir, os.path.join(base, "wh"), stream_input_dir=stream_in
+    )
+    return tables["dim_sku_info"].select("rowkey", _kv_string().alias("kv"))

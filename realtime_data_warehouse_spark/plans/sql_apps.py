@@ -136,3 +136,33 @@ def sql_keyword_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         LATERAL VIEW explode(toks) kw AS keyword
         GROUP BY keyword
     """)
+
+
+# ---------------------------------------------------------------------------
+# Subquery surface: correlated scalar subquery + IN subquery — absent
+# in the reference (no subqueries anywhere); first-class because any
+# SQL user migrating to this engine writes them on day one. Catalyst
+# de-correlates both into joins (RewriteCorrelatedScalarSubquery),
+# so the physical plan is an aggregate + equi-join, not a per-row
+# re-execution.
+# ---------------------------------------------------------------------------
+
+_SUBQUERY_SQL = """
+SELECT c.c_custkey AS custkey,
+       c.c_name    AS name,
+       CAST((SELECT max(CAST(o.o_totalprice AS DECIMAL(14,2)))
+             FROM orders o WHERE o.o_custkey = c.c_custkey) AS DOUBLE)
+           AS max_order_amount
+FROM customer c
+WHERE c.c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+  AND c.c_custkey % 10 = 0
+"""
+
+
+@register("sql_correlated_subquery", oracle=_SUBQUERY_SQL)
+def sql_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (max order per customer) + IN
+    subquery filter, executed from the SQL entry point. The oracle is
+    the IDENTICAL text — the portability claim is literal here."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SUBQUERY_SQL)
