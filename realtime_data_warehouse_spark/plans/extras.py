@@ -600,3 +600,47 @@ def pivot_status_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("O").cast("double").alias("o_amount"),
         F.col("P").cast("double").alias("p_amount"),
     )
+
+
+@register(
+    "top_unshipped_orders",
+    oracle="""
+    SELECT l.l_orderkey AS orderkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * CAST(1 - l.l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS order_date
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < DATE '1997-03-15'
+      AND l.l_shipdate  > DATE '1997-03-15'
+    GROUP BY 1, 3
+    ORDER BY revenue DESC, orderkey
+    LIMIT 10
+    """,
+)
+def top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter (broadcast) → fact join →
+    aggregate → top-k. Both date predicates reach the parquet scans
+    (pushdown), the customer side broadcasts, and the final ORDER BY +
+    LIMIT plans TakeOrderedAndProject over the aggregate — per-
+    partition heaps + one driver merge, never a global sort. Ties
+    break on orderkey in BOTH engines so the LIMIT boundary is
+    deterministic."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1997-03-15")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1997-03-15")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = (F.lit(1) - F.col("l_discount")).cast("decimal(3,2)")
+    joined = (
+        li.join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+    )
+    agg = joined.groupBy(
+        F.col("l_orderkey").alias("orderkey"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+    ).agg(F.sum(price * disc).cast("double").alias("revenue"))
+    return agg.orderBy(F.col("revenue").desc(), "orderkey").limit(10).select(
+        "orderkey", "revenue", "order_date"
+    )
