@@ -412,3 +412,69 @@ def stream_daily_uv_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("uu_ct"),
         F.sum("is_first_ever").alias("new_ct"),
     ).select(F.col("dt").alias("cur_date"), "uu_ct", "new_ct")
+
+
+# ---------------------------------------------------------------------------
+# P8 streaming twin — one-pass multi-output split (side outputs)
+# ---------------------------------------------------------------------------
+
+@register(
+    "stream_log_split",
+    oracle="""
+    SELECT 'err' AS route, count(*) AS cnt FROM events WHERE event_type = 'error'
+    UNION ALL
+    SELECT 'start', count(*) FROM events WHERE event_type = 'signup'
+    UNION ALL
+    SELECT 'page', count(*) FROM events WHERE event_type NOT IN ('error', 'signup')
+    UNION ALL
+    SELECT 'display', CAST(COALESCE(SUM(CAST(regexp_extract(props, '[0-9]+') AS INT) % 3), 0) AS BIGINT)
+    FROM events WHERE event_type = 'view'
+    UNION ALL
+    SELECT 'action', count(*) FROM events WHERE event_type = 'click'
+    """,
+)
+def stream_log_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DwdBaseLog's side-output split (P8, DwdBaseLog.java:82-135)
+    executed as a stream: raw JSON values replay as two micro-batches;
+    each batch is parsed once, persisted, and fanned to five real
+    parquet outputs (err/start/page + exploded display/action) inside
+    one foreachBatch — Flink's one-pass side-output property, with
+    append-mode writes accumulating across batches. The returned route
+    cardinalities come from the five MATERIALIZED outputs, so the
+    oracle check covers the parse, the routing predicates, the array
+    explode, and the multi-batch append — not just an aggregate."""
+    from ..operators.etl import parse_json_stream, split_log_stream
+    from ..schemas import TOPIC_LOG
+    from ..sources.batch import fan_out
+    from ..streaming.runner import run_foreach_batch
+    from .dwd import synthesize_log_json
+
+    base = tempfile.mkdtemp(prefix="rdw_streamq_p8_")
+    out_base, ck = os.path.join(base, "out"), os.path.join(base, "ck")
+    events = fan_out(load_table(spark, sf_dir, "events"))
+    in_dir = staged_files_dir(synthesize_log_json(events), base, n_files=2)
+    sdf = (
+        spark.readStream.schema("value string")
+        .option("maxFilesPerTrigger", "1").parquet(in_dir)
+    )
+    parsed = parse_json_stream(sdf, TOPIC_LOG)
+
+    def fan_batch(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.persist()
+        try:
+            for name, route_df in split_log_stream(batch).items():
+                route_df.write.mode("append").parquet(os.path.join(out_base, name))
+        finally:
+            batch.unpersist()
+
+    run_foreach_batch(parsed, fan_batch, ck, output_mode="append")
+    counts = [
+        (
+            route,
+            spark.read.parquet(os.path.join(out_base, route)).count()
+            # a route empty in EVERY batch never creates its dir
+            if os.path.isdir(os.path.join(out_base, route)) else 0,
+        )
+        for route in ("err", "start", "page", "display", "action")
+    ]
+    return spark.createDataFrame(counts, "route string, cnt long")
