@@ -148,8 +148,17 @@ def salted_join(big: DataFrame, small: DataFrame, key: str,
     equi join: every big row still meets exactly its key's small rows
     via the matching replica). Cost: small side × salt_buckets —
     acceptable precisely when the small side broadcasts or nearly
-    does. Results are identical to big.join(small, key, how).
+    does. Results are identical to big.join(small, key, how) for
+    'inner' and 'left' ONLY — those are the supported modes: a
+    'right'/'full' variant would surface each unmatched small-side
+    row once per replica (salt_buckets copies), so it is rejected.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: the "
+            "replicated small side would emit unmatched rows "
+            f"{salt_buckets}x under right/full joins"
+        )
     salted_big = big.withColumn(
         "__salt", (F.rand(seed=42) * salt_buckets).cast("int")
     )
@@ -274,6 +283,12 @@ def range_join(points: DataFrame, intervals: DataFrame,
     `[start_col, end_col)` contains `point_col` (numeric columns —
     callers convert timestamps to epoch first, keeping full precision).
 
+    Inner-only: the containment predicate is applied as a residual
+    filter AFTER the bucket equi-join, so an outer join's unmatched
+    rows (null start/end) would be silently re-dropped by the filter —
+    collapsing it back to inner semantics. Rather than ship that trap,
+    any non-inner `how` is rejected.
+
     Plan: the binning rewrite every range-join-capable engine applies.
     Intervals explode to one row per `bin_width` bucket they overlap
     (`sequence(floor(s/w), floor(e/w))`), points map to their single
@@ -294,6 +309,11 @@ def range_join(points: DataFrame, intervals: DataFrame,
     residual filter discards little. Keyed variants (`keys`) shrink
     buckets further by co-grouping on the equi-key first.
     """
+    if how != "inner":
+        raise ValueError(
+            f"range_join supports how='inner' only, got {how!r}: the "
+            "residual containment filter would drop outer-side rows"
+        )
     # integer `div`, not float division: epoch-micros exceed double's
     # exact-integer range, and a one-ULP error at a bucket boundary
     # would silently drop a matching pair.

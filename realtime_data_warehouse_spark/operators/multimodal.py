@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -125,15 +126,27 @@ def frame_sample(df: DataFrame, id_col: str = "doc_id",
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, idxs, vals = [], [], []
-            for _, row in pdf.iterrows():
-                payload = row[payload_col]
-                for i, off in enumerate(range(0, len(payload), every_n_bytes)):
-                    ids.append(row[id_col])
-                    idxs.append(i)
-                    vals.append(payload[off])
-            yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
-                                "frame_idx": pd.Series(idxs, dtype="int32"),
-                                "frame_byte": pd.Series(vals, dtype="int32")})
+            if not len(pdf):
+                continue
+            # Vectorized fan-out: concat all payloads into one uint8
+            # buffer, compute every frame offset with numpy arithmetic,
+            # and gather — no per-row Python loop over the heaviest
+            # payload family.
+            payloads = pdf[payload_col].to_numpy()
+            lengths = np.fromiter((len(p) for p in payloads), dtype=np.int64,
+                                  count=len(payloads))
+            n_frames = -(-lengths // every_n_bytes)  # ceil-div; 0 for empty
+            row_of = np.repeat(np.arange(len(payloads)), n_frames)
+            idxs = np.arange(n_frames.sum(), dtype=np.int64) - np.repeat(
+                np.concatenate(([0], n_frames.cumsum()[:-1])), n_frames
+            )
+            starts = np.concatenate(([0], lengths.cumsum()[:-1]))
+            buf = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+            offsets = starts[row_of] + idxs * every_n_bytes
+            yield pd.DataFrame({
+                "doc_id": pd.Series(pdf[id_col].to_numpy()[row_of], dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int32"),
+                "frame_byte": pd.Series(buf[offsets], dtype="int32"),
+            })
 
     return df.select(id_col, payload_col).mapInPandas(run, schema)

@@ -158,39 +158,67 @@ def assign_cells(df: DataFrame, centroids: list[list[float]],
 
 
 def kmeans_train(vectors: DataFrame, k: int = 10, iters: int = 5,
-                 id_col: str = "vec_id",
-                 vec_col: str = "embedding") -> list[list[float]]:
-    """Distributed Lloyd's iterations entirely in DataFrame ops:
-    assign (Arrow-batched argmin) → per-cell per-dimension mean (one
-    posexplode + groupBy(cell, pos) shuffle) → collect the k×dim means
-    to the driver as the next model. Deterministic init: the k lowest
-    ids. Empty cells keep their previous centroid.
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 quantize: int | None = None) -> list[list[float]]:
+    """Distributed Lloyd's iterations with Arrow-batched partial sums:
+    each partition fuses assignment (numpy argmin) with per-cell
+    (count, sum-vector) accumulation inside ONE mapInPandas pass, so
+    an iteration moves at most partitions×k tiny rows to the driver —
+    no shuffle at all, versus the naive posexplode → groupBy(cell,
+    pos) rollup whose shuffle input is n_rows × dim rows.
+    Deterministic init: the k lowest ids. Empty cells keep their
+    previous centroid.
 
-    What gets collected per iteration is k×dim aggregate rows — model
-    parameters, not data — so the driver loop is NOT a driver-side
-    data loop; all O(n) work is executor-side. At 100 TB each
-    iteration is one scan + one k×dim-row shuffle, the canonical
-    distributed k-means cost."""
+    What reaches the driver per iteration is k×dim model parameters,
+    not data — the driver loop is NOT a driver-side data loop; all
+    O(n) work is executor-side. At 100 TB each iteration is one scan,
+    the canonical distributed k-means cost.
+
+    ``quantize``: round every centroid coordinate to that many
+    decimals at init and after each update. This makes the trained
+    model reproducible ACROSS ENGINES (an independent replay of the
+    same quantized Lloyd's recurrence — e.g. the DuckDB oracle —
+    converges to bit-identical centroids, because sub-1e-12
+    summation-order noise is absorbed by the 1e-6 grid), which is
+    what lets the trained-IVF query be hash-checked end-to-end."""
     v = vectors.select(F.col(id_col), as_double(vec_col).alias("v"))
-    centroids = [r["v"] for r in v.orderBy(id_col).limit(k).collect()]
+
+    def _q(arr: list[float]) -> list[float]:
+        return [round(x, quantize) for x in arr] if quantize is not None else list(arr)
+
+    centroids = [_q(r["v"]) for r in v.orderBy(id_col).limit(k).collect()]
     dim = len(centroids[0])
+    vec = v.select("v")
     for _ in range(iters):
-        assigned = assign_cells(v, centroids)
-        stats = (
-            assigned.select("cell", F.posexplode("v").alias("pos", "x"))
-            .groupBy("cell", "pos")
-            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
-            .collect()
-        )
-        nxt = [list(c) for c in centroids]
-        sums: dict[int, list[float]] = {}
+        C = np.asarray(centroids, dtype=np.float64)  # (k, d)
+        c2 = (C * C).sum(axis=1)[None, :]
+
+        def partials(batches, C=C, c2=c2):
+            sums = np.zeros((k, dim), dtype=np.float64)
+            counts = np.zeros(k, dtype=np.int64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.asarray([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+                cells = ((X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + c2).argmin(axis=1)
+                np.add.at(sums, cells, X)
+                counts += np.bincount(cells, minlength=k)
+            hit = np.flatnonzero(counts)
+            yield pd.DataFrame({
+                "cell": hit.astype("int32"),
+                "n": counts[hit],
+                "s": [sums[i].tolist() for i in hit],
+            })
+
+        stats = vec.mapInPandas(partials, schema="cell int, n long, s array<double>").collect()
+        sums: dict[int, np.ndarray] = {}
         counts: dict[int, int] = {}
-        for r in stats:
-            sums.setdefault(r["cell"], [0.0] * dim)[r["pos"]] = r["s"]
-            counts[r["cell"]] = r["n"]
+        for r in sorted(stats, key=lambda r: r["cell"]):  # stable reduce order
+            sums[r["cell"]] = sums.get(r["cell"], np.zeros(dim)) + np.asarray(r["s"])
+            counts[r["cell"]] = counts.get(r["cell"], 0) + r["n"]
+        nxt = [list(c) for c in centroids]
         for cell, s in sums.items():
-            n = counts[cell]
-            nxt[cell] = [x / n for x in s]
+            nxt[cell] = _q((s / counts[cell]).tolist())
         centroids = nxt
     return centroids
 

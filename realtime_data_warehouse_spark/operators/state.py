@@ -64,7 +64,15 @@ def first_visit_repair(df: DataFrame, user_col: str, ts_col: str,
     is_new=1, but if the user's first-ever visit was an earlier day it
     is downgraded to 0. Batch form: min(date) over user, compare.
 
-    Adds `first_dt` and `is_new_fixed` columns."""
+    Adds `first_dt` and `is_new_fixed` columns.
+
+    Intentional divergence from the streaming twin
+    (streaming/stateful.is_new_repair_stream): the reference anchors
+    first_dt to the PRIOR day when the first record it observes claims
+    is_new=0 (an old user whose state predates the stream). A batch
+    repair sees the full history, where "before the data started" has
+    no meaning — first_dt here is always the user's true min(date), so
+    a same-day is_new=1 after an is_new=0 keeps its claim."""
     w = Window.partitionBy(user_col)
     with_dt = df.withColumn("__dt", F.to_date(F.col(ts_col)))
     out = with_dt.withColumn("first_dt", F.min("__dt").over(w))

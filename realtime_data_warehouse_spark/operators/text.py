@@ -117,27 +117,36 @@ def hash_bucket(col, buckets: int = 100) -> Column:
 
 
 def chunk_tokens(df, text_col: str = "text", id_col: str = "doc_id",
-                 chunk_size: int = 50, stride: int = 40):
+                 chunk_size: int = 50, stride: int = 40,
+                 passthrough: list[str] | None = None):
     """Context-window chunking for training pipelines: tokenize, then
     emit overlapping `chunk_size`-token windows every `stride` tokens
     (overlap = chunk_size − stride). One projection + one explode —
     map-side only, no shuffle; the fan-out factor is ~len/stride,
     which is the same ratio a loader would create downstream anyway.
 
-    Output: (id, chunk_idx, n_tokens, chunk_text). Only non-empty
-    chunks are emitted; docs with no tokens produce no rows."""
+    `passthrough` columns ride along into every chunk row, so callers
+    never need to join chunks back to the source to recover doc-level
+    attributes (that join is a whole extra shuffle at 100 TB).
+
+    Output: (id, *passthrough, chunk_idx, n_tokens, chunk_text). Only
+    non-empty chunks are emitted; docs with no tokens produce no
+    rows."""
     from ..functions.tokenize import tokenize
 
+    passthrough = passthrough or []
     toks = df.withColumn("__toks", tokenize(text_col)).filter(F.size("__toks") > 0)
     starts = F.sequence(F.lit(1), F.size("__toks"), F.lit(stride))
     exploded = toks.select(
         F.col(id_col),
+        *[F.col(c) for c in passthrough],
         F.col("__toks"),
         F.posexplode(starts).alias("chunk_idx", "start"),
     )
     chunk = F.slice(F.col("__toks"), F.col("start"), chunk_size)
     return exploded.select(
         id_col,
+        *passthrough,
         "chunk_idx",
         F.size(chunk).alias("n_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"),

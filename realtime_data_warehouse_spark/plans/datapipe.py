@@ -374,30 +374,150 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_features")  # pandas-computed features: rows-only check
+@register(
+    "multimodal_features",
+    # SQL twin of operators.multimodal.fake_features: the payload is
+    # UTF-8 of ASCII text, so the byte math (8 chunks of step =
+    # max(1, n//8) bytes, per-chunk mean/255 rounded to 6, empty
+    # chunks falling back to the last `step` bytes, empty payloads to
+    # 0.0) is stated exactly with substr+ascii — the decode stub stays
+    # a stub, but the whole Arrow plumbing is hash-checked end to end.
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, text, length(text) AS n,
+               greatest(1, length(text) // 8) AS step
+        FROM documents
+    ),
+    means AS (
+        SELECT doc_id, CAST(i // step AS INT) AS j,
+               round(avg(ascii(substr(text, CAST(i AS INT) + 1, 1))) / 255.0, 6) AS f
+        FROM d, LATERAL unnest(range(0, least(n, 8 * step))) AS t(i)
+        GROUP BY 1, 2
+    ),
+    fallback AS (
+        SELECT doc_id,
+               round(avg(ascii(substr(text, CAST(i AS INT) + 1, 1))) / 255.0, 6) AS f
+        FROM d, LATERAL unnest(range(greatest(0, n - step), n)) AS t(i)
+        GROUP BY 1
+    ),
+    grid AS (
+        SELECT doc_id, n, CAST(j AS INT) AS j
+        FROM d, LATERAL unnest(range(0, 8)) AS t(j)
+    )
+    SELECT g.doc_id, CAST(g.n AS BIGINT) AS n_bytes, g.j,
+           coalesce(m.f, fb.f, 0.0) AS f
+    FROM grid g
+    LEFT JOIN means m ON m.doc_id = g.doc_id AND m.j = g.j
+    LEFT JOIN fallback fb ON fb.doc_id = g.doc_id
+    """,
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched feature extraction (deterministic fake decode —
     media libs absent; operators.multimodal.fake_features documents
-    the real-decoder hook)."""
+    the real-decoder hook). Emitted long (doc_id, j, f) so every one
+    of the 8 feature slots is value-hashed against the SQL twin."""
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     payloads = M.attach_binary_payload(docs)
     feats = M.extract_features(payloads)
-    return feats.select("doc_id", "n_bytes", F.element_at("features", 1).alias("f0"))
+    return feats.select(
+        "doc_id", "n_bytes", F.posexplode("features").alias("j", "f")
+    )
 
 
-@register("ann_ivf_trained_topk")  # iterative training: rows-only per contract
+# One Lloyd's step in DuckDB SQL: assign every vector to its nearest
+# centroid in {prev} (ties to the lowest cell), then per-cell
+# per-dimension mean, rounded to the same 1e-6 grid kmeans_train's
+# quantize=6 uses; empty cells keep their previous centroid.
+_LLOYD_STEP = """
+    a{i} AS (
+        SELECT vec_id, v, cell FROM (
+            SELECT e.vec_id, e.v, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY list_distance(e.v, c.c), c.cell) AS rk
+            FROM emb e CROSS JOIN {prev} c
+        ) WHERE rk = 1
+    ),
+    m{i} AS (
+        SELECT cell, list(round(s / n, 6) ORDER BY pos) AS c
+        FROM (
+            SELECT cell, pos, SUM(x) AS s, COUNT(*) AS n
+            FROM (SELECT cell, unnest(v) AS x,
+                         generate_subscripts(v, 1) AS pos
+                  FROM a{i})
+            GROUP BY cell, pos
+        )
+        GROUP BY cell
+    ),
+    c{i} AS (
+        SELECT p.cell, coalesce(m{i}.c, p.c) AS c
+        FROM {prev} p LEFT JOIN m{i} USING (cell)
+    )
+"""
+
+_IVF_TRAINED_ORACLE = (
+    """
+    WITH emb AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    c0 AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+               list_transform(v, x -> round(x, 6)) AS c
+        FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT 8)
+    ),
+    """
+    + _LLOYD_STEP.format(i=1, prev="c0") + ","
+    + _LLOYD_STEP.format(i=2, prev="c1") + ","
+    + """
+    corpus AS (
+        SELECT vec_id AS neighbor_id, v AS cv, cell FROM (
+            SELECT e.vec_id, e.v, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY list_distance(e.v, c.c), c.cell) AS rk
+            FROM emb e CROSS JOIN c2 c
+        ) WHERE rk = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, v AS qv, cell FROM (
+            SELECT e.vec_id, e.v, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY list_distance(e.v, c.c), c.cell) AS rk
+            FROM emb e CROSS JOIN c2 c
+            WHERE e.vec_id < 10
+        ) WHERE rk <= 2
+    )
+    SELECT query_id, neighbor_id,
+           round(list_inner_product(qv, cv)
+                 / sqrt(list_inner_product(qv, qv) * list_inner_product(cv, cv)), 6)
+               AS cos_sim
+    FROM probes JOIN corpus USING (cell)
+    WHERE neighbor_id <> query_id
+    QUALIFY row_number() OVER (
+        PARTITION BY query_id
+        ORDER BY list_inner_product(qv, cv)
+                 / sqrt(list_inner_product(qv, qv) * list_inner_product(cv, cv)) DESC,
+                 neighbor_id
+    ) <= 5
+"""
+)
+
+
+@register("ann_ivf_trained_topk", oracle=_IVF_TRAINED_ORACLE)
 def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full trained-IVF pipeline: distributed k-means (5 Lloyd's
-    iterations, deterministic init) → corpus assigned to argmin cells
-    → queries probe their 3 nearest cells → cell-local cosine top-5.
-    K-means is an iterative algorithm — the contract's declared
-    rows-only case; the exactness anchors are ann_brute_topk /
-    ann_ivf_topk (oracle-checked) plus the property test that
-    n_probe = k reproduces brute force exactly."""
+    """Full trained-IVF pipeline, hash-checked END TO END including
+    training: distributed k-means (2 Lloyd's iterations, k=8,
+    deterministic lowest-id init, centroids quantized to the 1e-6
+    grid after every update — see kmeans_train's quantize docs) →
+    corpus assigned to argmin cells → queries probe their 2 nearest
+    cells → cell-local cosine top-5. The oracle replays the identical
+    quantized Lloyd's recurrence as unrolled SQL CTEs; quantization
+    absorbs engine summation-order noise, so both engines train
+    bit-identical centroids and the search result hash-matches.
+    Variant anchors: the n_probe=k ≡ brute-force property test and
+    the inertia non-increase test (unquantized path)."""
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
-    centroids = S.kmeans_train(emb, k=10, iters=5)
+    centroids = S.kmeans_train(emb, k=8, iters=2, quantize=6)
     queries = emb.filter(F.col("vec_id") < 10)
-    return S.ivf_trained_topk(emb, queries, centroids, k=5, n_probe=3)
+    return S.ivf_trained_topk(emb, queries, centroids, k=5, n_probe=2)
 
 
 @register(
@@ -519,11 +639,11 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "split",
         F.when(b < 80, "train").when(b < 90, "val").otherwise("test"),
     )
-    chunks = chunk_tokens(split.select("doc_id", "split", "lang", "text"))
-    enriched = chunks.join(
-        split.select("doc_id", "split", "lang"), "doc_id"
+    chunks = chunk_tokens(
+        split.select("doc_id", "split", "lang", "text"),
+        passthrough=["split", "lang"],
     )
-    return enriched.groupBy("split", "lang").agg(
+    return chunks.groupBy("split", "lang").agg(
         F.count_distinct("doc_id").alias("n_docs"),
         F.count(F.lit(1)).alias("n_chunks"),
     )

@@ -69,23 +69,27 @@ def dim_upsert_batch(warehouse_dir: str, key_expr: str = "rowkey",
     batch, upsert insert/update/bootstrap rows and apply deletes
     (DimHBaseSinkFunction.java:53-105: Put vs Delete by op). One dim
     table = one parquet dir under warehouse_dir.
-    """
+
+    Put/Delete resolve in stream (ts) order WITHIN the batch, like the
+    reference's per-record HBase sink: the max-ts row per rowkey wins,
+    and the key disappears only if that winning row is the delete — a
+    delete followed by a later re-insert of the same rowkey in one
+    micro-batch keeps the re-inserted row (applying all deletes last
+    would wrongly drop it)."""
     def fn(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         batch = batch.persist()
         try:
             for (tbl,) in batch.select(table_col).distinct().collect():
                 tdir = os.path.join(warehouse_dir, tbl)
-                rows = batch.filter(F.col(table_col) == tbl)
-                upserts = rows.filter(F.col(op_col) != "delete").drop(table_col)
-                deletes = rows.filter(F.col(op_col) == "delete").select(key_expr)
+                rows = batch.filter(F.col(table_col) == tbl).drop(table_col)
                 if os.path.exists(tdir):
                     cur = spark.read.parquet(tdir)
-                    merged = cur.unionByName(upserts, allowMissingColumns=True)
+                    merged = cur.unionByName(rows, allowMissingColumns=True)
                 else:
-                    merged = upserts
+                    merged = rows
                 merged = latest_per_key(merged, [key_expr], "ts")
-                merged = merged.join(deletes, key_expr, "left_anti")
+                merged = merged.filter(F.col(op_col) != "delete")
                 _atomic_overwrite(merged, tdir)
         finally:
             batch.unpersist()

@@ -108,10 +108,15 @@ def delta_correct(sdf: DataFrame, key_col: str, ts_col: str,
 
 def daily_first_event_stream(sdf: DataFrame, key_col: str, ts_col: str) -> DataFrame:
     """Emit one row per key per calendar day (UTC) — the daily-UV
-    dedup. State = last emitted date per key; a new day emits, a
-    repeat day is swallowed. Also flags `is_first_ever` (state was
-    empty), covering the login/order/payment window variants that
-    count new vs returning users in one pass.
+    dedup. State = the LAST emitted date per key (a single value, O(1)
+    per key — the reference's last-seen-date ValueState shape): a
+    later day emits, `dt <= last_dt` is swallowed. Batches arrive
+    ts-sorted, so within a batch days are monotone; an event for a day
+    EARLIER than the last emitted one (cross-batch late data) is
+    swallowed too — same outcome the reference's 1-day state TTL
+    produces. Also flags `is_first_ever` (state was empty), covering
+    the login/order/payment window variants that count new vs
+    returning users in one pass.
     """
     out_schema = T.StructType([
         T.StructField(key_col, T.StringType()),
@@ -119,25 +124,25 @@ def daily_first_event_stream(sdf: DataFrame, key_col: str, ts_col: str) -> DataF
         T.StructField("first_ts", T.LongType()),
         T.StructField("is_first_ever", T.IntegerType()),
     ])
-    state_schema = T.StructType([T.StructField("seen_dates", T.ArrayType(T.StringType()))])
+    state_schema = T.StructType([T.StructField("last_dt", T.StringType())])
 
     def fn(key, chunks: Iterator[pd.DataFrame], state: GroupState):
         pdf = _concat(chunks)
         if pdf.empty:
             return
         pdf = pdf.sort_values(ts_col, kind="stable")
-        seen = list(state.get[0]) if state.exists else []
-        first_ever = not seen
+        last_dt = state.get[0] if state.exists else None
+        first_ever = last_dt is None
         out = []
         for row in pdf.itertuples(index=False):
             rd = row._asdict()
             ts = int(rd[ts_col])
             dt = pd.Timestamp(ts, unit="s", tz="UTC").strftime("%Y-%m-%d")
-            if dt not in seen:
+            if last_dt is None or dt > last_dt:
                 out.append([key[0], dt, ts, 1 if first_ever else 0])
-                seen.append(dt)
+                last_dt = dt
                 first_ever = False
-        state.update((seen,))
+        state.update((last_dt,))
         if out:
             yield pd.DataFrame(out, columns=[key_col, "dt", "first_ts", "is_first_ever"])
 
@@ -156,6 +161,14 @@ def is_new_repair_stream(sdf: DataFrame, key_col: str, ts_col: str,
     is_new=1 on a later day is downgraded to 0. Emits every input row
     with `is_new_fixed` + the tracked `first_dt` — the streaming twin
     of operators/state.first_visit_repair.
+
+    Reference nuance (DwdBaseLog.isNewFix): when the FIRST record we
+    ever see for a key claims is_new=0, that key is an old user whose
+    state predates the stream — first_dt initializes to the PRIOR day,
+    so a later same-day forged is_new=1 from that user is still
+    downgraded (dt > first_dt). The batch twin sees the whole history
+    at once and cannot observe "old user before the stream started";
+    its docstring notes the intentional divergence.
     """
     out_schema = T.StructType([
         T.StructField(key_col, T.StringType()),
@@ -176,10 +189,19 @@ def is_new_repair_stream(sdf: DataFrame, key_col: str, ts_col: str,
             rd = row._asdict()
             ts = int(rd[ts_col])
             dt = pd.Timestamp(ts, unit="s", tz="UTC").strftime("%Y-%m-%d")
-            if first_dt is None:
-                first_dt = dt
             claimed = rd.get(is_new_col)
             claimed_i = 1 if claimed in (1, "1", True) else 0
+            if first_dt is None:
+                if claimed is not None and claimed_i == 0:
+                    # old user whose pre-stream state we never saw:
+                    # anchor first_dt to the prior day (reference
+                    # DwdBaseLog.isNewFix) so same-day is_new=1
+                    # forgeries still read dt > first_dt
+                    first_dt = (
+                        pd.Timestamp(ts, unit="s", tz="UTC") - pd.Timedelta(days=1)
+                    ).strftime("%Y-%m-%d")
+                else:
+                    first_dt = dt
             fixed = 0 if dt > first_dt else (claimed_i if claimed is not None else 1)
             out.append([key[0], ts, first_dt, fixed])
         state.update((first_dt,))

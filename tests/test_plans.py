@@ -199,3 +199,16 @@ def test_aqe_splits_skewed_join(spark, tmp_path):
     finally:
         for key, val in prev.items():
             spark.conf.set(key, val)
+
+
+def test_curation_pipeline_has_no_join(spark, sf_small):
+    """chunk_tokens(passthrough=...) carries split/lang into the chunk
+    rows, so the pipeline must not plan ANY join (the old join-back to
+    recover doc attributes was a whole extra shuffle at 100 TB)."""
+    plan = physical_plan(QUERIES["curation_pipeline"](spark, sf_small))
+    assert "Join" not in plan, "curation_pipeline re-grew a join"
+    # exchanges: the fingerprint-dedup groupBy + the final aggregate's
+    # count-distinct two-phase ((split,lang,doc_id) partial then
+    # (split,lang)) — anything beyond those three is a regression (the
+    # old join-back planned a fourth).
+    assert plan.count("Exchange hashpartitioning") <= 3, plan

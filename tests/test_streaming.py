@@ -256,6 +256,30 @@ def test_upsert_sink_latest_per_key(spark, tmp_path):
     assert got == {("a", 3, "v3"), ("b", 2, "w2"), ("c", 1, "x1")}
 
 
+def test_dim_upsert_delete_then_reinsert_in_one_batch(spark, tmp_path):
+    """K6 stream-order regression: within one micro-batch, a delete
+    followed by a later re-insert of the same rowkey must KEEP the
+    re-inserted row (Put/Delete resolve in ts order like the
+    reference's HBase sink, not deletes-last)."""
+    from realtime_data_warehouse_spark.streaming.sinks import dim_upsert_batch
+
+    rows = [
+        ("k1", 1, "insert", "old"),
+        ("k1", 2, "delete", None),
+        ("k1", 3, "insert", "new"),   # re-insert after the delete
+        ("k2", 1, "insert", "keep"),
+        ("k3", 1, "insert", "gone"),
+        ("k3", 2, "delete", None),    # delete is the final op -> gone
+    ]
+    batch = spark.createDataFrame(
+        rows, "rowkey string, ts long, type string, val string"
+    ).withColumn("sink_table", F.lit("dim_t"))
+    wh = str(tmp_path / "wh")
+    dim_upsert_batch(wh)(batch, 0)
+    got = {(r.rowkey, r.val) for r in spark.read.parquet(wh + "/dim_t").collect()}
+    assert got == {("k1", "new"), ("k2", "keep")}
+
+
 def test_checkpoint_restart_is_idempotent(spark, tmp_path):
     """T10: re-running a drained availableNow query against the same
     checkpoint adds nothing — the exactly-once file-sink contract."""
