@@ -45,6 +45,9 @@ HEADLINE = [
     "time_bucket_rollup_events",
     "percentile_revenue",
     "curation_pipeline",
+    "decontaminate_train",
+    "quality_repetition",
+    "label_centroids",
 ]
 
 

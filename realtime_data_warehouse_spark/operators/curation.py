@@ -1,0 +1,225 @@
+"""Corpus-curation operators for LLM training-data pipelines:
+benchmark decontamination, repetition-based quality signals,
+per-domain quota capping, stratified sampling, sequence packing and
+keep-first dedup policy. These extend the reference's warehouse
+surface (no analogue in /root/reference) with the operations a
+100 TB pretraining-data pipeline runs between "raw documents" and
+"training batches".
+
+Every operator here is expression-first (JVM codegen, no Python in
+the hot path) and shuffles only on engineered keys whose cardinality
+stays uniform at scale — the same design rule as operators/dedup.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.tokenize import tokenize
+from .dedup import token_ngrams
+from .text import hash_bucket
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+def ngram_inventory(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", n: int = 3) -> DataFrame:
+    """(id, gram) inverted index of distinct token n-grams — the unit
+    of contamination evidence. Token array is materialized in its own
+    projection first (see dedup.with_shingles for why)."""
+    toked = df.select(F.col(id_col), tokenize(text_col).alias("__toks"))
+    return toked.select(
+        id_col, F.explode(token_ngrams(F.col("__toks"), n)).alias("gram")
+    )
+
+
+def decontaminate(train: DataFrame, benchmark: DataFrame,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  n: int = 3, broadcast_benchmark: bool = True) -> DataFrame:
+    """Drop training docs sharing ANY token n-gram with a benchmark
+    corpus — the standard eval-decontamination pass (the n-gram
+    overlap rule used by GPT-3/PaLM-style dataset reports, typically
+    with n=8..13 on real corpora; the synthetic docs here are short,
+    so tests use smaller n).
+
+    Plan shape at 100 TB: the benchmark gram set is tiny relative to
+    the corpus (benchmarks are MBs, corpora are TBs) — distinct it and
+    broadcast into the semi join, so the corpus-side gram explosion
+    never shuffles: tokenize → explode → broadcast-semi-join →
+    distinct ids is map-side except the final small distinct.
+    Returns `train` minus contaminated docs.
+    """
+    bench_grams = ngram_inventory(benchmark, id_col, text_col, n).select(
+        "gram"
+    ).distinct()
+    if broadcast_benchmark:
+        bench_grams = F.broadcast(bench_grams)
+    contaminated = (
+        ngram_inventory(train, id_col, text_col, n)
+        .join(bench_grams, "gram")
+        .select(id_col)
+        .distinct()
+    )
+    return train.join(contaminated, id_col, "left_anti")
+
+
+def contaminated_ids(train: DataFrame, benchmark: DataFrame,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     n: int = 3) -> DataFrame:
+    """The complement view: ids of train docs that hit the benchmark."""
+    bench_grams = F.broadcast(
+        ngram_inventory(benchmark, id_col, text_col, n).select("gram").distinct()
+    )
+    return (
+        ngram_inventory(train, id_col, text_col, n)
+        .join(bench_grams, "gram")
+        .select(id_col)
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repetition / quality signals (MassiveText-style filters)
+# ---------------------------------------------------------------------------
+
+def _max_run_length(sorted_toks: Column) -> Column:
+    """Longest run of equal adjacent elements in a SORTED array ==
+    max per-token frequency, computed in one O(n) aggregate pass —
+    no explode, no (doc, token) shuffle; stays inside codegen."""
+    init = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(sorted_toks, init, step, lambda acc: acc["best"])
+
+
+def repetition_stats(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Per-doc repetition signals, entirely map-side:
+
+    - n_tokens
+    - distinct_ratio   |distinct tokens| / n
+    - top_word_frac    max token frequency / n (Zipf head weight)
+    - dup_bigram_frac  1 − |distinct bigrams| / |bigrams|
+
+    These are the word-level analogues of the MassiveText repetition
+    filters (duplicate-line / top-n-gram fractions); a doc failing
+    them is boilerplate or spam. Zero shuffles: every signal is an
+    array expression over the doc's own tokens."""
+    toked = df.select(F.col(id_col), tokenize(text_col).alias("__toks"))
+    n = F.size("__toks")
+    bigrams = token_ngrams(F.col("__toks"), 2)
+    return toked.select(
+        id_col,
+        n.cast("long").alias("n_tokens"),
+        F.when(n > 0, F.round(F.size(F.array_distinct("__toks")) / n, 6))
+        .otherwise(F.lit(0.0)).alias("distinct_ratio"),
+        F.when(n > 0, F.round(_max_run_length(F.array_sort("__toks")) / n, 6))
+        .otherwise(F.lit(0.0)).alias("top_word_frac"),
+        F.when(n >= 2, F.round(F.lit(1.0) - F.size(bigrams) / (n - 1), 6))
+        .otherwise(F.lit(0.0)).alias("dup_bigram_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quota capping & stratified sampling
+# ---------------------------------------------------------------------------
+
+def _hash_order(id_col: str) -> Column:
+    """Engine-portable deterministic shuffle order: the 60-bit md5
+    prefix of the id's string form (same fold as text.hash_bucket)."""
+    return F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+
+
+def quota_cap(df: DataFrame, key_col: str = "source",
+              per_key: int = 100, id_col: str = "doc_id") -> DataFrame:
+    """Keep at most `per_key` docs per key, chosen by deterministic
+    hash order (a reproducible uniform sample of each key's docs, not
+    head-of-scan bias). The anti-skew guard of web corpora: no domain
+    may dominate the mixture.
+
+    One shuffle on key_col; rank is a window row_number, so AQE's
+    skew split plus the per-key cap bound the tail. Adds `cap_rank`
+    (1-based)."""
+    w = Window.partitionBy(key_col).orderBy(_hash_order(id_col), F.col(id_col))
+    return (
+        df.withColumn("cap_rank", F.row_number().over(w))
+        .filter(F.col("cap_rank") <= per_key)
+    )
+
+
+def stratified_sample(df: DataFrame, rates: dict[str, int],
+                      strata_col: str = "lang", id_col: str = "doc_id",
+                      default_pct: int = 0) -> DataFrame:
+    """Per-stratum deterministic sampling: keep a doc iff its
+    hash_bucket(id) < rates[stratum] (percent). Map-side only, no
+    sampling state, reproducible from any engine — how mixture
+    rebalancing (up/down-weighting languages or sources) is done on
+    an immutable 100 TB corpus: the sample IS a filter, re-derivable
+    anywhere, never a materialized copy."""
+    rate = F.lit(default_pct)
+    for stratum, pct in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == stratum, F.lit(pct)).otherwise(rate)
+    return df.withColumn("__b", hash_bucket(id_col, 100)).filter(
+        F.col("__b") < rate
+    ).drop("__b")
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (concat-and-slice)
+# ---------------------------------------------------------------------------
+
+def pack_sequences(chunks: DataFrame, budget: int,
+                   group_cols: Sequence[str],
+                   order_cols: Sequence[str] = ("doc_id", "chunk_idx"),
+                   tokens_col: str = "n_tokens") -> DataFrame:
+    """Assign chunks to fixed-budget training sequences by
+    concat-and-slice: lay the group's chunks end to end in
+    deterministic order and cut every `budget` tokens — pack_id =
+    floor(running_start / budget). This is the packing real LLM
+    loaders use (concatenate, then slice context windows); unlike
+    greedy first-fit it is a pure window expression, identically
+    reproducible in any engine.
+
+    Scale: the running sum is per-group ordered, so groups must be
+    sharded to bounded size upstream (pass a hash shard in
+    group_cols — the plans layer does) or the biggest group becomes
+    one sorting task. Adds `pack_id` and `pack_offset`."""
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum(tokens_col).over(w) - F.col(tokens_col)
+    return chunks.withColumn("pack_id", (start / budget).cast("long")).withColumn(
+        "pack_offset", (start % budget).cast("long")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Keep-first dedup policy
+# ---------------------------------------------------------------------------
+
+def keep_first(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+               loser_col: str = "doc_b") -> DataFrame:
+    """Apply a near-dup pair set as a dedup POLICY: drop every doc
+    that has a near-duplicate with a smaller id ("first occurrence
+    wins" — the policy MinHash dedup pipelines apply after pair
+    generation). `pairs` must emit (doc_a < doc_b); any doc appearing
+    as doc_b loses. One anti join against the (small) loser set."""
+    losers = pairs.select(F.col(loser_col).alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")

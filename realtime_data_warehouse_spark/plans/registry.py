@@ -157,6 +157,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Pipeline modules register themselves on import (they import
 # `register` from here, so this must stay at the bottom).
+from . import curation  # noqa: E402,F401
 from . import datapipe  # noqa: E402,F401
 from . import dim  # noqa: E402,F401
 from . import dwd  # noqa: E402,F401
@@ -199,7 +200,17 @@ _GATE_ORDER = [
     "stream_sessionize_user_events",
     "stream_daily_uv_window",
     "stream_log_split",
-    # -- 2. changed in round 2 (re-verify) ------------------------------
+    # -- 2a. new in round 2 (never driver-checked) ----------------------
+    "decontaminate_train",
+    "quality_repetition",
+    "domain_quota_cap",
+    "stratified_sample_langs",
+    "pack_sequences_by_lang",
+    "corpus_mixture_weights",
+    "dedup_keep_first",
+    "semdedup_keep_first",
+    "label_centroids",
+    # -- 2b. changed in round 2 (re-verify) -----------------------------
     "ann_ivf_trained_topk",
     "multimodal_features",
     "doc_chunking",
@@ -221,17 +232,14 @@ _GATE_ORDER = [
     "dws_keyword_count",
     "dws_sku_order_window",
     "dws_province_order_window",
-    "dws_user_login_window",
-    "dws_user_register_window",
-    "dws_trade_order_window",
-    "dws_cart_add_uu_window",
-    "dws_payment_suc_window",
-    "dws_traffic_vc_ch_ar_is_new_window",
     "a6_latest_per_key_sum",
     "pricing_summary",
-    "dedup_minhash_lsh",
-    "dedup_exact_stats",
-    "ann_ivf_topk",
+    # (9 more r01-green anchors rotated past the cap this round to
+    # make room for the new section-2a queries: dws_user_login/
+    # register/trade_order/cart_add_uu/payment_suc/vc_ch_ar_is_new
+    # windows, dedup_exact_stats, dedup_minhash_lsh, ann_ivf_topk —
+    # all unchanged since CORRECTNESS_r01 verified them, all still
+    # covered by tests/.)
     # -- 4. green in round 1, untouched — rotate past the cap -----------
     # (remaining names keep their definition order below)
 ]

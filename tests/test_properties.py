@@ -87,3 +87,56 @@ def test_prefix_filter_jaccard_complete_vs_bruteforce(spark, docs):
             if jac >= threshold:
                 want.add((i, j))
     assert got == want
+
+
+_token = st.sampled_from(["a", "b", "c", "dd", "eee"])
+
+
+@given(docs=st.lists(st.lists(_token, min_size=0, max_size=12),
+                     min_size=1, max_size=6))
+@_settings
+def test_repetition_stats_equals_python_reference(spark, docs):
+    """Curation repetition signals (computed as one O(n) array
+    aggregate over sorted tokens) equal the naive Python counts."""
+    from collections import Counter
+
+    from realtime_data_warehouse_spark.operators.curation import repetition_stats
+
+    rows = [(i, "en", " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {r.doc_id: r for r in repetition_stats(df).collect()}
+    for i, toks in enumerate(docs):
+        n = len(toks)
+        r = got[i]
+        assert r.n_tokens == n
+        if n == 0:
+            assert (r.distinct_ratio, r.top_word_frac, r.dup_bigram_frac) == (0.0, 0.0, 0.0)
+            continue
+        assert r.distinct_ratio == round(len(set(toks)) / n, 6)
+        assert r.top_word_frac == round(Counter(toks).most_common(1)[0][1] / n, 6)
+        grams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        want_dup = round(1 - len(set(grams)) / (n - 1), 6) if n >= 2 else 0.0
+        assert r.dup_bigram_frac == want_dup
+
+
+@given(chunks=st.lists(st.tuples(st.integers(0, 5), st.integers(1, 300)),
+                       min_size=1, max_size=25),
+       budget=st.sampled_from([64, 256]))
+@_settings
+def test_pack_sequences_equals_python_fold(spark, chunks, budget):
+    """Concat-and-slice packing: pack_id/pack_offset equal the running
+    Python fold over (doc_id, chunk_idx) order — the loader contract."""
+    from realtime_data_warehouse_spark.operators.curation import pack_sequences
+
+    rows = [(doc, idx, nt) for idx, (doc, nt) in enumerate(chunks)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, chunk_idx int, n_tokens int"
+    ).withColumn("g", F.lit("x"))
+    got = {
+        (r.doc_id, r.chunk_idx): (r.pack_id, r.pack_offset)
+        for r in pack_sequences(df, budget=budget, group_cols=("g",)).collect()
+    }
+    start = 0
+    for doc, idx, nt in sorted(rows, key=lambda r: (r[0], r[1])):
+        assert got[(doc, idx)] == (start // budget, start % budget)
+        start += nt
