@@ -29,7 +29,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.batch import load_table
-from ..streaming.runner import read_back, run_available_now, staged_files_dir
+from ..streaming.runner import (
+    read_back,
+    run_available_now,
+    run_foreach_batch,
+    staged_files_dir,
+)
 from ..streaming.stateful import delta_correct
 from ..streaming.windows import EVENTS_RAW, stream_events, streaming_tumble
 from .registry import register
@@ -478,3 +483,91 @@ def stream_log_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         for route in ("err", "start", "page", "display", "action")
     ]
     return spark.createDataFrame(counts, "route string, cnt long")
+
+
+# ---------------------------------------------------------------------------
+# Streaming-ingest curation twins — the training-data operators run
+# the way an incremental 100 TB ingest runs them: as streams.
+# ---------------------------------------------------------------------------
+
+@register(
+    "stream_dedup_exact_keep_first",
+    oracle="""
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+           CAST(min(doc_id) AS BIGINT) AS doc_id
+    FROM documents GROUP BY 1
+    """,
+)
+def stream_dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup as STREAMING INGEST: documents replayed as four
+    micro-batches; each batch MERGEs into the survivor table keyed on
+    the normalized-text fingerprint, ordered so the smallest doc_id
+    wins ("first occurrence") regardless of how the stream is split
+    into batches. This is the incremental form of dedup_exact_stats —
+    a new day's crawl lands as a batch and only the keeper set
+    changes; the oracle is the global min-per-fingerprint the batch
+    engine computes in one shot."""
+    from ..operators.text import fingerprint
+    from ..streaming.sinks import upsert_batch
+
+    _, out, ck = _dirs()
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", fingerprint("text").alias("fp"),
+        (-F.col("doc_id")).alias("neg_id"),
+    )
+    staged = tempfile.mkdtemp(prefix="rdw_streamq_dedup_")
+    in_dir = staged_files_dir(docs, staged, n_files=4, order_col="doc_id")
+    sdf = (
+        spark.readStream.schema("doc_id long, fp string, neg_id long")
+        .option("maxFilesPerTrigger", "1").parquet(in_dir)
+    )
+    run_foreach_batch(sdf, upsert_batch(out, ["fp"], "neg_id"), ck)
+    return read_back(spark, out).select("fp", "doc_id")
+
+
+@register(
+    "stream_quality_filter",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                               t -> t <> '')) AS n_tokens,
+               len(list_filter(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                           t -> t <> ''),
+                   t -> list_contains(['the','a','of','and','to','in','is'], t)))
+                   / len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                     t -> t <> '')) AS stop_ratio
+        FROM documents
+    )
+    SELECT doc_id, lang, n_tokens, round(stop_ratio, 6) AS stop_ratio
+    FROM scored
+    WHERE n_tokens BETWEEN 20 AND 500 AND stop_ratio >= 0.01
+    """,
+)
+def stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The text quality gate as stateless streaming ETL (T3: no
+    watermark needed — pure per-record scoring): token-band +
+    stopword-ratio filter applied inside the stream, append sink,
+    read back. Same oracle as the batch twin text_quality_filter —
+    stream ≡ batch ≡ SQL for the curation ingest path."""
+    from ..operators.text import stopword_ratio, ws_token_count
+
+    _, out, ck = _dirs()
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    staged = tempfile.mkdtemp(prefix="rdw_streamq_q_")
+    in_dir = staged_files_dir(docs, staged, n_files=2, order_col="doc_id")
+    sdf = spark.readStream.schema("doc_id long, lang string, text string").option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(in_dir)
+    scored = sdf.select(
+        "doc_id", "lang",
+        ws_token_count("text").alias("n_tokens"),
+        stopword_ratio("text").alias("stop_ratio_raw"),
+    ).filter(
+        (F.col("n_tokens").between(20, 500)) & (F.col("stop_ratio_raw") >= 0.01)
+    ).select(
+        "doc_id", "lang", "n_tokens",
+        F.round("stop_ratio_raw", 6).alias("stop_ratio"),
+    )
+    run_available_now(scored, out, ck)
+    return read_back(spark, out)
