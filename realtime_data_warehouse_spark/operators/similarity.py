@@ -102,6 +102,59 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
+def lsh_sign_bucket(vec_col, bits: int = 8, stride: int = 8) -> F.Column:
+    """Coordinate-sign LSH bucket: bit i = sign(v[i*stride]), folded
+    into an int in [0, 2^bits). The simplest member of the
+    random-hyperplane family (hyperplanes = coordinate axes — no
+    stored model, any engine reproduces it bit-for-bit); swapping in
+    seeded random hyperplanes changes only the projection, not the
+    plan. Pure expression, map-side."""
+    v = as_double(vec_col) if isinstance(vec_col, str) else vec_col
+    bucket = F.lit(0)
+    for i in range(bits):
+        bucket = bucket + F.when(
+            F.element_at(v, i * stride + 1) >= 0, F.lit(1 << i)
+        ).otherwise(F.lit(0))
+    return bucket.cast("int")
+
+
+def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             bits: int = 8, stride: int = 8) -> DataFrame:
+    """LSH-bucketed ANN — the hash-partitioned scale path the task's
+    similarity-search family calls for alongside IVF: corpus and
+    probes bucket by sign-LSH, candidates come from a bucket
+    equi-join (shuffle moves only same-bucket rows; 2^bits buckets
+    are uniform by construction for centered embeddings), cosine
+    rank within the bucket. Approximate by design: recall is
+    bucket-collision probability, the exactness anchor is
+    brute_force_topk."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"),
+    ).withColumn("bucket", lsh_sign_bucket(F.col("qv"), bits, stride)).withColumn(
+        "qn", norm2(F.col("qv"))
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv"),
+    ).withColumn("bucket", lsh_sign_bucket(F.col("cv"), bits, stride)).withColumn(
+        "cn", norm2(F.col("cv"))
+    )
+    pairs = c.join(F.broadcast(q), "bucket").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = pairs.withColumn(
+        "cos_sim", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"))
+    )
+
+
 def cosine_near_dup_pairs(vectors: DataFrame, threshold: float = 0.95,
                           id_col: str = "vec_id", vec_col: str = "embedding",
                           block_col: str = "label") -> DataFrame:

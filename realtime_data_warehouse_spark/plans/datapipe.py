@@ -424,6 +424,48 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_lsh_topk",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+               (CASE WHEN embedding[1]  >= 0 THEN 1   ELSE 0 END
+              + CASE WHEN embedding[9]  >= 0 THEN 2   ELSE 0 END
+              + CASE WHEN embedding[17] >= 0 THEN 4   ELSE 0 END
+              + CASE WHEN embedding[25] >= 0 THEN 8   ELSE 0 END
+              + CASE WHEN embedding[33] >= 0 THEN 16  ELSE 0 END
+              + CASE WHEN embedding[41] >= 0 THEN 32  ELSE 0 END
+              + CASE WHEN embedding[49] >= 0 THEN 64  ELSE 0 END
+              + CASE WHEN embedding[57] >= 0 THEN 128 ELSE 0 END) AS bucket
+        FROM embeddings
+    )
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round(list_inner_product(q.e, c.e)
+                 / sqrt(list_inner_product(q.e, q.e) * list_inner_product(c.e, c.e)), 6)
+               AS cos_sim
+    FROM v q JOIN v c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+    WHERE q.vec_id < 10
+    QUALIFY row_number() OVER (
+        PARTITION BY q.vec_id
+        ORDER BY list_inner_product(q.e, c.e)
+                 / sqrt(list_inner_product(q.e, q.e) * list_inner_product(c.e, c.e)) DESC,
+                 c.vec_id
+    ) <= 5
+    """,
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed cosine top-5 (similarity.lsh_topk): sign-hash
+    buckets as the partition key, candidates from the bucket
+    equi-join — the third ANN strategy next to brute force (exact
+    anchor) and IVF (centroid cells). Note the comparison is
+    float-sign on the RAW float column in both engines (the oracle
+    tests embedding[i] before the double cast) so bucket assignment
+    is bit-identical."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.lsh_topk(emb, queries, k=5)
+
+
 # One Lloyd's step in DuckDB SQL: assign every vector to its nearest
 # centroid in {prev} (ties to the lowest cell), then per-cell
 # per-dimension mean, rounded to the same 1e-6 grid kmeans_train's

@@ -212,6 +212,8 @@ _GATE_ORDER = [
     "label_centroids",
     "stream_dedup_exact_keep_first",
     "stream_quality_filter",
+    "ann_lsh_topk",
+    "stream_pack_sequences",
     # -- 2b. changed in round 2 (re-verify) -----------------------------
     "ann_ivf_trained_topk",
     "multimodal_features",
@@ -232,14 +234,14 @@ _GATE_ORDER = [
     "dwd_base_db_routing",
     "dws_traffic_page_view_window",
     "dws_keyword_count",
-    "a6_latest_per_key_sum",
-    "pricing_summary",
-    # (11 more r01-green anchors rotated past the cap this round to
+    # (13 more r01-green anchors (incl. pricing_summary) rotated past
+    # the cap this round to
     # make room for the new section-2a queries: dws_sku_order/
     # province_order/user_login/register/trade_order/cart_add_uu/
-    # payment_suc/vc_ch_ar_is_new windows, dedup_exact_stats,
-    # dedup_minhash_lsh, ann_ivf_topk — all unchanged since
-    # CORRECTNESS_r01 verified them, all still covered by tests/.)
+    # payment_suc/vc_ch_ar_is_new windows, a6_latest_per_key_sum,
+    # dedup_exact_stats, dedup_minhash_lsh, ann_ivf_topk — all
+    # unchanged since CORRECTNESS_r01 verified them, all still
+    # covered by tests/.)
     # -- 4. green in round 1, untouched — rotate past the cap -----------
     # (remaining names keep their definition order below)
 ]

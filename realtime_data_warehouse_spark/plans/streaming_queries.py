@@ -571,3 +571,74 @@ def stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_available_now(scored, out, ck)
     return read_back(spark, out)
+
+
+@register(
+    "stream_pack_sequences",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           t -> t <> '') AS t
+        FROM documents
+    ),
+    starts AS (
+        SELECT doc_id, lang, t,
+               unnest(range(1, len(t) + 1, 40)) AS start,
+               generate_subscripts(range(1, len(t) + 1, 40), 1) - 1 AS chunk_idx
+        FROM toks WHERE len(t) > 0
+    ),
+    chunks AS (
+        SELECT doc_id, lang,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                   % 4 AS shard,
+               chunk_idx, len(t[start : start + 49]) AS n_tokens
+        FROM starts
+    ),
+    packed AS (
+        SELECT lang, shard, doc_id, n_tokens,
+               SUM(n_tokens) OVER (
+                   PARTITION BY lang, shard ORDER BY doc_id, chunk_idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - n_tokens AS st
+        FROM chunks
+    )
+    SELECT lang, CAST(shard AS INTEGER) AS shard,
+           CAST(st // 256 AS BIGINT) AS pack_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM packed GROUP BY 1, 2, 3
+    """,
+)
+def stream_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing as a keyed stateful STREAM: chunked documents
+    replayed as three micro-batches in doc order; one running
+    token-offset ValueState per (lang, shard) group continues packs
+    across batch boundaries (streaming/stateful.pack_stream). Same
+    oracle as the batch twin pack_sequences_by_lang — the
+    stream ≡ batch ≡ SQL guarantee for a custom stateful operator
+    Spark's declarative surface can't express."""
+    from ..operators.curation import pack_sequences  # noqa: F401  (batch twin)
+    from ..operators.text import chunk_tokens, hash_bucket
+    from ..streaming.stateful import pack_stream
+
+    _, out, ck = _dirs()
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunk_tokens(
+        docs.select("doc_id", "lang", "text"), passthrough=["lang"]
+    ).withColumn("shard", hash_bucket("doc_id", 4).cast("int")).select(
+        "lang", "shard", "doc_id", "chunk_idx", "n_tokens"
+    )
+    staged = tempfile.mkdtemp(prefix="rdw_streamq_pack_")
+    in_dir = staged_files_dir(chunks, staged, n_files=3, order_col="doc_id")
+    sdf = spark.readStream.schema(
+        "lang string, shard int, doc_id long, chunk_idx int, n_tokens int"
+    ).option("maxFilesPerTrigger", "1").parquet(in_dir)
+    packed = pack_stream(sdf, group_cols=("lang", "shard"))
+    run_available_now(packed, out, ck)
+    return read_back(spark, out).groupBy("lang", "shard", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.count_distinct("doc_id").alias("n_docs"),
+    )

@@ -210,3 +210,53 @@ def is_new_repair_stream(sdf: DataFrame, key_col: str, ts_col: str,
     return sdf.groupBy(key_col).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing as a keyed stateful stream (curation ingest path)
+# ---------------------------------------------------------------------------
+
+def pack_stream(sdf: DataFrame, group_cols: Sequence[str],
+                order_cols: Sequence[str] = ("doc_id", "chunk_idx"),
+                tokens_col: str = "n_tokens", budget: int = 256) -> DataFrame:
+    """Concat-and-slice sequence packing as STREAMING INGEST: per
+    (group) key, a single running-token-offset ValueState carries the
+    position in the virtual concatenated token stream across
+    micro-batches, so chunks arriving in later batches continue the
+    same packs the earlier batches started — pack_id/pack_offset come
+    out identical to the batch window-cumsum form
+    (operators/curation.pack_sequences) however the stream is split.
+
+    State is one long per group (the groups are the lang×shard grid,
+    not per-doc), the cheapest state shape possible; the per-batch
+    work is a vectorized numpy cumsum. Requires the replay to deliver
+    each group's chunks in (order_cols) order across batches — the
+    same per-partition-order contract Kafka gives the reference."""
+    import numpy as np
+
+    out_schema = T.StructType(
+        list(sdf.schema.fields)
+        + [T.StructField("pack_id", T.LongType()),
+           T.StructField("pack_offset", T.LongType())]
+    )
+    state_schema = T.StructType([T.StructField("start", T.LongType())])
+    cols = [f.name for f in out_schema.fields]
+
+    def fn(key, chunks: Iterator[pd.DataFrame], state: GroupState):
+        pdf = _concat(chunks)
+        if pdf.empty:
+            return
+        pdf = pdf.sort_values(list(order_cols), kind="stable")
+        for gc, kv in zip(group_cols, key):
+            pdf[gc] = kv
+        start = state.get[0] if state.exists else 0
+        nt = pdf[tokens_col].to_numpy("int64")
+        before = start + np.concatenate(([0], nt.cumsum()[:-1]))
+        pdf["pack_id"] = before // budget
+        pdf["pack_offset"] = before % budget
+        state.update((int(start + nt.sum()),))
+        yield pdf[cols]
+
+    return sdf.groupBy(*group_cols).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
