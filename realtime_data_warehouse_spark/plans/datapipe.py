@@ -466,6 +466,40 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(emb, queries, k=5)
 
 
+@register(
+    "embedding_normalize",
+    oracle="""
+    SELECT vec_id, CAST(gs - 1 AS INTEGER) AS pos,
+           round(x / sqrt(list_inner_product(e, e)), 6) AS val
+    FROM (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+               unnest(CAST(embedding AS DOUBLE[])) AS x,
+               generate_subscripts(embedding, 1) AS gs
+        FROM embeddings
+    )
+    """,
+)
+def embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-normalize every embedding — the standard pre-ANN/pre-dedup
+    transform (unit vectors make cosine = dot). Entirely JVM-side
+    array expressions: the norm is a sequential fold (same summation
+    order as the oracle's list_inner_product, so the doubles are
+    bit-identical), materialized in its own projection before the
+    per-element divide (HOF lambdas have no CSE). Emitted long
+    (vec_id, pos, val) so every coordinate is value-hashed."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = S.as_double("embedding")
+    staged = emb.select(
+        "vec_id", v.alias("v"),
+        F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)).alias("n"),
+    )
+    return staged.select(
+        "vec_id",
+        F.posexplode(F.transform("v", lambda x: F.round(x / F.col("n"), 6)))
+        .alias("pos", "val"),
+    )
+
+
 # One Lloyd's step in DuckDB SQL: assign every vector to its nearest
 # centroid in {prev} (ties to the lowest cell), then per-cell
 # per-dimension mean, rounded to the same 1e-6 grid kmeans_train's

@@ -214,6 +214,7 @@ _GATE_ORDER = [
     "stream_quality_filter",
     "ann_lsh_topk",
     "stream_pack_sequences",
+    "embedding_normalize",
     # -- 2b. changed in round 2 (re-verify) -----------------------------
     "ann_ivf_trained_topk",
     "multimodal_features",
@@ -233,9 +234,8 @@ _GATE_ORDER = [
     "dwd_log_split",
     "dwd_base_db_routing",
     "dws_traffic_page_view_window",
-    "dws_keyword_count",
-    # (13 more r01-green anchors (incl. pricing_summary) rotated past
-    # the cap this round to
+    # (14 more r01-green anchors (incl. pricing_summary and
+    # dws_keyword_count) rotated past the cap this round to
     # make room for the new section-2a queries: dws_sku_order/
     # province_order/user_login/register/trade_order/cart_add_uu/
     # payment_suc/vc_ch_ar_is_new windows, a6_latest_per_key_sum,
