@@ -150,3 +150,47 @@ def frame_sample(df: DataFrame, id_col: str = "doc_id",
             })
 
     return df.select(id_col, payload_col).mapInPandas(run, schema)
+
+
+def resize_payload(df: DataFrame, id_col: str = "doc_id",
+                   payload_col: str = "payload", out_len: int = 16) -> DataFrame:
+    """Resize plumbing demo: nearest-neighbor resample of each payload
+    to a fixed `out_len` bytes (index j reads byte floor(j*n/out_len))
+    — the byte-level stand-in for image resize, with the same contract
+    a real resizer has: fixed-size output per row, vectorized batch
+    kernel, no Python loop over rows. Empty payloads emit no rows.
+
+    Output long (doc_id, n_bytes, j, b) so every resampled byte is
+    value-hashable."""
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("j", T.IntegerType()),
+        T.StructField("b", T.IntegerType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = pdf[payload_col].to_numpy()
+            lengths = np.fromiter((len(p) for p in payloads), dtype=np.int64,
+                                  count=len(payloads))
+            keep = lengths > 0
+            payloads, lengths = payloads[keep], lengths[keep]
+            if not len(payloads):
+                continue
+            ids = pdf[id_col].to_numpy()[keep]
+            buf = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+            starts = np.concatenate(([0], lengths.cumsum()[:-1]))
+            j = np.tile(np.arange(out_len, dtype=np.int64), len(payloads))
+            row_of = np.repeat(np.arange(len(payloads)), out_len)
+            offsets = starts[row_of] + (j * lengths[row_of]) // out_len
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids[row_of], dtype="int64"),
+                "n_bytes": pd.Series(lengths[row_of], dtype="int64"),
+                "j": pd.Series(j, dtype="int32"),
+                "b": pd.Series(buf[offsets], dtype="int32"),
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema)

@@ -467,6 +467,26 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_resize",
+    oracle="""
+    SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
+           CAST(j AS INTEGER) AS j,
+           ascii(substr(text, CAST((j * length(text)) // 16 AS INT) + 1, 1)) AS b
+    FROM documents, LATERAL unnest(range(0, 16)) AS t(j)
+    WHERE length(text) > 0
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor byte resample to 16 bytes per payload
+    (operators/multimodal.resize_payload) — the "resize" verb of the
+    multimodal family, decoder-free so the whole vectorized gather is
+    hash-checked against octet arithmetic in SQL."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    payloads = M.attach_binary_payload(docs)
+    return M.resize_payload(payloads, out_len=16)
+
+
+@register(
     "embedding_normalize",
     oracle="""
     SELECT vec_id, CAST(gs - 1 AS INTEGER) AS pos,

@@ -215,6 +215,7 @@ _GATE_ORDER = [
     "ann_lsh_topk",
     "stream_pack_sequences",
     "embedding_normalize",
+    "multimodal_resize",
     # -- 2b. changed in round 2 (re-verify) -----------------------------
     "ann_ivf_trained_topk",
     "multimodal_features",
@@ -233,9 +234,10 @@ _GATE_ORDER = [
     "dwd_comment_dic_lookup",
     "dwd_log_split",
     "dwd_base_db_routing",
-    "dws_traffic_page_view_window",
-    # (14 more r01-green anchors (incl. pricing_summary and
-    # dws_keyword_count) rotated past the cap this round to
+    # (15 more r01-green anchors (incl. pricing_summary,
+    # dws_keyword_count and dws_traffic_page_view_window — the entry()
+    # flagship, smoke-checked every round by entry() itself) rotated
+    # past the cap this round to
     # make room for the new section-2a queries: dws_sku_order/
     # province_order/user_login/register/trade_order/cart_add_uu/
     # payment_suc/vc_ch_ar_is_new windows, a6_latest_per_key_sum,
