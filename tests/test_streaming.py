@@ -298,6 +298,34 @@ def test_checkpoint_restart_is_idempotent(spark, tmp_path):
     assert n1 == 20 and n2 == 20
 
 
+def test_upsert_sink_restart_is_idempotent(spark, tmp_path):
+    """T10 on the MERGE path: re-running a drained foreachBatch upsert
+    stream against the same checkpoint replays nothing, so the
+    maintained table is byte-identical — the exactly-once contract the
+    dim/upsert sinks (K5/K6) rely on across restarts."""
+    from realtime_data_warehouse_spark.streaming.runner import run_foreach_batch
+    from realtime_data_warehouse_spark.streaming.sinks import upsert_batch
+
+    rows = [("a", 1, "v1"), ("b", 1, "w1"), ("a", 2, "v2"), ("c", 1, "x1")]
+    df = spark.createDataFrame(rows, "k string, ts long, v string")
+    in_dir = staged_files_dir(df, str(tmp_path), 2, order_col="ts")
+    table, ck = str(tmp_path / "table"), str(tmp_path / "ck")
+
+    def run():
+        sdf = (
+            spark.readStream.schema("k string, ts long, v string")
+            .option("maxFilesPerTrigger", "1").parquet(in_dir)
+        )
+        run_foreach_batch(sdf, upsert_batch(table, ["k"], "ts"), ck)
+
+    run()
+    t1 = sorted(map(tuple, spark.read.parquet(table).collect()))
+    assert t1 == [("a", 2, "v2"), ("b", 1, "w1"), ("c", 1, "x1")]
+    run()  # restart on drained checkpoint: zero batches replayed
+    t2 = sorted(map(tuple, spark.read.parquet(table).collect()))
+    assert t2 == t1
+
+
 def test_watermark_drops_late_rows(spark, tmp_path):
     """T6: a row arriving behind the watermark AFTER its window was
     emitted+evicted is dropped (no allowedLateness — same as the
