@@ -211,6 +211,43 @@ def pack_sequences(chunks: DataFrame, budget: int,
 
 
 # ---------------------------------------------------------------------------
+# Dedup clusters: bounded-round min-label propagation
+# ---------------------------------------------------------------------------
+
+def min_label_propagation(pairs: DataFrame, id_a: str = "doc_a",
+                          id_b: str = "doc_b", rounds: int = 3) -> DataFrame:
+    """Cluster ids over a near-dup pair graph by `rounds` rounds of
+    min-label propagation: l_0(v) = v; l_{k+1}(v) = min(l_k(v),
+    min over neighbors l_k(u)). The distributed connected-components
+    kernel (each round is one equi-join + min-aggregate — the
+    hash-partition-friendly form of large-star/small-star); near-dup
+    graphs are overwhelmingly tiny cliques and short chains, so a
+    small fixed `rounds` reaches the true components in practice
+    while keeping the operator DETERMINISTIC and replayable — the
+    contract is "labels after k rounds", exact in any engine, not
+    "whenever iteration happens to converge".
+
+    Returns (id, cluster) for every vertex that appears in `pairs`;
+    `cluster` is the component's min id once converged."""
+    edges = pairs.select(
+        F.col(id_a).alias("u"), F.col(id_b).alias("v")
+    ).unionByName(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
+    labels = edges.select(F.col("u").alias("id")).distinct().withColumn(
+        "l", F.col("id")
+    )
+    for _ in range(rounds):
+        nbr = (
+            edges.join(labels, edges["v"] == labels["id"])
+            .groupBy("u").agg(F.min("l").alias("nl"))
+        )
+        labels = labels.join(nbr, labels["id"] == nbr["u"], "left").select(
+            labels["id"].alias("id"),
+            F.least(labels["l"], F.coalesce(nbr["nl"], labels["l"])).alias("l"),
+        )
+    return labels.select(F.col("id"), F.col("l").alias("cluster"))
+
+
+# ---------------------------------------------------------------------------
 # Keep-first dedup policy
 # ---------------------------------------------------------------------------
 

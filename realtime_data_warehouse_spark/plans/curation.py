@@ -270,6 +270,53 @@ def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lp_round(i: int, prev: str) -> str:
+    """One min-label-propagation round as SQL (the oracle unrolls the
+    exact rounds the Spark operator runs)."""
+    return f"""
+    l{i} AS MATERIALIZED (
+        SELECT p.v, least(p.l, coalesce(min(n.l), p.l)) AS l
+        FROM {prev} p
+        LEFT JOIN edges e ON e.u = p.v
+        LEFT JOIN {prev} n ON n.v = e.v
+        GROUP BY p.v, p.l
+    )"""
+
+
+@register(
+    "dedup_clusters",
+    # AS MATERIALIZED: each round references the previous labels and
+    # the edge list twice; without it DuckDB inlines the CTEs and
+    # re-executes the whole O(n²)-ish pair query per reference.
+    oracle=f"""
+    WITH pr AS MATERIALIZED (SELECT doc_a, doc_b FROM ({_JACCARD_PAIRS_SQL})),
+    edges AS MATERIALIZED (
+        SELECT doc_a AS u, doc_b AS v FROM pr
+        UNION ALL
+        SELECT doc_b, doc_a FROM pr
+    ),
+    l0 AS MATERIALIZED (SELECT DISTINCT u AS v, u AS l FROM edges),
+    {_lp_round(1, 'l0')},
+    {_lp_round(2, 'l1')},
+    {_lp_round(3, 'l2')}
+    SELECT CAST(v AS BIGINT) AS doc_id, CAST(l AS BIGINT) AS cluster
+    FROM l3
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster assignment: 3 rounds of min-label propagation
+    (operators/curation.min_label_propagation) over the ≥0.8-Jaccard
+    pair graph — the connected-components step real dedup pipelines
+    run between pair generation and keep-one-per-cluster. The oracle
+    replays the identical rounds as unrolled CTEs, so the result is
+    hash-exact whether or not the graph has fully converged."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    pairs = D.jaccard_pairs(docs, threshold=0.8)
+    return C.min_label_propagation(pairs, rounds=3).select(
+        F.col("id").alias("doc_id"), "cluster"
+    )
+
+
 @register(
     "semdedup_keep_first",
     oracle="""

@@ -216,6 +216,7 @@ _GATE_ORDER = [
     "stream_pack_sequences",
     "embedding_normalize",
     "multimodal_resize",
+    "dedup_clusters",
     # -- 2b. changed in round 2 (re-verify) -----------------------------
     "ann_ivf_trained_topk",
     "multimodal_features",
@@ -233,8 +234,8 @@ _GATE_ORDER = [
     "dwd_trade_pay_suc_interval",
     "dwd_comment_dic_lookup",
     "dwd_log_split",
-    "dwd_base_db_routing",
-    # (15 more r01-green anchors (incl. pricing_summary,
+    # (16 more r01-green anchors (incl. dwd_base_db_routing,
+    # pricing_summary,
     # dws_keyword_count and dws_traffic_page_view_window — the entry()
     # flagship, smoke-checked every round by entry() itself) rotated
     # past the cap this round to

@@ -114,3 +114,31 @@ def test_decontaminate_plan_broadcasts_benchmark(spark, sf_small):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_min_label_propagation_converges_to_components(spark):
+    """With rounds ≥ graph diameter, labels equal true connected
+    components (min id per component) — checked against a Python
+    union-find on a chain + clique + isolated-pair graph."""
+    pairs = [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (11, 12), (20, 21)]
+    pdf = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got = {
+        r.id: r.cluster
+        for r in C.min_label_propagation(pdf, rounds=4).collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {v: find(v) for v in parent}
+    assert got == want
