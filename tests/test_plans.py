@@ -212,3 +212,21 @@ def test_curation_pipeline_has_no_join(spark, sf_small):
     # (split,lang)) — anything beyond those three is a regression (the
     # old join-back planned a fourth).
     assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+
+def test_lsh_topk_plan_is_bucket_equi_join(spark, sf_small):
+    """ann_lsh_topk must candidate-generate via a bucket equi-join
+    (broadcast probes), never a cartesian — the entire point of the
+    LSH scale path."""
+    plan = physical_plan(QUERIES["ann_lsh_topk"](spark, sf_small))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_embedding_normalize_is_map_side_only(spark, sf_small):
+    """L2 normalization is scan → project → explode: any Exchange in
+    this plan is a regression (a shuffle to normalize vectors would be
+    pure waste at 100 TB)."""
+    plan = physical_plan(QUERIES["embedding_normalize"](spark, sf_small))
+    assert "Exchange" not in plan, plan
