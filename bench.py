@@ -117,23 +117,24 @@ def main() -> None:
     compaction_sec = round(time.perf_counter() - t_compact, 3)
 
     # Pass 2 — the maintained-table layout a real lake deployment
-    # keeps compacted on ingest. Both series go in the JSON so the
-    # driver's layout and the maintained layout are each visible;
-    # compaction cost stays its own field, never folded into either.
-    timings = run_passes(compacted)
+    # keeps compacted on ingest. Both series go in the JSON; the
+    # PRIMARY "value" is the driver's layout exactly as served (no
+    # self-chosen re-layout), the compacted series is the clearly
+    # labeled secondary metric, and compaction cost stays its own
+    # field, never folded into either.
+    timings_compacted = run_passes(compacted)
 
-    total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total_runtime",
-        "value": total,
+        "value": round(sum(timings_raw.values()), 3),
         "unit": "sec",
-        "queries": timings,
+        "queries": timings_raw,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "layout": "compacted (one-time ingest compaction, see docstring)",
+        "layout": "driver layout as-served (single row group per table)",
         "compaction_sec": compaction_sec,
-        "value_uncompacted": round(sum(timings_raw.values()), 3),
-        "queries_uncompacted": timings_raw,
-        "layout_uncompacted": "driver layout as-served (single row group per table)",
+        "value_compacted": round(sum(timings_compacted.values()), 3),
+        "queries_compacted": timings_compacted,
+        "layout_compacted": "one-time ingest compaction (see docstring)",
     }))
 
 

@@ -188,12 +188,30 @@ def cosine_near_dup_pairs(vectors: DataFrame, threshold: float = 0.95,
 # made real)
 # ---------------------------------------------------------------------------
 
+def _sq_dists(vs: pd.Series, C: np.ndarray, c2: np.ndarray) -> np.ndarray:
+    """(batch × k) squared distances, quantized to the 1e-6 grid.
+
+    Quantizing BEFORE argmin/argsort is the epsilon-aware tie
+    handling that makes cell choices reproducible across engines: an
+    argmin near-tie (two centroids within 1e-6) resolves by the
+    deterministic lowest-cell tie-break on both sides instead of by
+    whichever engine's last-ulp noise (numpy's BLAS x²−2xC+c² vs a
+    SQL fold) happens to win. A distance landing exactly on a grid
+    boundary can still split — the check is best-effort by
+    construction; the n_probe=k ≡ brute-force and inertia property
+    tests are the primary anchors (see kmeans_train docstring)."""
+    X = np.asarray([np.asarray(x, dtype=np.float64) for x in vs])
+    d2 = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + c2
+    return np.round(d2, 6)
+
+
 def assign_cells(df: DataFrame, centroids: list[list[float]],
                  vec_col: str = "v", out_col: str = "cell") -> DataFrame:
     """Nearest-centroid assignment, Arrow-batched: one (batch × k)
     squared-distance matrix per Arrow batch in numpy — the same hybrid
     JVM-scan→vectorized-Python shape as the minhash/simhash operators.
-    Ties break to the lowest cell id (np.argmin), deterministically.
+    Distances are grid-quantized (_sq_dists) and ties break to the
+    lowest cell id (np.argmin first occurrence), deterministically.
 
     The centroid matrix rides into the executors via udf closure —
     centroids are a model, k×dim doubles, broadcast-sized by
@@ -203,9 +221,7 @@ def assign_cells(df: DataFrame, centroids: list[list[float]],
 
     @F.pandas_udf("int")
     def _assign(vs: pd.Series) -> pd.Series:
-        X = np.asarray([np.asarray(x, dtype=np.float64) for x in vs])
-        d2 = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + c2
-        return pd.Series(d2.argmin(axis=1).astype("int32"))
+        return pd.Series(_sq_dists(vs, C, c2).argmin(axis=1).astype("int32"))
 
     return df.withColumn(out_col, _assign(F.col(vec_col)))
 
@@ -228,12 +244,19 @@ def kmeans_train(vectors: DataFrame, k: int = 10, iters: int = 5,
     the canonical distributed k-means cost.
 
     ``quantize``: round every centroid coordinate to that many
-    decimals at init and after each update. This makes the trained
-    model reproducible ACROSS ENGINES (an independent replay of the
-    same quantized Lloyd's recurrence — e.g. the DuckDB oracle —
-    converges to bit-identical centroids, because sub-1e-12
-    summation-order noise is absorbed by the 1e-6 grid), which is
-    what lets the trained-IVF query be hash-checked end-to-end."""
+    decimals at init and after each update. Together with the
+    grid-quantized assignment distances (_sq_dists) this makes the
+    trained model reproducible ACROSS ENGINES (an independent replay
+    of the same quantized Lloyd's recurrence — e.g. the DuckDB
+    oracle — converges to the same centroids, because sub-1e-12
+    summation-order noise is absorbed by the 1e-6 grid and argmin
+    near-ties resolve by the shared lowest-cell rule). BEST-EFFORT,
+    not a proof: a mean or distance landing exactly on a grid
+    boundary can still round apart (numpy rounds half-even, SQL
+    half-away), so the cross-engine hash check is an end-to-end
+    smoke with overwhelming-probability stability — the
+    n_probe=k ≡ brute-force equivalence and inertia non-increase
+    property tests are the primary correctness anchors."""
     v = vectors.select(F.col(id_col), as_double(vec_col).alias("v"))
 
     def _q(arr: list[float]) -> list[float]:
@@ -253,7 +276,7 @@ def kmeans_train(vectors: DataFrame, k: int = 10, iters: int = 5,
                 if not len(pdf):
                     continue
                 X = np.asarray([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
-                cells = ((X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + c2).argmin(axis=1)
+                cells = _sq_dists(pdf["v"], C, c2).argmin(axis=1)
                 np.add.at(sums, cells, X)
                 counts += np.bincount(cells, minlength=k)
             hit = np.flatnonzero(counts)
@@ -311,8 +334,7 @@ def ivf_trained_topk(corpus: DataFrame, queries: DataFrame,
 
     @F.pandas_udf("array<int>")
     def _probe(vs: pd.Series) -> pd.Series:
-        X = np.asarray([np.asarray(x, dtype=np.float64) for x in vs])
-        d2 = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + c2
+        d2 = _sq_dists(vs, C, c2)
         order = np.argsort(d2, axis=1, kind="stable")[:, :n_probe]
         return pd.Series([row.astype("int32").tolist() for row in order])
 

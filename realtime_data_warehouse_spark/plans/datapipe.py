@@ -521,15 +521,22 @@ def embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # One Lloyd's step in DuckDB SQL: assign every vector to its nearest
-# centroid in {prev} (ties to the lowest cell), then per-cell
-# per-dimension mean, rounded to the same 1e-6 grid kmeans_train's
-# quantize=6 uses; empty cells keep their previous centroid.
+# centroid in {prev}, then per-cell per-dimension mean, rounded to
+# the same 1e-6 grid kmeans_train's quantize=6 uses; empty cells keep
+# their previous centroid. The assignment orders by the SAME
+# grid-quantized expanded squared distance as the Spark side
+# (similarity._sq_dists: round(x²−2xc+c², 6), ties to lowest cell) so
+# argmin near-ties resolve identically on both engines.
+_SQ_DIST = ("round(list_inner_product(e.v, e.v)"
+            " - 2 * list_inner_product(e.v, c.c)"
+            " + list_inner_product(c.c, c.c), 6)")
+
 _LLOYD_STEP = """
     a{i} AS (
         SELECT vec_id, v, cell FROM (
             SELECT e.vec_id, e.v, c.cell,
                    row_number() OVER (PARTITION BY e.vec_id
-                                      ORDER BY list_distance(e.v, c.c), c.cell) AS rk
+                                      ORDER BY {sq}, c.cell) AS rk
             FROM emb e CROSS JOIN {prev} c
         ) WHERE rk = 1
     ),
@@ -561,14 +568,14 @@ _IVF_TRAINED_ORACLE = (
         FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT 8)
     ),
     """
-    + _LLOYD_STEP.format(i=1, prev="c0") + ","
-    + _LLOYD_STEP.format(i=2, prev="c1") + ","
-    + """
+    + _LLOYD_STEP.format(i=1, prev="c0", sq=_SQ_DIST) + ","
+    + _LLOYD_STEP.format(i=2, prev="c1", sq=_SQ_DIST) + ","
+    + f"""
     corpus AS (
         SELECT vec_id AS neighbor_id, v AS cv, cell FROM (
             SELECT e.vec_id, e.v, c.cell,
                    row_number() OVER (PARTITION BY e.vec_id
-                                      ORDER BY list_distance(e.v, c.c), c.cell) AS rk
+                                      ORDER BY {_SQ_DIST}, c.cell) AS rk
             FROM emb e CROSS JOIN c2 c
         ) WHERE rk = 1
     ),
@@ -576,7 +583,7 @@ _IVF_TRAINED_ORACLE = (
         SELECT vec_id AS query_id, v AS qv, cell FROM (
             SELECT e.vec_id, e.v, c.cell,
                    row_number() OVER (PARTITION BY e.vec_id
-                                      ORDER BY list_distance(e.v, c.c), c.cell) AS rk
+                                      ORDER BY {_SQ_DIST}, c.cell) AS rk
             FROM emb e CROSS JOIN c2 c
             WHERE e.vec_id < 10
         ) WHERE rk <= 2
@@ -605,11 +612,14 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid after every update — see kmeans_train's quantize docs) →
     corpus assigned to argmin cells → queries probe their 2 nearest
     cells → cell-local cosine top-5. The oracle replays the identical
-    quantized Lloyd's recurrence as unrolled SQL CTEs; quantization
-    absorbs engine summation-order noise, so both engines train
-    bit-identical centroids and the search result hash-matches.
-    Variant anchors: the n_probe=k ≡ brute-force property test and
-    the inertia non-increase test (unquantized path)."""
+    quantized Lloyd's recurrence as unrolled SQL CTEs; centroid AND
+    assignment-distance quantization (similarity._sq_dists) absorb
+    engine summation-order noise and resolve argmin near-ties by the
+    shared lowest-cell rule, so both engines train the same centroids
+    and the search result hash-matches. Best-effort by construction
+    (exact grid-boundary values can still round apart); the primary
+    anchors are the n_probe=k ≡ brute-force property test and the
+    inertia non-increase test (unquantized path)."""
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     centroids = S.kmeans_train(emb, k=8, iters=2, quantize=6)
     queries = emb.filter(F.col("vec_id") < 10)

@@ -515,13 +515,24 @@ def sketch_quantiles_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flag — O(k) state per group, map-side partials merge
     associatively, no sort. No SQL oracle: sketch estimates are
     engine-specific by construction (the exact twins above and in A3
-    are the correctness anchors)."""
+    are the correctness anchors). All output columns are scalars (the
+    percentile array is unpacked) so the driver's row canonicalization
+    can sort them."""
     li = load_table(spark, sf_dir, "lineitem")
+    pcts = F.approx_percentile(
+        "l_extendedprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))
+    )
     return li.groupBy("l_returnflag").agg(
-        F.approx_percentile("l_extendedprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
-        .alias("approx_pcts"),
+        pcts.alias("__p"),
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
+    ).select(
+        "l_returnflag",
+        F.col("__p")[0].alias("approx_p50"),
+        F.col("__p")[1].alias("approx_p90"),
+        F.col("__p")[2].alias("approx_p99"),
+        "approx_orders",
+        "approx_parts",
     )
 
 

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+from datetime import timedelta
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -80,9 +81,9 @@ def stream_traffic_page_view_window(spark: SparkSession, sf_dir: str) -> DataFra
     """
     in_dir, out, ck = _dirs()
     raw = spark.read.schema(EVENTS_RAW).parquet(os.path.join(sf_dir, "events.parquet"))
-    max_ns = raw.agg(F.max("ts")).collect()[0][0]
+    max_ts = raw.agg(F.max("ts")).collect()[0][0]
     sentinel = spark.createDataFrame(
-        [(10**9, max_ns + 40 * 24 * 3600 * 10**9, 10**9, "sentinel", 0.0, "{}")],
+        [(10**9, max_ts + timedelta(days=40), 10**9, "sentinel", 0.0, "{}")],
         EVENTS_RAW,
     )
     raw.write.mode("overwrite").parquet(in_dir)
@@ -350,9 +351,9 @@ def stream_sessionize_user_events(spark: SparkSession, sf_dir: str) -> DataFrame
 
     in_dir, out, ck = _dirs()
     raw = spark.read.schema(EVENTS_RAW).parquet(os.path.join(sf_dir, "events.parquet"))
-    max_ns = raw.agg(F.max("ts")).collect()[0][0]
+    max_ts = raw.agg(F.max("ts")).collect()[0][0]
     sentinel = spark.createDataFrame(
-        [(10**9, max_ns + 40 * 24 * 3600 * 10**9, 10**9, "sentinel", 0.0, "{}")],
+        [(10**9, max_ts + timedelta(days=40), 10**9, "sentinel", 0.0, "{}")],
         EVENTS_RAW,
     )
     raw.write.mode("overwrite").parquet(in_dir)

@@ -30,11 +30,24 @@ _NANO_TS_COLS = {"events": ("ts",)}
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one warehouse table. Column pruning + predicate pushdown
     reach the parquet scan because callers filter/select on the
-    returned DataFrame before any action."""
+    returned DataFrame before any action.
+
+    Timestamp normalization: the driver's parquet has shipped `ts`
+    both as INT64 TIMESTAMP(NANOS) and as no-timezone timestamp[us]
+    (which Spark reads as TIMESTAMP_NTZ). Either way callers get a
+    session-tz TIMESTAMP — the session is pinned UTC, so the ntz→ltz
+    cast is value-identical and every epoch/unix_* function works."""
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in _NANO_TS_COLS.get(name, ()):
         if isinstance(df.schema[col].dataType, T.LongType):
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    ntz = [f.name for f in df.schema.fields
+           if isinstance(f.dataType, T.TimestampNTZType)]
+    if ntz:
+        df = df.select(*[
+            F.col(c).cast("timestamp").alias(c) if c in ntz else F.col(c)
+            for c in df.columns
+        ])
     return df
 
 

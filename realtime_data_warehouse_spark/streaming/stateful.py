@@ -106,17 +106,20 @@ def delta_correct(sdf: DataFrame, key_col: str, ts_col: str,
 # A7 — first event per (key, day)
 # ---------------------------------------------------------------------------
 
-def daily_first_event_stream(sdf: DataFrame, key_col: str, ts_col: str) -> DataFrame:
+def daily_first_event_stream(sdf: DataFrame, key_col: str, ts_col: str,
+                             retain_days: int = 31) -> DataFrame:
     """Emit one row per key per calendar day (UTC) — the daily-UV
-    dedup. State = the LAST emitted date per key (a single value, O(1)
-    per key — the reference's last-seen-date ValueState shape): a
-    later day emits, `dt <= last_dt` is swallowed. Batches arrive
-    ts-sorted, so within a batch days are monotone; an event for a day
-    EARLIER than the last emitted one (cross-batch late data) is
-    swallowed too — same outcome the reference's 1-day state TTL
-    produces. Also flags `is_first_ever` (state was empty), covering
-    the login/order/payment window variants that count new vs
-    returning users in one pass.
+    dedup. State = a BOUNDED set of recently emitted dates per key
+    (the last `retain_days` days relative to the newest date seen), so
+    cross-batch late data for an EARLIER day still emits its first
+    event — a real Kafka source does not guarantee cross-partition
+    timestamp order, and a single monotone last-date value would
+    silently swallow those. Events later than the retention horizon
+    behave like the reference's 1-day state TTL (a re-emit after
+    expiry); state stays O(retain_days) per key. Also flags
+    `is_first_ever` (state was empty), covering the login/order/
+    payment window variants that count new vs returning users in one
+    pass.
     """
     out_schema = T.StructType([
         T.StructField(key_col, T.StringType()),
@@ -124,25 +127,28 @@ def daily_first_event_stream(sdf: DataFrame, key_col: str, ts_col: str) -> DataF
         T.StructField("first_ts", T.LongType()),
         T.StructField("is_first_ever", T.IntegerType()),
     ])
-    state_schema = T.StructType([T.StructField("last_dt", T.StringType())])
+    # seen = comma-joined sorted recent dates (bounded: <= retain_days)
+    state_schema = T.StructType([T.StructField("seen_dts", T.StringType())])
 
     def fn(key, chunks: Iterator[pd.DataFrame], state: GroupState):
         pdf = _concat(chunks)
         if pdf.empty:
             return
         pdf = pdf.sort_values(ts_col, kind="stable")
-        last_dt = state.get[0] if state.exists else None
-        first_ever = last_dt is None
+        seen: set[str] = set(state.get[0].split(",")) if state.exists else set()
+        first_ever = not seen
         out = []
         for row in pdf.itertuples(index=False):
             rd = row._asdict()
             ts = int(rd[ts_col])
             dt = pd.Timestamp(ts, unit="s", tz="UTC").strftime("%Y-%m-%d")
-            if last_dt is None or dt > last_dt:
+            if dt not in seen:
                 out.append([key[0], dt, ts, 1 if first_ever else 0])
-                last_dt = dt
+                seen.add(dt)
                 first_ever = False
-        state.update((last_dt,))
+        horizon = (pd.Timestamp(max(seen)) - pd.Timedelta(days=retain_days - 1)
+                   ).strftime("%Y-%m-%d")
+        state.update((",".join(sorted(d for d in seen if d >= horizon)),))
         if out:
             yield pd.DataFrame(out, columns=[key_col, "dt", "first_ts", "is_first_ever"])
 

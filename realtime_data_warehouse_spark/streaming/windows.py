@@ -31,12 +31,13 @@ from pyspark.sql import types as T
 from ..operators.agg import stamp_window_bounds
 from ..sources.streams import file_stream
 
-#: events.parquet carries INT64 TIMESTAMP(NANOS); streaming reads need
-#: the raw-long schema + explicit nanos→micros conversion (the stream
-#: twin of sources/batch.load_table's _NANO_TS_COLS handling).
+#: events.parquet stores no-timezone timestamp[us]; requesting
+#: TimestampType in the read schema yields session-tz (UTC-pinned)
+#: instants directly — the stream twin of sources/batch.load_table's
+#: ntz→ltz normalization.
 EVENTS_RAW = T.StructType([
     T.StructField("event_id", T.LongType()),
-    T.StructField("ts", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
     T.StructField("user_id", T.LongType()),
     T.StructField("event_type", T.StringType()),
     T.StructField("value", T.DoubleType()),
@@ -62,10 +63,7 @@ def stream_events(spark: SparkSession, path_or_sf_dir: str,
             .option("maxFilesPerTrigger", str(max_files_per_trigger))
             .load(path)
         )
-    return (
-        raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        .withWatermark("ts", watermark)
-    )
+    return raw.withWatermark("ts", watermark)
 
 
 def streaming_tumble(sdf: DataFrame, ts_col: str, duration: str,
