@@ -100,15 +100,55 @@ def synthesize_deletes(snapshot: DataFrame, table: str, key_col: str,
 def changelog(snapshot: DataFrame, table: str, key_col: str, ts_col: str | None,
               update_col: str, with_deletes: bool = False,
               database: str = "gmall") -> DataFrame:
-    """bootstrap snapshot + deterministic updates (+ optional deletes),
-    union'd — a full StartupOptions.initial()-style changelog
-    (FlinkSourceUtil.java:46-62)."""
-    out = to_change_rows(snapshot, table, key_col, ts_col, database).unionByName(
-        synthesize_updates(snapshot, table, key_col, ts_col, update_col,
-                           database=database)
-    )
-    if with_deletes:
-        out = out.unionByName(
-            synthesize_deletes(snapshot, table, key_col, ts_col, database=database)
+    """bootstrap snapshot + deterministic updates (+ optional deletes)
+    — a full StartupOptions.initial()-style changelog
+    (FlinkSourceUtil.java:46-62).
+
+    Single-scan synthesis: instead of union'ing three branches that
+    each re-scan the snapshot (3 scans + 3× the plan nodes), one pass
+    emits per row an array of candidate change structs — bootstrap
+    always, update/delete only when the key arithmetic selects the
+    row (NULL otherwise) — then explodes and drops the NULLs. Same
+    rows, same values as the branch form (the per-branch helpers
+    above stay as the unit-testable spec); at 100 TB this turns three
+    fact-table scans into one."""
+    cols = snapshot.columns
+    key = F.col(key_col).cast("long")
+    base = _base_ts(ts_col)
+    null_old = F.lit(None).cast("map<string,string>")
+
+    def chg(typ: str, ts_off: int, data: Column, old: Column) -> Column:
+        return F.struct(
+            F.lit(typ).alias("type"),
+            (base + F.lit(ts_off)).cast("long").alias("ts"),
+            data.alias("data"),
+            old.alias("old"),
         )
-    return out
+
+    variants = [
+        chg("bootstrap-insert", 0, _data_map(cols), null_old),
+        F.when(
+            F.pmod(key, F.lit(10_000)) < F.lit(500),
+            chg("update", 1, _data_map(cols, double_col=update_col),
+                F.create_map(F.lit(update_col), F.col(update_col).cast("string"))),
+        ),
+    ]
+    if with_deletes:
+        variants.append(
+            F.when(
+                F.pmod(key, F.lit(DELETE_MOD)) == F.lit(DELETE_RESIDUE),
+                chg("delete", 2, _data_map(cols), null_old),
+            )
+        )
+    return (
+        snapshot.select(F.explode(F.array(*variants)).alias("chg"))
+        .filter(F.col("chg").isNotNull())
+        .select(
+            F.lit(database).alias("database"),
+            F.lit(table).alias("table"),
+            F.col("chg.type").alias("type"),
+            F.col("chg.ts").alias("ts"),
+            F.col("chg.data").alias("data"),
+            F.col("chg.old").alias("old"),
+        )
+    )
