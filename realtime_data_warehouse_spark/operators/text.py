@@ -116,6 +116,84 @@ def hash_bucket(col, buckets: int = 100) -> Column:
     return F.pmod(h, F.lit(buckets))
 
 
+#: PII scrub patterns, applied in order. Deliberately restricted to
+#: syntax with identical semantics in Java regex (Spark) and RE2
+#: (DuckDB): no backrefs, no lookarounds, no \b. Order matters — IPs
+#: are replaced before bare digit runs so the octets never feed the
+#: <NUM> rule; counts are taken sequentially on the partially
+#: redacted text for the same reason.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"([0-9]{1,3}\.){3}[0-9]{1,3}", "<IP>"),
+    (r"[0-9]{9,}", "<NUM>"),
+)
+
+
+def redact_pii(text: str | Column) -> tuple[Column, list[Column]]:
+    """PII scrub for training corpora: email addresses, IPv4 literals
+    and long (≥9) digit runs each replaced by a typed mask token.
+
+    Returns (redacted_text, [match_count per pattern]). Counts are
+    computed on the text as it stood when that pattern ran (the same
+    sequential semantics as the replacement chain), so a digit run
+    inside an already-masked IP is never double-counted.
+
+    Pure JVM regexp expressions inside one codegen'd projection —
+    zero shuffles, one scan; at 100 TB this is the canonical cheap
+    map-side scrub pass before any tokenization or dedup."""
+    c = F.col(text) if isinstance(text, str) else text
+    counts: list[Column] = []
+    for pat, repl in PII_PATTERNS:
+        counts.append(F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0))))
+        c = F.regexp_replace(c, pat, repl)
+    return c, counts
+
+
+def tfidf_top_terms(df, id_col: str = "doc_id", text_col: str = "text",
+                    top_k: int = 3):
+    """Per-document top-k terms by TF-IDF — the classic two-pass
+    relevance/keyword-extraction pipeline over a corpus.
+
+    Plan: tokenize+explode (map-side) → groupBy(doc, term) term
+    frequencies (shuffle 1) → document frequency as a COUNT window
+    over the term partition (shuffle 2 — re-keying the already
+    doc-term-aggregated rows, never the raw token stream) → per-doc
+    ranking window (shuffle 3 on doc id). Corpus size joins in as a
+    broadcast scalar. Skewed head terms (stopwords) are one row per
+    (doc, term) by the time they hit the term window, so the skew cap
+    is n_docs rows per term; AQE's skew handling covers it.
+
+    The score uses the LINEAR idf ratio tf·(N+1)/(df+1) rather than
+    the log form: integer-exact numerator/denominator through one
+    correctly-rounded IEEE division makes the doubles bit-identical
+    across engines (ln() is only 1-ulp-accurate and engine-specific,
+    which would make a hash oracle flaky). Monotone in tf and 1/df
+    like the log form; swap in log-idf when ranking quality across
+    differently-sized corpora matters more than replayability."""
+    from ..functions.tokenize import tokenize
+
+    toks = df.select(id_col, F.explode(tokenize(text_col)).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    from pyspark.sql import Window
+
+    w_term = Window.partitionBy("term")
+    scored = (
+        tf.withColumn("df_docs", F.count(F.lit(1)).over(w_term))
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf") * (F.col("n_docs") + F.lit(1)) / (F.col("df_docs") + F.lit(1)),
+        )
+    )
+    w_rank = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w_rank))
+        .filter(F.col("rk") <= top_k)
+        .select(id_col, "term", "tf", "df_docs", "tfidf")
+    )
+
+
 def chunk_tokens(df, text_col: str = "text", id_col: str = "doc_id",
                  chunk_size: int = 50, stride: int = 40,
                  passthrough: list[str] | None = None):

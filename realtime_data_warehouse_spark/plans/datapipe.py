@@ -168,6 +168,110 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", X.fingerprint("text").alias("fp"))
 
 
+# The synthetic corpus carries no natural PII, so the query injects a
+# deterministic email/IP/account tail into every 5th document as part
+# of the pipeline — the scrub then has real matches to find, and the
+# oracle replays injection + sequential redaction identically.
+_PII_INJECT = ("text || ' contact u' || CAST(doc_id AS VARCHAR)"
+               " || '@ex.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR)"
+               " || '.9 acct 98765432' || CAST(doc_id % 10 AS VARCHAR)")
+
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_IP = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+_PII_NUM = "[0-9]{9,}"
+
+
+@register(
+    "pii_redaction",
+    oracle=f"""
+    WITH injected AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0 THEN {_PII_INJECT} ELSE text END AS t,
+               CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS injected
+        FROM documents
+    ), s1 AS (
+        SELECT doc_id, injected,
+               len(regexp_extract_all(t, '{_PII_EMAIL}')) AS n_email,
+               regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>', 'g') AS t
+        FROM injected
+    ), s2 AS (
+        SELECT doc_id, injected, n_email,
+               len(regexp_extract_all(t, '{_PII_IP}')) AS n_ip,
+               regexp_replace(t, '{_PII_IP}', '<IP>', 'g') AS t
+        FROM s1
+    ), s3 AS (
+        SELECT doc_id, injected, n_email, n_ip,
+               len(regexp_extract_all(t, '{_PII_NUM}')) AS n_num,
+               regexp_replace(t, '{_PII_NUM}', '<NUM>', 'g') AS t
+        FROM s2
+    )
+    SELECT doc_id, injected, n_email, n_ip, n_num, md5(t) AS redacted_md5
+    FROM s3
+    """,
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass (operators/text.redact_pii): mask emails, IPv4
+    literals and long digit runs, reporting per-pattern match counts
+    and the md5 of the scrubbed text. Every 5th doc gets a
+    deterministic PII tail appended first so the scrub is exercised
+    on real matches (the corpus itself is synthetic word soup). One
+    codegen'd projection, zero shuffles — the map-side scrub a 100 TB
+    corpus runs before tokenization/dedup."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    injected_text = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"), F.col("doc_id").cast("string"),
+            F.lit("@ex.com from 10.0."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(".9 acct 98765432"), (F.col("doc_id") % 10).cast("string"),
+        ),
+    ).otherwise(F.col("text"))
+    staged = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0, 1).otherwise(0).alias("injected"),
+        injected_text.alias("t"),
+    )
+    redacted, (n_email, n_ip, n_num) = X.redact_pii(F.col("t"))
+    return staged.select(
+        "doc_id", "injected",
+        n_email.alias("n_email"), n_ip.alias("n_ip"), n_num.alias("n_num"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+    ), tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+    ), scored AS (
+        SELECT doc_id, term, tf,
+               count(*) OVER (PARTITION BY term) AS df_docs,
+               (SELECT count(*) FROM documents) AS n_docs
+        FROM tf
+    )
+    SELECT doc_id, term, tf, df_docs,
+           tf * (n_docs + 1) / (df_docs + 1) AS tfidf
+    FROM scored
+    QUALIFY row_number() OVER (
+        PARTITION BY doc_id
+        ORDER BY tf * (n_docs + 1) / (df_docs + 1) DESC, term
+    ) <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 terms by TF-IDF (operators/text.tfidf_top_terms):
+    tokenize → doc-term frequencies → document frequency via a term-
+    partition window over the AGGREGATED rows (never the raw token
+    stream) → per-doc rank. Linear idf ratio keeps the score doubles
+    bit-identical across engines (see the operator docstring)."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return X.tfidf_top_terms(docs, top_k=3)
+
+
 # ---------------------------------------------------------------------------
 # Dedup
 # ---------------------------------------------------------------------------

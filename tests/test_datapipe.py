@@ -144,3 +144,54 @@ def test_hash_bucket_split_is_stable_and_complete(spark, sf_small):
     assert a == b  # deterministic across runs
     frac_train = sum(1 for s in a.values() if s == "train") / len(a)
     assert 0.7 < frac_train < 0.9  # md5 buckets are uniform-ish
+
+
+def test_redact_pii_sequential_counts_and_masks(spark):
+    from realtime_data_warehouse_spark.operators import text as X
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@sub.ex.org and ip 10.0.200.9 and acct 123456789 end"),
+            (2, "no pii here just words 123"),
+            (3, "two mails x@y.io z@w.ai"),
+        ],
+        "doc_id long, text string",
+    )
+    redacted, (n_email, n_ip, n_num) = X.redact_pii(F.col("text"))
+    rows = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id", redacted.alias("t"),
+            n_email.alias("e"), n_ip.alias("i"), n_num.alias("n"),
+        ).collect()
+    }
+    # all three kinds masked; IP octets never double-counted as <NUM>
+    assert rows[1].t == "mail <EMAIL> and ip <IP> and acct <NUM> end"
+    assert (rows[1].e, rows[1].i, rows[1].n) == (1, 1, 1)
+    # clean text untouched, short digit runs survive
+    assert rows[2].t == "no pii here just words 123"
+    assert (rows[2].e, rows[2].i, rows[2].n) == (0, 0, 0)
+    assert (rows[3].e, rows[3].t) == (2, "two mails <EMAIL> <EMAIL>")
+
+
+def test_tfidf_rare_term_outranks_common(spark):
+    from realtime_data_warehouse_spark.operators import text as X
+
+    # 'filler' is in every doc (df=4); each doc also has a unique term
+    # (df=1) appearing once. tfidf(unique) = 1*5/2 = 2.5 beats
+    # tfidf(filler) = 2*5/5 = 2.0, despite filler's higher tf.
+    df = spark.createDataFrame(
+        [(i, f"filler filler uniq{i}") for i in range(4)],
+        "doc_id long, text string",
+    )
+    out = X.tfidf_top_terms(df, top_k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i in range(4):
+        terms = [r.term for r in sorted(by_doc[i], key=lambda r: -r.tfidf)]
+        assert terms == [f"uniq{i}", "filler"]
+        top = by_doc[i][0]
+        assert {r.term: (r.tf, r.df_docs) for r in by_doc[i]} == {
+            f"uniq{i}": (1, 1), "filler": (2, 4),
+        }
