@@ -38,6 +38,100 @@ def ngram_inventory(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def mask_contaminated_spans(train: DataFrame, benchmark: DataFrame,
+                            id_col: str = "doc_id", text_col: str = "text",
+                            n: int = 3, mask: str = "<MASKED>",
+                            broadcast_benchmark: bool = True) -> DataFrame:
+    """Span-level decontamination: instead of dropping a whole doc
+    that shares an n-gram with the benchmark (decontaminate), mask
+    ONLY the tokens covered by a contaminated n-gram — the surgical
+    variant used when contaminated docs are too valuable to discard
+    wholesale.
+
+    Plan: benchmark gram set distinct+broadcast (tiny vs corpus, as
+    in decontaminate); train grams carry their start position; the
+    broadcast join yields (doc, start) hits; hits aggregate to one
+    start-set row per contaminated doc (the shuffle moves only HITS,
+    not the corpus); the start sets join back and a single indexed
+    transform rebuilds the token array with covered positions masked.
+    Covered-position array is materialized in its own projection
+    before reuse (HOF lambdas have no CSE).
+
+    Returns only docs with ≥1 masked token:
+    (id, n_tokens, n_masked, masked_text)."""
+    bench_grams = ngram_inventory(benchmark, id_col, text_col, n).select(
+        "gram"
+    ).distinct()
+    if broadcast_benchmark:
+        bench_grams = F.broadcast(bench_grams)
+    toked = train.select(F.col(id_col), tokenize(text_col).alias("__toks"))
+    grams = toked.filter(F.size("__toks") >= n).select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__toks") - (n - 1)),
+                lambda s: F.struct(
+                    s.alias("pos"),
+                    F.array_join(F.slice(F.col("__toks"), s, n), " ").alias("gram"),
+                ),
+            )
+        ).alias("g"),
+    ).select(id_col, F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
+    hits = (
+        grams.join(bench_grams, "gram")
+        .groupBy(id_col)
+        .agg(F.collect_set("pos").alias("__starts"))
+    )
+    covered = toked.join(hits, id_col).withColumn(
+        "__cov",
+        F.array_distinct(
+            F.flatten(
+                F.transform("__starts", lambda s: F.sequence(s, s + (n - 1)))
+            )
+        ),
+    )
+    masked = F.transform(
+        "__toks",
+        lambda t, i: F.when(F.array_contains("__cov", i + 1), F.lit(mask)).otherwise(t),
+    )
+    return covered.select(
+        id_col,
+        F.size("__toks").alias("n_tokens"),
+        F.size("__cov").alias("n_masked"),
+        F.array_join(masked, " ").alias("masked_text"),
+    )
+
+
+def gram_novelty(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", n: int = 3) -> DataFrame:
+    """Per-doc n-gram novelty: the fraction of a document's distinct
+    n-grams that appear in NO other document — low novelty flags
+    boilerplate/templated text that per-doc repetition stats
+    (repetition_stats) cannot see because the repetition lives across
+    documents, not within one.
+
+    Plan: distinct (doc, gram) inventory (shuffle 1) → corpus gram
+    document-frequency as a COUNT window over the gram partition
+    (shuffle 2, over the deduped inventory, never raw tokens) →
+    per-doc rollup (shuffle 3). All counts integer and the score one
+    IEEE division, so the doubles are engine-exact. At 100 TB the
+    gram-df intermediate is the classic big table — swap the exact df
+    for a count-min sketch membership test if the inventory outgrows
+    storage; the plan shape is unchanged.
+
+    Docs with fewer than n tokens have no grams and emit no row."""
+    inv = ngram_inventory(df, id_col, text_col, n).distinct()
+    w = Window.partitionBy("gram")
+    with_df = inv.withColumn("__gdf", F.count(F.lit(1)).over(w))
+    return with_df.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(F.when(F.col("__gdf") == 1, 1).otherwise(0)).alias("n_novel"),
+    ).select(
+        id_col, "n_grams", "n_novel",
+        (F.col("n_novel") / F.col("n_grams")).alias("novelty"),
+    )
+
+
 def decontaminate(train: DataFrame, benchmark: DataFrame,
                   id_col: str = "doc_id", text_col: str = "text",
                   n: int = 3, broadcast_benchmark: bool = True) -> DataFrame:

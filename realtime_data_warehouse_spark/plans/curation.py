@@ -73,6 +73,94 @@ def decontaminate_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "decontaminate_mask_spans",
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id, text, {_BUCKET} % 100 AS bk FROM documents
+    ),
+    tr AS (SELECT doc_id, {_TOKS} AS toks FROM b WHERE bk < 80),
+    be AS (SELECT {_TOKS} AS toks FROM b WHERE bk >= 90),
+    bg AS (SELECT DISTINCT unnest({_TRIGRAMS}) AS gram FROM be),
+    tg AS (
+        SELECT doc_id, generate_subscripts(g, 1) AS pos, unnest(g) AS gram
+        FROM (SELECT doc_id,
+                     list_transform(range(1, len(toks) - 1),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS g
+              FROM tr)
+    ),
+    cov AS (
+        SELECT DISTINCT h.doc_id, h.pos + o.o AS p
+        FROM (SELECT t.doc_id, t.pos FROM tg t JOIN bg USING (gram)) h
+        CROSS JOIN (SELECT unnest([0, 1, 2]) AS o) o
+    ),
+    tokpos AS (
+        SELECT doc_id, unnest(toks) AS tok,
+               generate_subscripts(toks, 1) AS pos
+        FROM tr
+    ),
+    m AS (
+        SELECT tp.doc_id, tp.pos,
+               CASE WHEN c.p IS NOT NULL THEN '<MASKED>' ELSE tp.tok END AS tok,
+               CASE WHEN c.p IS NOT NULL THEN 1 ELSE 0 END AS is_m
+        FROM tokpos tp
+        LEFT JOIN cov c ON c.doc_id = tp.doc_id AND c.p = tp.pos
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(is_m) AS BIGINT) AS n_masked,
+           string_agg(tok, ' ' ORDER BY pos) AS masked_text
+    FROM m GROUP BY doc_id HAVING SUM(is_m) > 0
+    """,
+)
+def decontaminate_mask_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level decontamination (operators/curation.
+    mask_contaminated_spans): same train/benchmark split as
+    decontaminate_train, but contaminated trigram SPANS are masked
+    in place instead of dropping the whole document. Returns the
+    contaminated docs with their masked text and mask counts; the
+    oracle rebuilds each masked document relationally (token
+    positions ⟕ covered positions → ordered string_agg)."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    bk = X.hash_bucket("doc_id", 100)
+    train = docs.filter(bk < 80)
+    bench = docs.filter(bk >= 90)
+    out = C.mask_contaminated_spans(train, bench, n=3)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_masked").cast("long").alias("n_masked"),
+        "masked_text",
+    )
+
+
+@register(
+    "gram_novelty",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    inv AS (SELECT DISTINCT doc_id, unnest({_TRIGRAMS}) AS gram FROM t),
+    wdf AS (
+        SELECT doc_id, count(*) OVER (PARTITION BY gram) AS gdf FROM inv
+    ),
+    agg AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(SUM(CASE WHEN gdf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+        FROM wdf GROUP BY doc_id
+    )
+    SELECT doc_id, n_grams, n_novel, n_novel / n_grams AS novelty FROM agg
+    """,
+)
+def gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate detection (operators/curation.
+    gram_novelty): fraction of each doc's distinct trigrams appearing
+    in no other document. Complements quality_repetition (which only
+    sees repetition WITHIN a doc). Integer counts through one IEEE
+    division — engine-exact doubles, no rounding needed."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return C.gram_novelty(docs, n=3)
+
+
+@register(
     "quality_repetition",
     oracle=f"""
     WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

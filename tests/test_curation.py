@@ -142,3 +142,49 @@ def test_min_label_propagation_converges_to_components(spark):
             parent[max(ra, rb)] = min(ra, rb)
     want = {v: find(v) for v in parent}
     assert got == want
+
+
+def test_mask_contaminated_spans_covers_overlaps(spark):
+    from realtime_data_warehouse_spark.operators import curation as C
+
+    train = spark.createDataFrame(
+        [
+            # 'b c d' and 'c d e' both contaminated -> positions 2..6 masked
+            (1, "a b c d e f"),
+            (2, "x y z w"),            # clean -> no output row
+            (3, "b c d"),              # whole doc is one contaminated gram
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "b c d e q r")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in C.mask_contaminated_spans(train, bench, n=3).collect()}
+    assert set(rows) == {1, 3}
+    m = "<MASKED>"
+    # hits 'b c d' (pos 2) and 'c d e' (pos 3) merge into one 2..5 span
+    assert rows[1].masked_text == f"a {m} {m} {m} {m} f"
+    assert (rows[1].n_tokens, rows[1].n_masked) == (6, 4)
+    assert rows[3].masked_text == f"{m} {m} {m}"
+    assert (rows[3].n_tokens, rows[3].n_masked) == (3, 3)
+
+
+def test_gram_novelty_flags_shared_boilerplate(spark):
+    from realtime_data_warehouse_spark.operators import curation as C
+
+    # docs 1 and 2 share the 'p q r s' prefix (grams 'p q r','q r s');
+    # each also has a unique tail gram. doc 3 is fully unique.
+    df = spark.createDataFrame(
+        [
+            (1, "p q r s a1 b1 c1"),
+            (2, "p q r s a2 b2 c2"),
+            (3, "u v w x y"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in C.gram_novelty(df, n=3).collect()}
+    assert rows[3].novelty == 1.0
+    assert rows[1].n_grams == 5  # 7 tokens -> 5 trigrams
+    assert rows[1].n_novel == 3  # 'p q r','q r s' shared with doc 2
+    assert rows[1].novelty == 3 / 5
+    assert rows[2].n_novel == 3
