@@ -158,10 +158,13 @@ def tfidf_top_terms(df, id_col: str = "doc_id", text_col: str = "text",
     frequencies (shuffle 1) → document frequency as a COUNT window
     over the term partition (shuffle 2 — re-keying the already
     doc-term-aggregated rows, never the raw token stream) → per-doc
-    ranking window (shuffle 3 on doc id). Corpus size joins in as a
-    broadcast scalar. Skewed head terms (stopwords) are one row per
-    (doc, term) by the time they hit the term window, so the skew cap
-    is n_docs rows per term; AQE's skew handling covers it.
+    ranking window (shuffle 3 on doc id). Corpus size is a scalar
+    aggregate collected to the driver and inlined as a literal (one
+    count scan; the same thing a scalar subquery plans) — model
+    parameters may cross the driver, data never does. Skewed head
+    terms (stopwords) are one row per (doc, term) by the time they
+    hit the term window, so the skew cap is n_docs rows per term;
+    AQE's skew handling covers it.
 
     The score uses the LINEAR idf ratio tf·(N+1)/(df+1) rather than
     the log form: integer-exact numerator/denominator through one
@@ -174,17 +177,13 @@ def tfidf_top_terms(df, id_col: str = "doc_id", text_col: str = "text",
 
     toks = df.select(id_col, F.explode(tokenize(text_col)).alias("term"))
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    n_docs = df.count()
     from pyspark.sql import Window
 
     w_term = Window.partitionBy("term")
-    scored = (
-        tf.withColumn("df_docs", F.count(F.lit(1)).over(w_term))
-        .crossJoin(F.broadcast(n_docs))
-        .withColumn(
-            "tfidf",
-            F.col("tf") * (F.col("n_docs") + F.lit(1)) / (F.col("df_docs") + F.lit(1)),
-        )
+    scored = tf.withColumn("df_docs", F.count(F.lit(1)).over(w_term)).withColumn(
+        "tfidf",
+        F.col("tf") * F.lit(n_docs + 1) / (F.col("df_docs") + F.lit(1)),
     )
     w_rank = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term"))
     return (
