@@ -299,6 +299,162 @@ def kmeans_train(vectors: DataFrame, k: int = 10, iters: int = 5,
     return centroids
 
 
+def pq_train(vectors: DataFrame, m: int = 2, k: int = 8, iters: int = 2,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             quantize: int | None = None) -> list[list[list[float]]]:
+    """Product-quantization codebooks: split the vector into `m`
+    contiguous subspaces and run Lloyd's k-means independently in
+    each — FUSED into one mapInPandas pass per iteration, so training
+    all m codebooks costs the same single scan per iteration as one
+    k-means (kmeans_train's partial-sum design, generalized: each
+    partition emits per-(subspace, cell) (count, sum) rows, the
+    driver folds k×dim model parameters, never data).
+
+    Same determinism contract as kmeans_train: lowest-id init, empty
+    cells keep their previous centroid, `quantize` rounds every
+    update to the 1e-6 grid, and assignment distances are
+    grid-quantized (_sq_dists semantics) — so the DuckDB oracle can
+    replay the recurrence per subspace. Best-effort cross-engine
+    exactness, with the ADC==exact property test as primary anchor.
+
+    Returns m codebooks, each k×(dim/m)."""
+    v = vectors.select(F.col(id_col), as_double(vec_col).alias("v"))
+
+    def _q(arr: list[float]) -> list[float]:
+        return [round(x, quantize) for x in arr] if quantize is not None else list(arr)
+
+    first = v.orderBy(id_col).limit(k).collect()
+    dim = len(first[0]["v"])
+    assert dim % m == 0, f"dim {dim} not divisible by m={m}"
+    sub = dim // m
+    books = [[_q(list(r["v"][s * sub:(s + 1) * sub])) for r in first]
+             for s in range(m)]
+    vec = v.select("v")
+    for _ in range(iters):
+        Cs = [np.asarray(books[s], dtype=np.float64) for s in range(m)]
+        c2s = [(C * C).sum(axis=1)[None, :] for C in Cs]
+
+        def partials(batches, Cs=Cs, c2s=c2s):
+            sums = np.zeros((m, k, sub), dtype=np.float64)
+            counts = np.zeros((m, k), dtype=np.int64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.asarray([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+                for s in range(m):
+                    Xs = X[:, s * sub:(s + 1) * sub]
+                    d2 = (Xs * Xs).sum(axis=1)[:, None] - 2.0 * (Xs @ Cs[s].T) + c2s[s]
+                    cells = np.round(d2, 6).argmin(axis=1)
+                    np.add.at(sums[s], cells, Xs)
+                    counts[s] += np.bincount(cells, minlength=k)
+            rows = []
+            for s in range(m):
+                for c in np.flatnonzero(counts[s]):
+                    rows.append((s, int(c), int(counts[s][c]), sums[s][c].tolist()))
+            yield pd.DataFrame(rows, columns=["s", "cell", "n", "vsum"])
+
+        stats = vec.mapInPandas(
+            partials, schema="s int, cell int, n long, vsum array<double>"
+        ).collect()
+        folded: dict[tuple[int, int], list] = {}
+        for r in sorted(stats, key=lambda r: (r["s"], r["cell"])):  # stable reduce
+            key = (r["s"], r["cell"])
+            if key not in folded:
+                folded[key] = [np.zeros(sub), 0]
+            folded[key][0] = folded[key][0] + np.asarray(r["vsum"])
+            folded[key][1] += r["n"]
+        nxt = [[list(c) for c in books[s]] for s in range(m)]
+        for (s, c), (vsum, n) in folded.items():
+            nxt[s][c] = _q((vsum / n).tolist())
+        books = nxt
+    return books
+
+
+def pq_encode(df: DataFrame, codebooks: list[list[list[float]]],
+              vec_col: str = "v", out_col: str = "codes") -> DataFrame:
+    """Encode each vector as m small codes (nearest codebook entry
+    per subspace, grid-quantized distances, ties to the lowest code).
+    The compressed corpus is m bytes-ish per vector instead of dim
+    floats — the PQ memory story; Arrow-batched numpy, map-side."""
+    Cs = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m, sub = len(Cs), Cs[0].shape[1]
+    c2s = [(C * C).sum(axis=1)[None, :] for C in Cs]
+
+    @F.pandas_udf("array<int>")
+    def _enc(vs: pd.Series) -> pd.Series:
+        X = np.asarray([np.asarray(x, dtype=np.float64) for x in vs])
+        codes = np.empty((len(X), m), dtype=np.int32)
+        for s in range(m):
+            Xs = X[:, s * sub:(s + 1) * sub]
+            d2 = (Xs * Xs).sum(axis=1)[:, None] - 2.0 * (Xs @ Cs[s].T) + c2s[s]
+            codes[:, s] = np.round(d2, 6).argmin(axis=1)
+        return pd.Series([c.tolist() for c in codes])
+
+    return df.withColumn(out_col, _enc(F.col(vec_col)))
+
+
+def ivf_pq_topk(corpus: DataFrame, queries: DataFrame,
+                codebooks: list[list[list[float]]], k: int = 5,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                cell_col: str = "label") -> DataFrame:
+    """IVF-PQ search (the FAISS-style compressed scale path): corpus
+    vectors live as PQ codes in their IVF cell; each query joins its
+    cell (equi-join — shuffle moves only same-cell codes, never raw
+    vectors) and candidates are ranked by ASYMMETRIC DISTANCE (ADC):
+    sum over subspaces of ||q_sub − codebook[s][code]||², each
+    subspace distance grid-quantized for cross-engine determinism.
+
+    The scorer builds each distinct query's m×k lookup table once per
+    Arrow batch and gathers per-pair by code — O(q·k·dim + pairs·m),
+    the LUT trick that makes PQ beat exact scan at scale. Ascending
+    distance, ties to the lowest neighbor id."""
+    Cs = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m, sub = len(Cs), Cs[0].shape[1]
+    c2s = [(C * C).sum(axis=1) for C in Cs]
+
+    c = pq_encode(
+        corpus.select(F.col(id_col).alias("neighbor_id"),
+                      as_double(vec_col).alias("cv"),
+                      F.col(cell_col).alias("cell")),
+        codebooks, vec_col="cv", out_col="codes",
+    ).select("neighbor_id", "cell", "codes")
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       as_double(vec_col).alias("qv"),
+                       F.col(cell_col).alias("cell"))
+    pairs = c.join(F.broadcast(q), "cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+
+    @F.pandas_udf("double")
+    def _adc(qvs: pd.Series, codes: pd.Series) -> pd.Series:
+        out = np.empty(len(qvs))
+        luts: dict[bytes, np.ndarray] = {}
+        for i, (qv, cd) in enumerate(zip(qvs, codes)):
+            Q = np.asarray(qv, dtype=np.float64)
+            key = Q.tobytes()
+            lut = luts.get(key)
+            if lut is None:
+                lut = np.empty((m, Cs[0].shape[0]))
+                for s in range(m):
+                    qs = Q[s * sub:(s + 1) * sub]
+                    lut[s] = np.round(
+                        (qs * qs).sum() - 2.0 * (Cs[s] @ qs) + c2s[s], 6
+                    )
+                luts[key] = lut
+            out[i] = lut[np.arange(m), np.asarray(cd)].sum()
+        return pd.Series(out)
+
+    scored = pairs.withColumn("adc_d2", _adc("qv", "codes"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_d2").asc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "adc_d2")
+    )
+
+
 def inertia(vectors: DataFrame, centroids: list[list[float]],
             vec_col: str = "embedding") -> float:
     """Sum of squared distances to the assigned centroid (the k-means

@@ -635,29 +635,32 @@ _SQ_DIST = ("round(list_inner_product(e.v, e.v)"
             " - 2 * list_inner_product(e.v, c.c)"
             " + list_inner_product(c.c, c.c), 6)")
 
+#: `t` suffixes the CTE names so several independent trainings (e.g.
+#: one per PQ subspace) can unroll in one WITH clause; `src` is the
+#: (vec_id, v) table the step assigns.
 _LLOYD_STEP = """
-    a{i} AS (
+    a{t}{i} AS (
         SELECT vec_id, v, cell FROM (
             SELECT e.vec_id, e.v, c.cell,
                    row_number() OVER (PARTITION BY e.vec_id
                                       ORDER BY {sq}, c.cell) AS rk
-            FROM emb e CROSS JOIN {prev} c
+            FROM {src} e CROSS JOIN {prev} c
         ) WHERE rk = 1
     ),
-    m{i} AS (
+    m{t}{i} AS (
         SELECT cell, list(round(s / n, 6) ORDER BY pos) AS c
         FROM (
             SELECT cell, pos, SUM(x) AS s, COUNT(*) AS n
             FROM (SELECT cell, unnest(v) AS x,
                          generate_subscripts(v, 1) AS pos
-                  FROM a{i})
+                  FROM a{t}{i})
             GROUP BY cell, pos
         )
         GROUP BY cell
     ),
-    c{i} AS (
-        SELECT p.cell, coalesce(m{i}.c, p.c) AS c
-        FROM {prev} p LEFT JOIN m{i} USING (cell)
+    c{t}{i} AS (
+        SELECT p.cell, coalesce(m{t}{i}.c, p.c) AS c
+        FROM {prev} p LEFT JOIN m{t}{i} USING (cell)
     )
 """
 
@@ -672,8 +675,8 @@ _IVF_TRAINED_ORACLE = (
         FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT 8)
     ),
     """
-    + _LLOYD_STEP.format(i=1, prev="c0", sq=_SQ_DIST) + ","
-    + _LLOYD_STEP.format(i=2, prev="c1", sq=_SQ_DIST) + ","
+    + _LLOYD_STEP.format(i=1, t="", prev="c0", sq=_SQ_DIST, src="emb") + ","
+    + _LLOYD_STEP.format(i=2, t="", prev="c1", sq=_SQ_DIST, src="emb") + ","
     + f"""
     corpus AS (
         SELECT vec_id AS neighbor_id, v AS cv, cell FROM (
@@ -728,6 +731,101 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = S.kmeans_train(emb, k=8, iters=2, quantize=6)
     queries = emb.filter(F.col("vec_id") < 10)
     return S.ivf_trained_topk(emb, queries, centroids, k=5, n_probe=2)
+
+
+# IVF-PQ oracle: unroll the per-subspace quantized Lloyd's recurrence
+# (2 subspaces × 2 iterations via the suffixed _LLOYD_STEP), encode
+# the corpus, then replay ADC scoring relationally: per-query LUT of
+# subspace distances to every codebook entry, gathered by code and
+# summed. Same 1e-6 grid + lowest-code tie-break as the Spark side.
+def _pq_init(t: str, src: str) -> str:
+    return f"""
+    c{t}0 AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+               list_transform(v, x -> round(x, 6)) AS c
+        FROM (SELECT vec_id, v FROM {src} ORDER BY vec_id LIMIT 8)
+    )"""
+
+
+def _pq_code(name: str, src: str, book: str) -> str:
+    return f"""
+    {name} AS (
+        SELECT vec_id, cell AS code FROM (
+            SELECT e.vec_id, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {_SQ_DIST}, c.cell) AS rk
+            FROM {src} e CROSS JOIN {book} c
+        ) WHERE rk = 1
+    )"""
+
+
+def _pq_lut(name: str, src: str, book: str) -> str:
+    return f"""
+    {name} AS (
+        SELECT p.query_id, c.cell AS code,
+               round(list_inner_product(e.v, e.v)
+                     - 2 * list_inner_product(e.v, c.c)
+                     + list_inner_product(c.c, c.c), 6) AS d2
+        FROM probes p
+        JOIN {src} e ON e.vec_id = p.query_id
+        CROSS JOIN {book} c
+    )"""
+
+
+_IVF_PQ_ORACLE = (
+    """
+    WITH emb AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings
+    ),
+    e1 AS (SELECT vec_id, v[1:32] AS v FROM emb),
+    e2 AS (SELECT vec_id, v[33:64] AS v FROM emb),
+    """
+    + _pq_init("s1", "e1") + ","
+    + _LLOYD_STEP.format(i=1, t="s1", prev="cs10", sq=_SQ_DIST, src="e1") + ","
+    + _LLOYD_STEP.format(i=2, t="s1", prev="cs11", sq=_SQ_DIST, src="e1") + ","
+    + _pq_init("s2", "e2") + ","
+    + _LLOYD_STEP.format(i=1, t="s2", prev="cs20", sq=_SQ_DIST, src="e2") + ","
+    + _LLOYD_STEP.format(i=2, t="s2", prev="cs21", sq=_SQ_DIST, src="e2") + ","
+    + _pq_code("code1", "e1", "cs12") + ","
+    + _pq_code("code2", "e2", "cs22") + ","
+    + """
+    probes AS (SELECT vec_id AS query_id, label AS cell FROM emb WHERE vec_id < 10),
+    corpus AS (SELECT vec_id AS neighbor_id, label AS cell FROM emb),
+    """
+    + _pq_lut("lut1", "e1", "cs12") + ","
+    + _pq_lut("lut2", "e2", "cs22")
+    + """
+    SELECT p.query_id, co.neighbor_id, l1.d2 + l2.d2 AS adc_d2
+    FROM probes p
+    JOIN corpus co USING (cell)
+    JOIN code1 k1 ON k1.vec_id = co.neighbor_id
+    JOIN code2 k2 ON k2.vec_id = co.neighbor_id
+    JOIN lut1 l1 ON l1.query_id = p.query_id AND l1.code = k1.code
+    JOIN lut2 l2 ON l2.query_id = p.query_id AND l2.code = k2.code
+    WHERE co.neighbor_id <> p.query_id
+    QUALIFY row_number() OVER (
+        PARTITION BY p.query_id ORDER BY l1.d2 + l2.d2, co.neighbor_id
+    ) <= 5
+"""
+)
+
+
+@register("ann_ivf_pq_topk", oracle=_IVF_PQ_ORACLE)
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (similarity.pq_train/pq_encode/ivf_pq_topk),
+    hash-checked end to end INCLUDING codebook training: 2 subspaces
+    × 8 codes trained by 2 quantized Lloyd's iterations (one fused
+    scan per iteration for all subspaces), corpus encoded as 2 codes
+    per vector, queries probe their pre-assigned IVF cell and rank by
+    grid-quantized ADC distance. The oracle unrolls both subspace
+    trainings and replays encoding + LUT scoring relationally. Same
+    best-effort cross-engine caveat as ann_ivf_trained_topk; the
+    ADC==exact-when-codebook-holds-the-vector property test is the
+    structural anchor."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    books = S.pq_train(emb, m=2, k=8, iters=2, quantize=6)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.ivf_pq_topk(emb, queries, books, k=5)
 
 
 @register(

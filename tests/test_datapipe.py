@@ -195,3 +195,29 @@ def test_tfidf_rare_term_outranks_common(spark):
         assert {r.term: (r.tf, r.df_docs) for r in by_doc[i]} == {
             f"uniq{i}": (1, 1), "filler": (2, 4),
         }
+
+
+def test_pq_adc_exact_when_codebook_holds_vectors(spark):
+    """With k >= n distinct vectors, each subvector is its own
+    centroid: encoding is lossless and the ADC distance must equal
+    the exact squared euclidean distance (up to the 1e-6 grid)."""
+    import numpy as np
+
+    from realtime_data_warehouse_spark.operators import similarity as S
+
+    vecs = [
+        (0, [1.0, 0.0, 2.0, 1.0], 0),
+        (1, [0.0, 1.0, 1.0, 2.0], 0),
+        (2, [2.0, 2.0, 0.0, 0.0], 0),
+        (3, [1.0, 1.0, 1.0, 1.0], 0),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>, label int")
+    books = S.pq_train(df, m=2, k=4, iters=2)
+    out = S.ivf_pq_topk(df, df, books, k=3)
+    got = {(r.query_id, r.neighbor_id): r.adc_d2 for r in out.collect()}
+    by_id = {i: np.asarray(v) for i, v, _ in vecs}
+    for (qi, ni), adc in got.items():
+        exact = float(((by_id[qi] - by_id[ni]) ** 2).sum())
+        assert abs(adc - exact) < 1e-5, (qi, ni, adc, exact)
+    # every query sees its 3 cell-mates
+    assert len(got) == 4 * 3
