@@ -148,3 +148,55 @@ def time_bucket_rollup(df: DataFrame, ts_col: str,
         ).agg(*[F.sum(n).alias(n) for n in names])
         out = out.unionByName(stamped(level, grain_name))
     return out
+
+
+def profile_columns(df: DataFrame, columns: Sequence[str] | None = None,
+                    exact_distinct: bool = True) -> DataFrame:
+    """Single-pass dataset profiler: one output row per column with
+    row/null/distinct counts and stringified min/max — the first query
+    anyone runs against an unfamiliar 100 TB table.
+
+    All statistics for all columns come from ONE aggregate over ONE
+    scan. With `exact_distinct` the multi-distinct aggregate plans an
+    Expand (input duplicated ×columns before the shuffle — exact, and
+    oracle-checkable); at warehouse scale pass exact_distinct=False to
+    use HLL sketches instead: no Expand, single ungrouped partial
+    per executor, the standard profiling trade.
+
+    min/max are computed on the NATIVE type (so numeric/timestamp
+    ordering is correct) and stringified afterwards, hash-stably:
+    timestamps via date_format, doubles via a 2-decimal cast."""
+    cols = list(columns or df.columns)
+    dtypes = dict(df.dtypes)
+
+    def stringify(expr: Column, dt: str) -> Column:
+        if dt == "timestamp":
+            return F.date_format(expr, "yyyy-MM-dd HH:mm:ss")
+        if dt == "double":
+            return expr.cast("decimal(18,2)").cast("string")
+        return expr.cast("string")
+
+    nd = F.count_distinct if exact_distinct else F.approx_count_distinct
+    aggs = []
+    for c in cols:
+        dt = dtypes[c]
+        aggs += [
+            F.count(F.lit(1)).alias(f"__rows_{c}"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"__nulls_{c}"),
+            nd(c).alias(f"__nd_{c}"),
+            stringify(F.min(c), dt).alias(f"__min_{c}"),
+            stringify(F.max(c), dt).alias(f"__max_{c}"),
+        ]
+    row = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("column_name"),
+            F.col(f"__rows_{c}").alias("n_rows"),
+            F.col(f"__nulls_{c}").alias("n_nulls"),
+            F.col(f"__nd_{c}").alias("n_distinct"),
+            F.col(f"__min_{c}").alias("min_value"),
+            F.col(f"__max_{c}").alias("max_value"),
+        )
+        for c in cols
+    ]
+    return row.select(F.explode(F.array(*structs)).alias("p")).select("p.*")

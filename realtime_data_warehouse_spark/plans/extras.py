@@ -655,3 +655,40 @@ def top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.orderBy(F.col("revenue").desc(), "orderkey").limit(10).select(
         "orderkey", "revenue", "order_date"
     )
+
+
+_PROFILE_COLS = (
+    ("o_orderkey", "CAST({m}(o_orderkey) AS VARCHAR)"),
+    ("o_custkey", "CAST({m}(o_custkey) AS VARCHAR)"),
+    ("o_orderstatus", "CAST({m}(o_orderstatus) AS VARCHAR)"),
+    ("o_totalprice", "CAST(CAST({m}(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)"),
+    ("o_orderdate", "strftime({m}(o_orderdate), '%Y-%m-%d %H:%M:%S')"),
+    ("o_orderpriority", "CAST({m}(o_orderpriority) AS VARCHAR)"),
+)
+
+_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"""
+    SELECT '{c}' AS column_name,
+           CAST(count(*) AS BIGINT)                 AS n_rows,
+           CAST(count(*) - count({c}) AS BIGINT)    AS n_nulls,
+           CAST(count(DISTINCT {c}) AS BIGINT)      AS n_distinct,
+           {tmpl.format(m='min')}                   AS min_value,
+           {tmpl.format(m='max')}                   AS max_value
+    FROM orders"""
+    for c, tmpl in _PROFILE_COLS
+)
+
+
+@register("profile_orders", oracle=_PROFILE_ORACLE)
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset profiler (operators/agg.profile_columns) over the
+    orders table: per-column row/null/exact-distinct counts and
+    native-typed min/max, all from ONE aggregate over ONE scan (the
+    multi-distinct Expand is the documented exact-mode trade; pass
+    exact_distinct=False for the HLL no-Expand variant at warehouse
+    scale). The oracle is the same profile written longhand as one
+    UNION ALL per column."""
+    from ..operators.agg import profile_columns
+
+    orders = load_table(spark, sf_dir, "orders")
+    return profile_columns(orders)
