@@ -692,3 +692,63 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     return profile_columns(orders)
+
+
+@register(
+    "incremental_agg_refresh",
+    oracle="""
+    SELECT strftime(date_trunc('day', l_shipdate), '%Y-%m-%d %H:%M:%S') AS stt,
+           strftime(date_trunc('day', l_shipdate) + INTERVAL 1 DAY,
+                    '%Y-%m-%d %H:%M:%S')                                AS edt,
+           strftime(date_trunc('day', l_shipdate), '%Y-%m-%d')          AS cur_date,
+           l_partkey                                                    AS sku_id,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(1 - l_discount AS DECIMAL(3,2))) AS DOUBLE)  AS order_amount,
+           CAST(count(*) AS BIGINT)                                     AS order_ct
+    FROM lineitem GROUP BY 1, 2, 3, 4
+    """,
+)
+def incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance: a stored window aggregate is
+    refreshed by merging the LATE batch's partial aggregates into the
+    base partials — additive aggs (decimal sums, counts) re-aggregate
+    losslessly, so the refresh never rescans the base facts. Here the
+    fact table splits deterministically into on-time (95%) and late
+    (5%) slices; each aggregates independently (in production the
+    base side is the STORED aggregate table — zero scan) and the
+    merge is one tiny shuffle over aggregate rows. The oracle
+    aggregates the unsplit table directly, proving
+    incremental == full recompute bit-for-bit. Exactness rule: sums
+    stay DECIMAL through the partial and merge stages, cast to DOUBLE
+    only at the end (double partials would round differently than the
+    one-pass oracle)."""
+    from ..operators.agg import tumble
+
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = (F.lit(1) - F.col("l_discount")).cast("decimal(3,2)")
+
+    def day_agg(df: DataFrame) -> DataFrame:
+        return tumble(
+            df.withColumn("amount", price * disc), "l_shipdate", "1 day",
+            keys=["l_partkey"],
+            aggs={
+                "amount_dec": F.sum("amount"),
+                "order_ct": F.count(F.lit(1)),
+            },
+        )
+
+    on_time = day_agg(li.filter(F.pmod("l_orderkey", F.lit(20)) != 0))
+    late = day_agg(li.filter(F.pmod("l_orderkey", F.lit(20)) == 0))
+    merged = on_time.unionByName(late).groupBy(
+        "stt", "edt", "cur_date", "l_partkey"
+    ).agg(
+        F.sum("amount_dec").alias("amount_dec"),
+        F.sum("order_ct").alias("order_ct"),
+    )
+    return merged.select(
+        "stt", "edt", "cur_date",
+        F.col("l_partkey").alias("sku_id"),
+        F.col("amount_dec").cast("double").alias("order_amount"),
+        "order_ct",
+    )

@@ -37,29 +37,28 @@ from realtime_data_warehouse_spark.streaming.windows import (
 
 pytestmark = pytest.mark.slow
 
-_SENTINEL_NS = None  # filled per-fixture
-
-
 @pytest.fixture(scope="module")
-def events_stream_dir(spark, sf_small, tmp_path_factory) -> tuple[str, int]:
+def events_stream_dir(spark, sf_small, tmp_path_factory) -> str:
     """Stage sf0.001 events + one far-future sentinel row so the
     watermark passes every real window and availableNow's no-data
     batch flushes them (append mode only emits closed windows)."""
+    from datetime import timedelta
+
     base = str(tmp_path_factory.mktemp("events_stream"))
     raw = spark.read.schema(EVENTS_RAW).parquet(os.path.join(sf_small, "events.parquet"))
-    max_ns = raw.agg(F.max("ts")).collect()[0][0]
-    sentinel_ns = max_ns + 30 * 24 * 3600 * 10**9
+    max_ts = raw.agg(F.max("ts")).collect()[0][0]
     sentinel = spark.createDataFrame(
-        [(10**9, sentinel_ns, 10**9, "sentinel", 0.0, "{}")], EVENTS_RAW
+        [(10**9, max_ts + timedelta(days=30), 10**9, "sentinel", 0.0, "{}")],
+        EVENTS_RAW,
     )
     in_dir = os.path.join(base, "in")
     raw.coalesce(1).write.mode("overwrite").parquet(in_dir)
     sentinel.coalesce(1).write.mode("append").parquet(in_dir)
-    return in_dir, sentinel_ns
+    return in_dir
 
 
 def test_streaming_window_parity(spark, sf_small, events_stream_dir, tmp_path):
-    in_dir, sentinel_ns = events_stream_dir
+    in_dir = events_stream_dir
     out = str(tmp_path / "out")
     ck = str(tmp_path / "ck")
     run_available_now(
@@ -378,7 +377,7 @@ def test_streaming_session_window_parity(spark, sf_small, events_stream_dir, tmp
     from realtime_data_warehouse_spark.operators.agg import session_agg
     from realtime_data_warehouse_spark.streaming.windows import streaming_session
 
-    in_dir, _ = events_stream_dir
+    in_dir = events_stream_dir
     out = str(tmp_path / "out")
     ck = str(tmp_path / "ck")
     sdf = stream_events(spark, in_dir, watermark="1 hour")
