@@ -230,3 +230,39 @@ def test_embedding_normalize_is_map_side_only(spark, sf_small):
     pure waste at 100 TB)."""
     plan = physical_plan(QUERIES["embedding_normalize"](spark, sf_small))
     assert "Exchange" not in plan, plan
+
+
+def test_pii_redaction_is_map_side_only(spark, sf_small):
+    """The PII scrub is scan → project (regexp chains): any Exchange
+    beyond the fan_out re-split is a regression — a shuffle to run a
+    per-row scrub would be pure waste at 100 TB."""
+    plan = physical_plan(QUERIES["pii_redaction"](spark, sf_small))
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_tfidf_plan_shape(spark, sf_small):
+    """tfidf: tf groupBy + term-partition window + doc-partition rank
+    window — three hash exchanges, no join (corpus size is an inlined
+    scalar)."""
+    plan = physical_plan(QUERIES["tfidf_top_terms"](spark, sf_small))
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 3, plan
+
+
+def test_profile_orders_is_single_scan(spark, sf_small):
+    """The profiler computes every column's stats in ONE aggregate
+    over ONE scan (exact mode plans Expand for the multi-distinct);
+    more than one file scan means it degraded to per-column passes."""
+    plan = physical_plan(QUERIES["profile_orders"](spark, sf_small))
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Expand" in plan  # exact multi-distinct, documented trade
+
+
+def test_incremental_refresh_merges_partials(spark, sf_small):
+    """The merge stage must re-aggregate partial-aggregate rows, not
+    re-join or rescan facts: two base scans (on-time + late slices;
+    in production the base side is a stored table), no join."""
+    plan = physical_plan(QUERIES["incremental_agg_refresh"](spark, sf_small))
+    assert "Join" not in plan, plan
+    assert plan.count("Scan parquet") == 2, plan
