@@ -200,3 +200,20 @@ def profile_columns(df: DataFrame, columns: Sequence[str] | None = None,
         for c in cols
     ]
     return row.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
+def sliding(df: DataFrame, ts_col: str, duration: str, slide: str,
+            keys: list[str] | None = None,
+            aggs: Mapping[str, Column] | None = None) -> DataFrame:
+    """Sliding (hopping) event-time window aggregate — absent from the
+    reference (tumbling only) but table stakes for an analytics
+    engine. `F.window(ts, duration, slide)` assigns each row to its
+    duration/slide covering windows via an internal generate — the
+    row fan-out is the window overlap factor, paid map-side before
+    the aggregate's partial phase, so the shuffle moves partials per
+    (window, key) exactly like tumble."""
+    keys = keys or []
+    aggs = dict(aggs or {"row_count": F.count(F.lit(1))})
+    grouped = df.groupBy(F.window(F.col(ts_col), duration, slide), *keys)
+    out = grouped.agg(*[c.alias(name) for name, c in aggs.items()])
+    return stamp_window_bounds(out)

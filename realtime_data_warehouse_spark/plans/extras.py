@@ -752,3 +752,40 @@ def incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("amount_dec").cast("double").alias("order_amount"),
         "order_ct",
     )
+
+
+@register(
+    "sliding_traffic_window",
+    oracle="""
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S')                    AS stt,
+           strftime(ws + INTERVAL 2 HOUR, '%Y-%m-%d %H:%M:%S')  AS edt,
+           strftime(ws, '%Y-%m-%d')                             AS cur_date,
+           event_type,
+           count(*)                                             AS pv,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)    AS value_sum
+    FROM (
+        SELECT e.ts, e.event_type, e.value,
+               date_trunc('hour', e.ts) - to_hours(o.o) AS ws
+        FROM events e
+        CROSS JOIN (SELECT unnest([0, 1]) AS o) o
+    )
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def sliding_traffic_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window traffic metrics (operators/agg.sliding): 2-hour
+    windows hopping every hour, per event type — each event lands in
+    exactly 2 windows (its own hour's window and the previous
+    hour's). The oracle materializes the same assignment by
+    cross-joining each event with offsets {0,1} hours. Not present in
+    the reference (tumbling only, SURVEY §2.9 T5)."""
+    from ..operators.agg import sliding
+
+    events = load_table(spark, sf_dir, "events")
+    return sliding(
+        events, "ts", "2 hours", "1 hour", keys=["event_type"],
+        aggs={
+            "pv": F.count(F.lit(1)),
+            "value_sum": F.sum(F.col("value").cast("decimal(18,2)")).cast("double"),
+        },
+    ).select("stt", "edt", "cur_date", "event_type", "pv", "value_sum")

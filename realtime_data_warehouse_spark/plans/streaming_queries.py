@@ -643,3 +643,84 @@ def stream_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("long").alias("n_tokens"),
         F.count_distinct("doc_id").alias("n_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Continuous-aggregate maintenance — streaming twin of
+# extras.incremental_agg_refresh via the additive-merge sink
+# ---------------------------------------------------------------------------
+
+@register(
+    "stream_incremental_agg_refresh",
+    oracle="""
+    SELECT strftime(date_trunc('day', l_shipdate), '%Y-%m-%d %H:%M:%S') AS stt,
+           strftime(date_trunc('day', l_shipdate) + INTERVAL 1 DAY,
+                    '%Y-%m-%d %H:%M:%S')                                AS edt,
+           strftime(date_trunc('day', l_shipdate), '%Y-%m-%d')          AS cur_date,
+           l_partkey                                                    AS sku_id,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(1 - l_discount AS DECIMAL(3,2))) AS DOUBLE)  AS order_amount,
+           CAST(count(*) AS BIGINT)                                     AS order_ct
+    FROM lineitem GROUP BY 1, 2, 3, 4
+    """,
+)
+def stream_incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate maintenance as a REAL stream: lineitem
+    replays as three ship-date-ordered micro-batches; each batch
+    reduces to per-(day, sku) DECIMAL partials and the additive-merge
+    sink (streaming/sinks.additive_merge_batch, with its
+    applied-batch-id exactly-once ledger) folds them into the stored
+    aggregate table. After the drain the stored table must equal a
+    one-pass aggregate over the unsplit facts — the same oracle as
+    the batch twin incremental_agg_refresh, proving the maintenance
+    loop is lossless across batch boundaries."""
+    import tempfile
+
+    from ..operators.agg import tumble
+    from ..streaming.runner import run_foreach_batch, staged_files_dir
+    from ..streaming.sinks import additive_merge_batch
+
+    base = tempfile.mkdtemp(prefix="rdw_streamq_incr_")
+    table_dir = os.path.join(base, "agg")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount", "l_shipdate"
+    )
+    in_dir = staged_files_dir(li, base, n_files=3, order_col="l_shipdate")
+
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = (F.lit(1) - F.col("l_discount")).cast("decimal(3,2)")
+
+    def day_partials(batch: DataFrame) -> DataFrame:
+        return tumble(
+            batch.withColumn("amount", price * disc), "l_shipdate", "1 day",
+            keys=["l_partkey"],
+            aggs={
+                "amount_dec": F.sum("amount"),
+                "order_ct": F.count(F.lit(1)),
+            },
+        )
+
+    sdf = (
+        spark.readStream.schema(li.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+        .withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp"))
+    )
+    run_foreach_batch(
+        sdf,
+        additive_merge_batch(
+            table_dir,
+            keys=["stt", "edt", "cur_date", "l_partkey"],
+            sum_cols=["amount_dec", "order_ct"],
+            prepare=day_partials,
+        ),
+        checkpoint_dir=os.path.join(base, "ck"),
+        output_mode="append",
+    )
+    stored = spark.read.parquet(table_dir)
+    return stored.select(
+        "stt", "edt", "cur_date",
+        F.col("l_partkey").alias("sku_id"),
+        F.col("amount_dec").cast("double").alias("order_amount"),
+        "order_ct",
+    )

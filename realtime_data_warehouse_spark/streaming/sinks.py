@@ -97,6 +97,43 @@ def dim_upsert_batch(warehouse_dir: str, key_expr: str = "rowkey",
     return fn
 
 
+def additive_merge_batch(table_dir: str, keys: Sequence[str],
+                         sum_cols: Sequence[str], prepare=None):
+    """Continuous-aggregate maintenance sink: each micro-batch's rows
+    are reduced to PARTIAL aggregates (`prepare`, e.g. a per-day
+    tumble) and merged into the stored aggregate table by summation —
+    additive aggs re-aggregate losslessly, so the stored table always
+    equals a full recompute without ever rescanning earlier batches
+    (the materialized-view refresh loop, streaming form of
+    plans/extras.incremental_agg_refresh).
+
+    Additive merge is NOT naturally idempotent: a retried micro-batch
+    would double-count. An applied-batch-id ledger file provides the
+    exactly-once guard — the same transaction-id dedup a Delta MERGE
+    txn log (or the reference's 2PC Kafka sink,
+    FlinkSinkUtil.java:29-31) supplies in production. The O(table)
+    rewrite carries the same Delta MERGE scale note as the header."""
+    def fn(batch: DataFrame, batch_id: int) -> None:
+        ledger = table_dir.rstrip("/") + ".__applied__"
+        if os.path.exists(ledger):
+            with open(ledger) as fh:
+                if str(batch_id) in fh.read().split():
+                    return
+        spark = batch.sparkSession
+        partial = prepare(batch) if prepare is not None else batch
+        merged = partial
+        if os.path.exists(table_dir):
+            merged = spark.read.parquet(table_dir).unionByName(partial)
+        merged = merged.groupBy(*keys).agg(
+            *[F.sum(c).alias(c) for c in sum_cols]
+        )
+        _atomic_overwrite(merged, table_dir)
+        with open(ledger, "a") as fh:
+            fh.write(f"{batch_id}\n")
+
+    return fn
+
+
 def route_by_column(out_dir: str, table_col: str = "sink_table"):
     """K2 — dynamic destination per record: a single partitioned write
     fans the batch out to out_dir/<sink_table>=<v>/ directories. At

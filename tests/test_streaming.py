@@ -404,3 +404,21 @@ def test_streaming_session_window_parity(spark, sf_small, events_stream_dir, tmp
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_additive_merge_batch_is_idempotent_per_batch_id(spark, tmp_path):
+    """Retried micro-batches (same batch_id) must not double-count —
+    the applied-batch ledger is the exactly-once guard for additive
+    (non-idempotent) merges."""
+    from realtime_data_warehouse_spark.streaming.sinks import additive_merge_batch
+
+    table = str(tmp_path / "agg")
+    fn = additive_merge_batch(table, keys=["k"], sum_cols=["v"])
+    b1 = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v long")
+    b2 = spark.createDataFrame([("a", 10)], "k string, v long")
+    fn(b1, 0)
+    fn(b1, 0)  # retry of batch 0: ignored
+    fn(b2, 1)
+    fn(b2, 1)  # retry of batch 1: ignored
+    got = {r.k: r.v for r in spark.read.parquet(table).collect()}
+    assert got == {"a": 11, "b": 2}
