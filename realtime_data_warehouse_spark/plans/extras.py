@@ -789,3 +789,112 @@ def sliding_traffic_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_sum": F.sum(F.col("value").cast("decimal(18,2)")).cast("double"),
         },
     ).select("stt", "edt", "cur_date", "event_type", "pv", "value_sum")
+
+
+@register(
+    "cube_revenue",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL')  AS return_flag,
+           coalesce(l_linestatus, 'ALL')  AS line_status,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           count(*) AS line_ct
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (the ROLLUP twin's full-lattice form): all
+    2^2 aggregation levels from ONE shuffle — Catalyst expands the
+    grouping sets before the exchange (Expand operator), so the fact
+    table is scanned and shuffled once, not once per level. NULL
+    grouping markers are coalesced to 'ALL' identically in both
+    engines so the hash is stable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("line_ct"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("return_flag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("line_status"),
+            "revenue", "line_ct",
+        )
+    )
+
+
+@register(
+    "moving_avg_daily_revenue",
+    oracle="""
+    WITH daily AS (
+        SELECT strftime(date_trunc('day', o_orderdate), '%Y-%m-%d') AS d,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2)))             AS rev
+        FROM orders GROUP BY 1
+    )
+    SELECT d,
+           CAST(rev AS DOUBLE) AS revenue,
+           CAST(SUM(rev) OVER (
+               ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE)
+           / COUNT(rev) OVER (
+               ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+           )                   AS ma7,
+           CAST(first_value(rev) OVER (
+               ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE)        AS window_first
+    FROM daily
+    """,
+)
+def moving_avg_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-frame analytics (§2.6 depth): 7-day moving average and
+    first_value over a ROWS frame. The frame runs over the per-day
+    AGGREGATE (one row per day — a bounded, tiny window input), never
+    the raw orders; the single unpartitioned window is safe because
+    its input is the daily rollup, not the fact table. The average is
+    expressed as exact-DECIMAL frame SUM / frame COUNT with ONE IEEE
+    division (decimal AVG scale rules differ between engines: Spark
+    truncates the quotient at 6 decimals, DuckDB doesn't)."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_format(F.date_trunc("day", "o_orderdate"), "yyyy-MM-dd").alias("d")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    w = Window.orderBy("d").rowsBetween(-6, 0)
+    return daily.select(
+        "d",
+        F.col("rev").cast("double").alias("revenue"),
+        (F.sum("rev").over(w).cast("double") / F.count("rev").over(w)).alias("ma7"),
+        F.first("rev").over(w).cast("double").alias("window_first"),
+    )
+
+
+@register(
+    "json_props_extract",
+    oracle="""
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           count(*)                                        AS n,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)  AS value_sum
+    FROM events
+    WHERE json_extract(props, '$.k') IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics over the JSON `props` payload
+    (F14's schemaless half): extract a typed field with
+    get_json_object, bucket and aggregate it. The JSON path
+    evaluation is a JVM expression inside the scan's codegen stage —
+    no parse-to-struct materialization, no Python."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        events.filter(k.isNotNull())
+        .groupBy((k % 10).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(k).alias("k_sum"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_sum"),
+        )
+    )
