@@ -898,3 +898,29 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_sum"),
         )
     )
+
+
+@register("hll_rollup_daily_uv")  # sketch internals: rows-only check
+def hll_rollup_daily_uv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup — the distinct-count half of the
+    hypertable pattern (time_bucket_rollup handles additive metrics;
+    exact distincts can NEVER re-aggregate from partials): hourly HLL
+    sketches of user_id, hll_union'd into daily sketches, estimated.
+    The daily level touches only 24 sketch rows per day, never the
+    raw events — at 100 TB this is THE way a continuous aggregate
+    serves "daily uniques" without rescanning facts.
+
+    No SQL oracle: sketch bytes are engine-specific (DataSketches
+    HLL). Correctness anchors: the unit test pins merged-estimate ==
+    direct-estimate per day (HLL register state is order-insensitive,
+    so the union of hourly sketches must estimate exactly what one
+    daily sketch does), and dws_home_detail_uv_window carries the
+    exact-distinct oracle for the same column."""
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(F.hll_sketch_agg(F.col("user_id")).alias("sk"))
+    daily = hourly.groupBy(
+        F.date_format(F.date_trunc("day", "bucket"), "yyyy-MM-dd").alias("cur_date")
+    ).agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("uv_estimate"))
+    return daily.select("cur_date", "uv_estimate")

@@ -266,3 +266,24 @@ def test_incremental_refresh_merges_partials(spark, sf_small):
     plan = physical_plan(QUERIES["incremental_agg_refresh"](spark, sf_small))
     assert "Join" not in plan, plan
     assert plan.count("Scan parquet") == 2, plan
+
+
+def test_hll_rollup_merge_equals_direct(spark, sf_small):
+    """HLL register state is order-insensitive: the union of hourly
+    sketches must estimate exactly what a single daily sketch over the
+    raw rows does — the lossless-merge property that makes sketch
+    rollups safe to serve."""
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, sf_small, "events")
+    merged = {
+        r.cur_date: r.uv_estimate
+        for r in QUERIES["hll_rollup_daily_uv"](spark, sf_small).collect()
+    }
+    direct = {
+        r.cur_date: r.uv
+        for r in events.groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("cur_date")
+        ).agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("uv")).collect()
+    }
+    assert merged == direct
