@@ -72,3 +72,32 @@ def test_dim_pipeline_semantics(spark, sf_small, tmp_path):
     # pruning: only configured columns survive in the map
     keys = sku.select(F.explode(F.map_keys("data")).alias("k")).distinct()
     assert {r.k for r in keys.collect()} == {"p_brand", "p_name", "p_partkey", "p_size"}
+
+
+def test_dim_merge_survives_schema_evolution(spark, tmp_path):
+    """A later micro-batch may carry columns the stored dim table has
+    never seen (CDC schema evolution — the reference's config-driven
+    sink_columns can widen at runtime). The MERGE must keep old rows
+    (new column NULL) and apply new rows without error."""
+    from pyspark.sql import functions as F
+
+    from realtime_data_warehouse_spark.streaming.sinks import dim_upsert_batch
+
+    wh = str(tmp_path / "wh")
+    fn = dim_upsert_batch(wh, key_expr="rowkey", table_col="sink_table",
+                          op_col="type")
+    b1 = spark.createDataFrame(
+        [("dim_t", "1", "insert", 1, "alice")],
+        "sink_table string, rowkey string, type string, ts long, name string",
+    )
+    b2 = spark.createDataFrame(
+        [("dim_t", "2", "insert", 2, "bob", "new-col"),
+         ("dim_t", "1", "update", 3, "alice2", "seen")],
+        "sink_table string, rowkey string, type string, ts long, "
+        "name string, extra string",
+    )
+    fn(b1, 0)
+    fn(b2, 1)
+    got = {r.rowkey: (r.name, r.extra)
+           for r in spark.read.parquet(f"{wh}/dim_t").collect()}
+    assert got == {"1": ("alice2", "seen"), "2": ("bob", "new-col")}
