@@ -140,3 +140,32 @@ def test_pack_sequences_equals_python_fold(spark, chunks, budget):
     for doc, idx, nt in sorted(rows, key=lambda r: (r[0], r[1])):
         assert got[(doc, idx)] == (start // budget, start % budget)
         start += nt
+
+
+_pii_fragment = st.sampled_from([
+    "plain words here", "x1y2", "a@b.io", "u7@sub.ex.org",
+    "10.0.3.9", "255.255.255.255", "123456789", "98765432101234",
+    "12345678", "192.168.1", "a.b@c", "end.",
+])
+
+
+@given(frags=st.lists(_pii_fragment, min_size=1, max_size=8))
+@_settings
+def test_redact_pii_is_idempotent_and_digit_free(spark, frags):
+    """Scrubbing twice changes nothing (mask tokens contain no
+    redactable material), and no ≥9-digit run survives a single
+    pass — the guarantee a privacy pass must make."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from realtime_data_warehouse_spark.operators.text import redact_pii
+
+    text = " ".join(frags)
+    df = spark.createDataFrame([(1, text)], "id long, text string")
+    once, _ = redact_pii(F.col("text"))
+    staged = df.select("id", once.alias("t1"))
+    twice, _ = redact_pii(F.col("t1"))
+    row = staged.select("t1", twice.alias("t2")).first()
+    assert row.t1 == row.t2
+    assert not re.search(r"[0-9]{9,}", row.t1)
