@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from collections.abc import Mapping, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.scalar import fmt_date, fmt_datetime
@@ -217,3 +217,41 @@ def sliding(df: DataFrame, ts_col: str, duration: str, slide: str,
     grouped = df.groupBy(F.window(F.col(ts_col), duration, slide), *keys)
     out = grouped.agg(*[c.alias(name) for name, c in aggs.items()])
     return stamp_window_bounds(out)
+
+
+def gapfill_locf(buckets: DataFrame, bucket_col: str,
+                 key_cols: Sequence[str], val_cols: Sequence[str],
+                 step: str = "1 hour") -> DataFrame:
+    """Time-series gap filling with last-observation-carried-forward
+    (the hypertable `time_bucket_gapfill` + `locf` pair): for each
+    key, generate the dense bucket calendar between that key's first
+    and last observed bucket, left-join the sparse aggregates, and
+    fill holes with the most recent non-null value.
+
+    Input is the BUCKET-AGGREGATED table (one row per key×bucket that
+    has data) — the calendar explode fans out per key×bucket, never
+    per raw row, so at 100 TB the gapfill works on the rollup's
+    cardinality. One extra shuffle: the per-key ordered window for
+    the carry-forward. Adds `is_gapfilled` per row."""
+    keys = list(key_cols)
+    bounds = buckets.groupBy(*keys).agg(
+        F.min(bucket_col).alias("__b0"), F.max(bucket_col).alias("__b1")
+    )
+    cal = bounds.select(
+        *keys,
+        F.explode(
+            F.sequence("__b0", "__b1", F.expr(f"interval {step}"))
+        ).alias(bucket_col),
+    )
+    joined = cal.join(buckets, [*keys, bucket_col], "left")
+    w = (
+        Window.partitionBy(*keys).orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    probe = F.col(val_cols[0])
+    return joined.select(
+        *keys,
+        bucket_col,
+        F.when(probe.isNull(), 1).otherwise(0).alias("is_gapfilled"),
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in val_cols],
+    )

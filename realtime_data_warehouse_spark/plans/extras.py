@@ -924,3 +924,70 @@ def hll_rollup_daily_uv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.date_trunc("day", "bucket"), "yyyy-MM-dd").alias("cur_date")
     ).agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("uv_estimate"))
     return daily.select("cur_date", "uv_estimate")
+
+
+@register(
+    "gapfill_hourly_values",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS bucket,
+               SUM(CAST(value AS DECIMAL(18,2))) AS value_sum,
+               count(*) AS n
+        FROM events WHERE value > 90 GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT event_type, min(bucket) AS b0, max(bucket) AS b1
+        FROM hourly GROUP BY 1
+    ),
+    cal AS (
+        SELECT b.event_type, unnest(generate_series(b.b0, b.b1, INTERVAL 1 HOUR)) AS bucket
+        FROM bounds b
+    ),
+    joined AS (
+        SELECT c.event_type, c.bucket,
+               CASE WHEN h.value_sum IS NULL THEN 1 ELSE 0 END AS is_gapfilled,
+               last_value(h.value_sum IGNORE NULLS) OVER (
+                   PARTITION BY c.event_type ORDER BY c.bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS value_sum,
+               last_value(h.n IGNORE NULLS) OVER (
+                   PARTITION BY c.event_type ORDER BY c.bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS n
+        FROM cal c LEFT JOIN hourly h USING (event_type, bucket)
+    )
+    SELECT event_type,
+           strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+           is_gapfilled,
+           CAST(value_sum AS DOUBLE) AS value_sum,
+           CAST(n AS BIGINT) AS n
+    FROM joined
+    """,
+)
+def gapfill_hourly_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly rollup (operators/agg.gapfill_locf): high-
+    value events bucket to a sparse hourly series (~half the hours
+    empty), the per-type calendar densifies it, and LOCF carries the
+    last observed values across the holes with an is_gapfilled flag —
+    the hypertable time_bucket_gapfill + locf pair. The calendar
+    explode runs on the ROLLUP's cardinality, never raw events."""
+    from ..operators.agg import gapfill_locf
+
+    events = load_table(spark, sf_dir, "events")
+    hourly = (
+        events.filter(F.col("value") > 90)
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("value_sum"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    filled = gapfill_locf(hourly, "bucket", ["event_type"],
+                          ["value_sum", "n"], step="1 hour")
+    return filled.select(
+        "event_type",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "is_gapfilled",
+        F.col("value_sum").cast("double").alias("value_sum"),
+        F.col("n").cast("long").alias("n"),
+    )
