@@ -991,3 +991,55 @@ def gapfill_hourly_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value_sum").cast("double").alias("value_sum"),
         F.col("n").cast("long").alias("n"),
     )
+
+
+@register(
+    "late_dim_audit",
+    oracle="""
+    SELECT 'lineitem->orders' AS fk_edge,
+           CAST(count(*) AS BIGINT) AS n_facts,
+           CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_orphans
+    FROM lineitem l
+    LEFT JOIN (SELECT o_orderkey FROM orders WHERE o_orderkey % 3 <> 0) o
+      ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'orders->customer',
+           CAST(count(*) AS BIGINT),
+           CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders ord
+    LEFT JOIN (SELECT c_custkey FROM customer WHERE c_custkey % 5 <> 0) c
+      ON ord.o_custkey = c.c_custkey
+    """,
+)
+def late_dim_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit — the operational check a streaming
+    warehouse runs when facts can outrun their dimensions (the
+    reference buffers such rows behind its broadcast-config bootstrap,
+    DimBroadcastFunction.java:32-43): per FK edge, how many fact rows
+    have no matching dim row. Dim sides are deliberately punctured
+    (every 3rd order / 5th customer withheld, as a late-arriving-dim
+    stand-in) so the audit exercises nonzero orphan counts. Anti-join
+    semantics expressed as LEFT JOIN + null-count in ONE pass per
+    edge (a separate anti join per metric would scan twice); dim key
+    sets broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    o_part = F.broadcast(
+        orders.filter(F.col("o_orderkey") % 3 != 0).select("o_orderkey")
+    )
+    c_part = F.broadcast(
+        customer.filter(F.col("c_custkey") % 5 != 0).select("c_custkey")
+    )
+    e1 = li.join(o_part, li["l_orderkey"] == F.col("o_orderkey"), "left").agg(
+        F.lit("lineitem->orders").alias("fk_edge"),
+        F.count(F.lit(1)).alias("n_facts"),
+        F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)).alias("n_orphans"),
+    )
+    e2 = orders.join(c_part, orders["o_custkey"] == F.col("c_custkey"), "left").agg(
+        F.lit("orders->customer").alias("fk_edge"),
+        F.count(F.lit(1)).alias("n_facts"),
+        F.sum(F.when(F.col("c_custkey").isNull(), 1).otherwise(0)).alias("n_orphans"),
+    )
+    return e1.unionByName(e2)
