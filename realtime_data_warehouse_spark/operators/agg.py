@@ -47,18 +47,24 @@ def stamp_window_bounds(df: DataFrame, window_col: str = "window") -> DataFrame:
 def tumble(df: DataFrame, ts_col: str, duration: str,
            keys: list[str] | None = None,
            aggs: Mapping[str, Column] | None = None,
-           stamp: bool = True) -> DataFrame:
-    """A1/A2/A4/A5 — tumbling event-time window aggregate.
+           stamp: bool = True, slide: str | None = None) -> DataFrame:
+    """A1/A2/A4/A5 — tumbling (or, with `slide`, hopping) event-time
+    window aggregate.
 
     keys=[] gives the reference's windowAll
     (DwsTradeOrderWindow.java:82); keys=[...] the keyed variant
     (DwsTradeSkuOrderWindow.java:125-130). `aggs` maps output alias →
     aggregate Column, so callers control exact output names (the
-    oracle contract requires stable aliases).
+    oracle contract requires stable aliases). With `slide`, each row
+    fans out to its duration/slide covering windows map-side before
+    the partial phase — the shuffle still moves partials per
+    (window, key).
     """
     keys = keys or []
     aggs = dict(aggs or {"row_count": F.count(F.lit(1))})
-    grouped = df.groupBy(F.window(F.col(ts_col), duration), *keys)
+    window = (F.window(F.col(ts_col), duration, slide) if slide is not None
+              else F.window(F.col(ts_col), duration))
+    grouped = df.groupBy(window, *keys)
     out = grouped.agg(*[c.alias(name) for name, c in aggs.items()])
     return stamp_window_bounds(out) if stamp else out
 
@@ -207,16 +213,9 @@ def sliding(df: DataFrame, ts_col: str, duration: str, slide: str,
             aggs: Mapping[str, Column] | None = None) -> DataFrame:
     """Sliding (hopping) event-time window aggregate — absent from the
     reference (tumbling only) but table stakes for an analytics
-    engine. `F.window(ts, duration, slide)` assigns each row to its
-    duration/slide covering windows via an internal generate — the
-    row fan-out is the window overlap factor, paid map-side before
-    the aggregate's partial phase, so the shuffle moves partials per
-    (window, key) exactly like tumble."""
-    keys = keys or []
-    aggs = dict(aggs or {"row_count": F.count(F.lit(1))})
-    grouped = df.groupBy(F.window(F.col(ts_col), duration, slide), *keys)
-    out = grouped.agg(*[c.alias(name) for name, c in aggs.items()])
-    return stamp_window_bounds(out)
+    engine. Thin alias for tumble(slide=...): one implementation of
+    the window-aggregate shape to keep in sync."""
+    return tumble(df, ts_col, duration, keys=keys, aggs=aggs, slide=slide)
 
 
 def gapfill_locf(buckets: DataFrame, bucket_col: str,

@@ -80,7 +80,8 @@ def stream_traffic_page_view_window(spark: SparkSession, sf_dir: str) -> DataFra
     its parity test); this registry entry keeps the hash-exact subset.
     """
     in_dir, out, ck = _dirs()
-    raw = spark.read.schema(EVENTS_RAW).parquet(os.path.join(sf_dir, "events.parquet"))
+    # load_table normalizes either historical ts layout (nanos / us)
+    raw = load_table(spark, sf_dir, "events")
     max_ts = raw.agg(F.max("ts")).collect()[0][0]
     sentinel = spark.createDataFrame(
         [(10**9, max_ts + timedelta(days=40), 10**9, "sentinel", 0.0, "{}")],
@@ -350,7 +351,8 @@ def stream_sessionize_user_events(spark: SparkSession, sf_dir: str) -> DataFrame
     from ..streaming.windows import streaming_session
 
     in_dir, out, ck = _dirs()
-    raw = spark.read.schema(EVENTS_RAW).parquet(os.path.join(sf_dir, "events.parquet"))
+    # load_table normalizes either historical ts layout (nanos / us)
+    raw = load_table(spark, sf_dir, "events")
     max_ts = raw.agg(F.max("ts")).collect()[0][0]
     sentinel = spark.createDataFrame(
         [(10**9, max_ts + timedelta(days=40), 10**9, "sentinel", 0.0, "{}")],
@@ -674,10 +676,7 @@ def stream_incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFram
     one-pass aggregate over the unsplit facts — the same oracle as
     the batch twin incremental_agg_refresh, proving the maintenance
     loop is lossless across batch boundaries."""
-    import tempfile
-
     from ..operators.agg import tumble
-    from ..streaming.runner import run_foreach_batch, staged_files_dir
     from ..streaming.sinks import additive_merge_batch
 
     base = tempfile.mkdtemp(prefix="rdw_streamq_incr_")

@@ -108,17 +108,28 @@ def additive_merge_batch(table_dir: str, keys: Sequence[str],
     plans/extras.incremental_agg_refresh).
 
     Additive merge is NOT naturally idempotent: a retried micro-batch
-    would double-count. An applied-batch-id ledger file provides the
+    would double-count. An applied-batch-id ledger provides the
     exactly-once guard — the same transaction-id dedup a Delta MERGE
     txn log (or the reference's 2PC Kafka sink,
-    FlinkSinkUtil.java:29-31) supplies in production. The O(table)
-    rewrite carries the same Delta MERGE scale note as the header."""
+    FlinkSinkUtil.java:29-31) supplies in production. The ledger
+    lives INSIDE the table directory (`_applied_batches`, invisible
+    to Spark's parquet reader) and is written into the new directory
+    BEFORE the atomic swap, so table state and ledger change in one
+    rename: a crash before the swap retries cleanly (old table + old
+    ledger), a crash after it skips cleanly (new table + new ledger)
+    — no window where the data includes a batch the ledger misses.
+    The O(table) rewrite carries the same Delta MERGE scale note as
+    the header."""
+    def _ledger(d: str) -> str:
+        return os.path.join(d, "_applied_batches")
+
     def fn(batch: DataFrame, batch_id: int) -> None:
-        ledger = table_dir.rstrip("/") + ".__applied__"
-        if os.path.exists(ledger):
-            with open(ledger) as fh:
-                if str(batch_id) in fh.read().split():
-                    return
+        applied: set[str] = set()
+        if os.path.exists(_ledger(table_dir)):
+            with open(_ledger(table_dir)) as fh:
+                applied = set(fh.read().split())
+        if str(batch_id) in applied:
+            return
         spark = batch.sparkSession
         partial = prepare(batch) if prepare is not None else batch
         merged = partial
@@ -127,9 +138,13 @@ def additive_merge_batch(table_dir: str, keys: Sequence[str],
         merged = merged.groupBy(*keys).agg(
             *[F.sum(c).alias(c) for c in sum_cols]
         )
-        _atomic_overwrite(merged, table_dir)
-        with open(ledger, "a") as fh:
-            fh.write(f"{batch_id}\n")
+        tmp = table_dir.rstrip("/") + ".__new__"
+        merged.write.mode("overwrite").parquet(tmp)
+        with open(_ledger(tmp), "w") as fh:
+            fh.write("\n".join(sorted({*applied, str(batch_id)})) + "\n")
+        if os.path.exists(table_dir):
+            shutil.rmtree(table_dir)
+        os.replace(tmp, table_dir)
 
     return fn
 

@@ -120,6 +120,16 @@ def daily_first_event_stream(sdf: DataFrame, key_col: str, ts_col: str,
     `is_first_ever` (state was empty), covering the login/order/
     payment window variants that count new vs returning users in one
     pass.
+
+    `is_first_ever` semantics are FIRST-OBSERVED (arrival order) —
+    the flag lands on the first day the operator SEES for a key,
+    exactly like the reference's state-empty ValueState check
+    (DwsUserUserLoginWindow.java:93-103, also arrival-order). Under a
+    time-ordered replay (what the staged gate provides) this equals
+    the key's min event-time day; under cross-batch disorder a late
+    earlier day emits its row (dedup is repaired) but the flag stays
+    on the first-arriving day — append mode cannot retract the
+    already-emitted flag, and neither can the reference.
     """
     out_schema = T.StructType([
         T.StructField(key_col, T.StringType()),

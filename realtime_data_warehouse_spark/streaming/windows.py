@@ -31,10 +31,12 @@ from pyspark.sql import types as T
 from ..operators.agg import stamp_window_bounds
 from ..sources.streams import file_stream
 
-#: events.parquet stores no-timezone timestamp[us]; requesting
-#: TimestampType in the read schema yields session-tz (UTC-pinned)
-#: instants directly — the stream twin of sources/batch.load_table's
-#: ntz→ltz normalization.
+#: Current driver layout: events.parquet stores no-timezone
+#: timestamp[us]; requesting TimestampType in the read schema yields
+#: session-tz (UTC-pinned) instants directly — the stream twin of
+#: sources/batch.load_table's ntz→ltz normalization. The driver has
+#: ALSO shipped this table as INT64 TIMESTAMP(NANOS) in earlier
+#: rounds; events_ts_schema below adapts per actual file layout.
 EVENTS_RAW = T.StructType([
     T.StructField("event_id", T.LongType()),
     T.StructField("ts", T.TimestampType()),
@@ -45,24 +47,45 @@ EVENTS_RAW = T.StructType([
 ])
 
 
+def events_ts_schema(spark: SparkSession, path: str) -> tuple[T.StructType, bool]:
+    """Peek the actual parquet layout of an events table and return
+    (read schema, ts_is_raw_nanos). With nanosAsLong=true an INT64
+    TIMESTAMP(NANOS) column infers as LongType; the timestamp[us]
+    layout infers as (n)tz timestamp. Centralizing the sniff here
+    keeps every streaming reader layout-proof the same way batch
+    load_table is — if the driver flips layouts again, nothing else
+    changes."""
+    inferred = spark.read.parquet(path).schema
+    nanos = isinstance(inferred["ts"].dataType, T.LongType)
+    fields = [
+        T.StructField("ts", T.LongType() if nanos else T.TimestampType())
+        if f.name == "ts" else f
+        for f in EVENTS_RAW.fields
+    ]
+    return T.StructType(fields), nanos
+
+
 def stream_events(spark: SparkSession, path_or_sf_dir: str,
                   watermark: str = "1 hour",
                   max_files_per_trigger: int | None = None) -> DataFrame:
     """events table as a watermarked stream (S1+S3 analogue).
 
     Accepts either an sf dir (appends events.parquet) or a staged
-    stream-input dir of parquet files.
-    """
+    stream-input dir of parquet files; adapts to either historical
+    ts layout (events_ts_schema)."""
     path = path_or_sf_dir
     if os.path.isdir(path) and os.path.exists(os.path.join(path, "events.parquet")):
         path = os.path.join(path, "events.parquet")
-    raw = file_stream(spark, path, EVENTS_RAW)
+    schema, nanos = events_ts_schema(spark, path)
+    raw = file_stream(spark, path, schema)
     if max_files_per_trigger is not None:
         raw = (
-            spark.readStream.format("parquet").schema(EVENTS_RAW)
+            spark.readStream.format("parquet").schema(schema)
             .option("maxFilesPerTrigger", str(max_files_per_trigger))
             .load(path)
         )
+    if nanos:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return raw.withWatermark("ts", watermark)
 
 

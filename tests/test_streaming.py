@@ -140,7 +140,8 @@ def test_daily_first_event_stream_parity(spark, sf_small, tmp_path):
     )
     assert got.count() == want.count()
     assert got.select("uid", "dt").exceptAll(want).count() == 0
-    # exactly one is_first_ever per user, on their min date
+    # exactly one is_first_ever per user; this replay is time-ordered,
+    # so first-OBSERVED (the operator's contract) == min date here
     firsts = got.filter("is_first_ever = 1")
     assert firsts.count() == events.select("uid").distinct().count()
     min_dt = got.groupBy("uid").agg(F.min("dt").alias("dt"))
@@ -422,3 +423,42 @@ def test_additive_merge_batch_is_idempotent_per_batch_id(spark, tmp_path):
     fn(b2, 1)  # retry of batch 1: ignored
     got = {r.k: r.v for r in spark.read.parquet(table).collect()}
     assert got == {"a": 11, "b": 2}
+
+
+def test_stream_events_adapts_to_nanos_layout(spark, tmp_path):
+    """The driver has shipped events.ts both as INT64 TIMESTAMP(NANOS)
+    (rounds 1-2) and as timestamp[us] (round 3). events_ts_schema must
+    sniff the actual file layout so every streaming reader keeps
+    working if it flips again."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from realtime_data_warehouse_spark.streaming.runner import (
+        read_back,
+        run_available_now,
+    )
+
+    us = 1704067200 * 10**6  # 2024-01-01 00:00:00 UTC
+    rows = {
+        "event_id": [1, 2],
+        "ts": pa.array([us * 1000, (us + 3600 * 10**6) * 1000],
+                       type=pa.timestamp("ns")),
+        "user_id": [7, 7],
+        "event_type": ["view", "sentinel"],
+        "value": [1.0, 0.0],
+        "props": ["{}", "{}"],
+    }
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    pq.write_table(pa.table(rows), os.path.join(in_dir, "part-0.parquet"),
+                   store_schema=False)
+    sdf = stream_events(spark, in_dir, watermark="0 seconds")
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    run_available_now(
+        sdf.groupBy(F.window("ts", "1 hour")).count()
+        .select(F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("stt"),
+                "count"),
+        out, ck,
+    )
+    got = {r.stt: r["count"] for r in read_back(spark, out).collect()}
+    assert got.get("2024-01-01 00:00:00") == 1
