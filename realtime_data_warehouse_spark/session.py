@@ -42,11 +42,13 @@ def get_spark(app_name: str = "realtime_data_warehouse_spark",
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
-        # The testdata events table stores INT64 TIMESTAMP(NANOS), which
-        # Spark's TimestampType (micros) cannot represent; read the raw
-        # nanos as long and convert via `ts div 1000` → timestamp_micros
-        # in sources.batch.load_table — identical truncation to DuckDB's
-        # ns→µs read, so oracle hashes line up.
+        # The driver testdata has shipped events.ts BOTH as INT64
+        # TIMESTAMP(NANOS) (rounds 1-2) and as timestamp[us] (round 3).
+        # nanosAsLong makes the nanos layout readable (Spark's micros
+        # TimestampType cannot represent it); sources.batch.load_table
+        # and streaming.windows.events_ts_schema then normalize either
+        # layout to a session-tz timestamp — `ts div 1000` truncation
+        # matches DuckDB's ns→µs read, so oracle hashes line up.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # InferFiltersFromGenerate turns explode(expensive_expr) into a
