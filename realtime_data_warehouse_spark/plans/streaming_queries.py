@@ -723,3 +723,84 @@ def stream_incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("amount_dec").cast("double").alias("order_amount"),
         "order_ct",
     )
+
+
+# ---------------------------------------------------------------------------
+# J1 left-outer streaming twin — watermark-driven null emission
+# ---------------------------------------------------------------------------
+
+@register(
+    "stream_left_interval_join",
+    oracle="""
+    SELECT o.o_orderkey                        AS order_id,
+           l.l_orderkey * 100 + l.l_linenumber AS detail_id,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS pay_date,
+           CASE WHEN l.l_orderkey IS NULL THEN 1 ELSE 0 END AS unmatched
+    FROM orders o
+    LEFT JOIN (SELECT * FROM lineitem WHERE l_orderkey % 4 = 0) l
+      ON o.o_orderkey = l.l_orderkey
+     AND l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate <= o.o_orderdate + INTERVAL 30 DAY
+    """,
+)
+def stream_left_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1's LEFT join as a REAL stream-stream join — the semantics
+    gap SURVEY §7.4.2 documents, exercised end to end: Spark emits a
+    left row's null match only once the watermark PROVES no right row
+    can still arrive (pay_ts + interval passed on both inputs), where
+    Flink emits eagerly and retracts. Details are punctured to every
+    4th order so ~3/4 of orders must surface as watermark-driven null
+    rows; far-future sentinels on BOTH inputs advance the min-policy
+    watermark past every real order so availableNow's final no-data
+    batch flushes the unmatched state. Same relational answer as a
+    batch LEFT JOIN — stream ≡ batch ≡ SQL including the NULLs."""
+    from ..streaming.joins import interval_join as s_interval_join
+
+    base = tempfile.mkdtemp(prefix="rdw_streamq_lj_")
+    pay_dir = os.path.join(base, "pay")
+    out, ck = os.path.join(base, "out"), os.path.join(base, "ck")
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_orderdate").cast("timestamp").alias("pay_ts"),
+    )
+    max_pay = orders.agg(F.max("pay_ts")).collect()[0][0]
+    far = max_pay + timedelta(days=400)
+    orders.write.mode("overwrite").parquet(pay_dir)
+    spark.createDataFrame([(-1, far)], orders.schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(pay_dir)
+
+    detail = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 4 == 0
+    ).select(
+        F.col("l_orderkey").alias("d_order_id"),
+        (F.col("l_orderkey") * 100 + F.col("l_linenumber")).alias("detail_id"),
+        F.col("l_shipdate").cast("timestamp").alias("ship_ts"),
+    )
+    detail_dir = staged_files_dir(detail, base, n_files=2, order_col="ship_ts")
+    spark.createDataFrame([(-2, -2, far)], detail.schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(detail_dir)
+
+    s_pay = (
+        spark.readStream.schema(orders.schema).parquet(pay_dir)
+        .withWatermark("pay_ts", "1 hour")
+    )
+    s_detail = (
+        spark.readStream.schema(detail.schema)
+        .option("maxFilesPerTrigger", "1").parquet(detail_dir)
+        .withWatermark("ship_ts", "1 hour")
+    )
+    joined = s_interval_join(
+        s_pay, s_detail,
+        equi=F.col("order_id") == F.col("d_order_id"),
+        left_ts="pay_ts", right_ts="ship_ts",
+        lower="0 seconds", upper="30 days", how="left",
+    )
+    run_available_now(joined, out, ck)
+    return read_back(spark, out).filter(F.col("order_id") != -1).select(
+        "order_id", "detail_id",
+        F.date_format("pay_ts", "yyyy-MM-dd").alias("pay_date"),
+        F.when(F.col("detail_id").isNull(), 1).otherwise(0).alias("unmatched"),
+    )
