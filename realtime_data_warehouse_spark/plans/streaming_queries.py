@@ -804,3 +804,91 @@ def stream_left_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("pay_ts", "yyyy-MM-dd").alias("pay_date"),
         F.when(F.col("detail_id").isNull(), 1).otherwise(0).alias("unmatched"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Continuous gap filling — streaming LOCF, same oracle as the batch twin
+# ---------------------------------------------------------------------------
+
+@register(
+    "stream_gapfill_hourly",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS bucket,
+               SUM(CAST(value AS DECIMAL(18,2))) AS value_sum,
+               count(*) AS n
+        FROM events WHERE value > 90 GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT event_type, min(bucket) AS b0, max(bucket) AS b1
+        FROM hourly GROUP BY 1
+    ),
+    cal AS (
+        SELECT b.event_type, unnest(generate_series(b.b0, b.b1, INTERVAL 1 HOUR)) AS bucket
+        FROM bounds b
+    ),
+    joined AS (
+        SELECT c.event_type, c.bucket,
+               CASE WHEN h.value_sum IS NULL THEN 1 ELSE 0 END AS is_gapfilled,
+               last_value(h.value_sum IGNORE NULLS) OVER (
+                   PARTITION BY c.event_type ORDER BY c.bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS value_sum,
+               last_value(h.n IGNORE NULLS) OVER (
+                   PARTITION BY c.event_type ORDER BY c.bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS n
+        FROM cal c LEFT JOIN hourly h USING (event_type, bucket)
+    )
+    SELECT event_type,
+           strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+           is_gapfilled,
+           CAST(value_sum AS DOUBLE) AS value_sum,
+           CAST(n AS BIGINT) AS n
+    FROM joined
+    """,
+)
+def stream_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous gap filling (streaming/stateful.gapfill_locf_stream):
+    the sparse hourly rollup replays as three bucket-ordered micro-
+    batches, and per-key state (last bucket + last values) emits the
+    missing buckets with carried-forward values — gaps SPANNING batch
+    boundaries are filled from state, which a batch gapfill never
+    exercises. Values ride as doubles (LOCF copies, never computes),
+    so the result hash-matches the same oracle as the batch twin
+    gapfill_hourly_values: stream ≡ batch ≡ SQL."""
+    from ..streaming.stateful import gapfill_locf_stream
+
+    base = tempfile.mkdtemp(prefix="rdw_streamq_gf_")
+    out, ck = os.path.join(base, "out"), os.path.join(base, "ck")
+    events = load_table(spark, sf_dir, "events")
+    hourly = (
+        events.filter(F.col("value") > 90)
+        .groupBy(
+            F.col("event_type"),
+            F.unix_timestamp(F.date_trunc("hour", "ts")).alias("bucket"),
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            .alias("value_sum"),
+            F.count(F.lit(1)).cast("double").alias("n"),
+        )
+    )
+    in_dir = staged_files_dir(hourly, base, n_files=3, order_col="bucket")
+    sdf = (
+        spark.readStream
+        .schema("event_type string, bucket long, value_sum double, n double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    filled = gapfill_locf_stream(sdf, "event_type", "bucket",
+                                 ["value_sum", "n"], step_seconds=3600)
+    run_available_now(filled, out, ck)
+    return read_back(spark, out).select(
+        "event_type",
+        F.date_format(F.timestamp_seconds("bucket"), "yyyy-MM-dd HH:mm:ss")
+        .alias("bucket"),
+        "is_gapfilled",
+        "value_sum",
+        F.col("n").cast("long").alias("n"),
+    )

@@ -276,3 +276,62 @@ def pack_stream(sdf: DataFrame, group_cols: Sequence[str],
     return sdf.groupBy(*group_cols).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+# ---------------------------------------------------------------------------
+# Continuous gap filling — streaming LOCF across micro-batches
+# ---------------------------------------------------------------------------
+
+def gapfill_locf_stream(sdf: DataFrame, key_col: str, bucket_col: str,
+                        val_cols: Sequence[str],
+                        step_seconds: int = 3600) -> DataFrame:
+    """Streaming twin of operators/agg.gapfill_locf: per key, state
+    holds (last emitted bucket, last observed values); each arriving
+    bucket first emits the missing intermediate buckets carrying the
+    carried-forward values (is_gapfilled=1), then itself. Gaps that
+    SPAN micro-batch boundaries are filled from state — the part a
+    batch gapfill never exercises. Buckets are epoch seconds; values
+    ride as doubles (LOCF copies, never computes, so integer counts
+    stay exact). Assumes the documented bucket-ordered replay per
+    key (late duplicate buckets are skipped); state is O(1) per key."""
+    out_schema = T.StructType(
+        [T.StructField(key_col, T.StringType()),
+         T.StructField(bucket_col, T.LongType()),
+         T.StructField("is_gapfilled", T.IntegerType())]
+        + [T.StructField(c, T.DoubleType()) for c in val_cols]
+    )
+    state_schema = T.StructType(
+        [T.StructField("last_b", T.LongType())]
+        + [T.StructField(f"v_{c}", T.DoubleType()) for c in val_cols]
+    )
+
+    def fn(key, chunks: Iterator[pd.DataFrame], state: GroupState):
+        pdf = _concat(chunks)
+        if pdf.empty:
+            return
+        pdf = pdf.sort_values(bucket_col, kind="stable")
+        if state.exists:
+            last_b, *last_vals = state.get
+        else:
+            last_b, last_vals = None, None
+        out = []
+        for row in pdf.itertuples(index=False):
+            rd = row._asdict()
+            b = int(rd[bucket_col])
+            vals = [float(rd[c]) for c in val_cols]
+            if last_b is not None:
+                if b <= last_b:
+                    continue
+                for g in range(last_b + step_seconds, b, step_seconds):
+                    out.append([key[0], g, 1, *last_vals])
+            out.append([key[0], b, 0, *vals])
+            last_b, last_vals = b, vals
+        state.update((last_b, *last_vals))
+        if out:
+            yield pd.DataFrame(
+                out, columns=[key_col, bucket_col, "is_gapfilled", *val_cols]
+            )
+
+    return sdf.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
