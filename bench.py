@@ -124,6 +124,68 @@ def main() -> None:
     # field, never folded into either.
     timings_compacted = run_passes(compacted)
 
+    # Skew stress — the testdata keys are uniform, so the headline
+    # numbers never pressure the skew machinery; this section does.
+    # ~40% of lineitem rows collapse onto ONE part key (deterministic
+    # zipf-head stand-in), then the same join+agg runs three ways with
+    # broadcast DISABLED (so the shuffle join actually faces the hot
+    # key, as it would when the dim side is too big to broadcast):
+    # plain sort-merge (the straggler baseline), AQE skew-join split
+    # (runtime mitigation), and the explicit salted join
+    # (operators/joins.salted_join, a-priori mitigation). Reported
+    # separately; never part of the headline value.
+    from realtime_data_warehouse_spark.operators.joins import salted_join  # noqa: E402,PLC0415
+
+    def skew_bench(data_dir: str, passes: int = 3) -> dict[str, float]:
+        li = spark.read.parquet(os.path.join(data_dir, "lineitem.parquet"))
+        part = spark.read.parquet(os.path.join(data_dir, "part.parquet"))
+        skewed = li.select(
+            F.when(F.col("l_orderkey") % 5 < 2, F.lit(1))
+            .otherwise(F.col("l_partkey")).alias("sku"),
+            "l_extendedprice", "l_discount",
+        )
+        dim = part.select(F.col("p_partkey").alias("sku"), "p_brand")
+        amount = (F.col("l_extendedprice").cast("decimal(12,2)")
+                  * (F.lit(1) - F.col("l_discount")).cast("decimal(3,2)"))
+
+        def agg(joined):
+            return joined.groupBy("p_brand").agg(
+                F.sum(amount).alias("revenue"), F.count(F.lit(1)).alias("n")
+            )
+
+        variants = {
+            "plain_smj": (lambda: agg(skewed.join(dim, "sku")), "false"),
+            "aqe_skew_split": (lambda: agg(skewed.join(dim, "sku")), "true"),
+            "salted": (lambda: agg(salted_join(skewed, dim, "sku")), "false"),
+        }
+        saved = {
+            k: spark.conf.get(k, None)
+            for k in ("spark.sql.autoBroadcastJoinThreshold",
+                      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+                      "spark.sql.adaptive.skewJoin.enabled")
+        }
+        out: dict[str, float] = {}
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+            for _ in range(passes):
+                for name, (mk, skew_flag) in variants.items():
+                    spark.conf.set("spark.sql.adaptive.skewJoin.enabled",
+                                   skew_flag)
+                    t0 = time.perf_counter()
+                    mk().write.format("noop").mode("overwrite").save()
+                    el = round(time.perf_counter() - t0, 3)
+                    out[name] = min(out.get(name, el), el)
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+        return out
+
+    skew_timings = skew_bench(compacted)
+
     print(json.dumps({
         "metric": "headline_queries_total_runtime",
         "value": round(sum(timings_raw.values()), 3),
@@ -135,6 +197,10 @@ def main() -> None:
         "value_compacted": round(sum(timings_compacted.values()), 3),
         "queries_compacted": timings_compacted,
         "layout_compacted": "one-time ingest compaction (see docstring)",
+        "skew_join": skew_timings,
+        "skew_join_note": ("40% of lineitem on one part key, broadcast "
+                           "disabled: plain sort-merge vs AQE skew split "
+                           "vs explicit salted join (min of 3)"),
     }))
 
 

@@ -231,8 +231,13 @@ def gapfill_locf(buckets: DataFrame, bucket_col: str,
     has data) — the calendar explode fans out per key×bucket, never
     per raw row, so at 100 TB the gapfill works on the rollup's
     cardinality. One extra shuffle: the per-key ordered window for
-    the carry-forward. Adds `is_gapfilled` per row."""
+    the carry-forward. Adds `is_gapfilled` per row, detected via a
+    constant marker column stamped on the observed rows before the
+    calendar left-join — null value columns in an OBSERVED bucket do
+    not mislabel it as gapfilled (and a gapfilled flag never depends
+    on which value column happens to be first)."""
     keys = list(key_cols)
+    marked = buckets.withColumn("__observed", F.lit(1))
     bounds = buckets.groupBy(*keys).agg(
         F.min(bucket_col).alias("__b0"), F.max(bucket_col).alias("__b1")
     )
@@ -242,15 +247,14 @@ def gapfill_locf(buckets: DataFrame, bucket_col: str,
             F.sequence("__b0", "__b1", F.expr(f"interval {step}"))
         ).alias(bucket_col),
     )
-    joined = cal.join(buckets, [*keys, bucket_col], "left")
+    joined = cal.join(marked, [*keys, bucket_col], "left")
     w = (
         Window.partitionBy(*keys).orderBy(bucket_col)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    probe = F.col(val_cols[0])
     return joined.select(
         *keys,
         bucket_col,
-        F.when(probe.isNull(), 1).otherwise(0).alias("is_gapfilled"),
+        F.when(F.col("__observed").isNull(), 1).otherwise(0).alias("is_gapfilled"),
         *[F.last(c, ignorenulls=True).over(w).alias(c) for c in val_cols],
     )

@@ -309,17 +309,30 @@ def pack_sequences(chunks: DataFrame, budget: int,
 # ---------------------------------------------------------------------------
 
 def min_label_propagation(pairs: DataFrame, id_a: str = "doc_a",
-                          id_b: str = "doc_b", rounds: int = 3) -> DataFrame:
-    """Cluster ids over a near-dup pair graph by `rounds` rounds of
-    min-label propagation: l_0(v) = v; l_{k+1}(v) = min(l_k(v),
+                          id_b: str = "doc_b",
+                          rounds: int | str = 3,
+                          max_rounds: int = 20) -> DataFrame:
+    """Cluster ids over a near-dup pair graph by min-label
+    propagation: l_0(v) = v; l_{k+1}(v) = min(l_k(v),
     min over neighbors l_k(u)). The distributed connected-components
     kernel (each round is one equi-join + min-aggregate — the
-    hash-partition-friendly form of large-star/small-star); near-dup
-    graphs are overwhelmingly tiny cliques and short chains, so a
-    small fixed `rounds` reaches the true components in practice
-    while keeping the operator DETERMINISTIC and replayable — the
-    contract is "labels after k rounds", exact in any engine, not
-    "whenever iteration happens to converge".
+    hash-partition-friendly form of large-star/small-star).
+
+    `rounds` selects the contract:
+
+    - an int (default 3): exactly k rounds — DETERMINISTIC and
+      replayable in any engine ("labels after k rounds", the form the
+      DuckDB oracle mirrors). Correct for components of diameter ≤ k;
+      near-dup graphs are overwhelmingly tiny cliques and short
+      chains, but a duplicate CHAIN longer than k+1 docs splits into
+      multiple clusters — keep-one-per-cluster then keeps extra
+      near-dups.
+    - "converge" (production semantics): iterate until no label
+      changes (checked with a per-round count, each round's labels
+      persisted so lineage stays flat), capped at `max_rounds`.
+      Fixpoint labels ARE the true connected components (min-label
+      propagation converges in diameter(G) rounds; the cap guards
+      pathological chains — raise it for adversarial graphs).
 
     Returns (id, cluster) for every vertex that appears in `pairs`;
     `cluster` is the component's min id once converged."""
@@ -329,15 +342,32 @@ def min_label_propagation(pairs: DataFrame, id_a: str = "doc_a",
     labels = edges.select(F.col("u").alias("id")).distinct().withColumn(
         "l", F.col("id")
     )
-    for _ in range(rounds):
+
+    def one_round(lab: DataFrame) -> DataFrame:
         nbr = (
-            edges.join(labels, edges["v"] == labels["id"])
+            edges.join(lab, edges["v"] == lab["id"])
             .groupBy("u").agg(F.min("l").alias("nl"))
         )
-        labels = labels.join(nbr, labels["id"] == nbr["u"], "left").select(
-            labels["id"].alias("id"),
-            F.least(labels["l"], F.coalesce(nbr["nl"], labels["l"])).alias("l"),
+        return lab.join(nbr, lab["id"] == nbr["u"], "left").select(
+            lab["id"].alias("id"),
+            F.least(lab["l"], F.coalesce(nbr["nl"], lab["l"])).alias("l"),
+            lab["l"].alias("prev"),
         )
+
+    if rounds == "converge":
+        labels = labels.persist()
+        prev_cached = labels
+        for _ in range(max_rounds):
+            new = one_round(labels).persist()
+            changed = new.filter(F.col("l") < F.col("prev")).count()
+            labels = new.drop("prev")
+            prev_cached.unpersist()
+            prev_cached = new
+            if changed == 0:
+                break
+    else:
+        for _ in range(rounds):
+            labels = one_round(labels).drop("prev")
     return labels.select(F.col("id"), F.col("l").alias("cluster"))
 
 

@@ -397,7 +397,12 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair graph — the connected-components step real dedup pipelines
     run between pair generation and keep-one-per-cluster. The oracle
     replays the identical rounds as unrolled CTEs, so the result is
-    hash-exact whether or not the graph has fully converged."""
+    hash-exact whether or not the graph has fully converged. For
+    production semantics use rounds="converge" (iterate-to-fixpoint =
+    true connected components regardless of chain depth —
+    tests/test_curation.py pins it against union-find); the gate
+    entry keeps fixed rounds because an iterate-until-done loop has
+    no closed-form SQL twin."""
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     pairs = D.jaccard_pairs(docs, threshold=0.8)
     return C.min_label_propagation(pairs, rounds=3).select(

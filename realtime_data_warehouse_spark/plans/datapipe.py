@@ -314,20 +314,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_pairs(docs, threshold=0.8)
 
 
-@register("dedup_simhash")  # xxhash64-based: no DuckDB twin → rows-only check
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash(64) near-dup pairs, hamming ≤ 8, candidates from the
-    pigeonhole block join (radius sized for this corpus's short docs —
-    one token edit flips ~4-7 bits at ~20 tokens/doc). Hash function
-    has no DuckDB equivalent, so the driver records the weaker
-    rows-only check; the pytest suite cross-checks SimHash pairs ⊇
-    the exact ≥0.95-Jaccard pairs."""
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
-    return D.simhash_pairs(docs, max_hamming=8)
-
-
 @register(
-    "dedup_simhash_md5",
+    "dedup_simhash",
     oracle=f"""
     WITH hashes AS (
         SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
@@ -352,13 +340,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE bit_count(xor(a.sh, b.sh)) <= 8
     """,
 )
-def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs on the engine-portable 60-bit md5 hash
-    family — bit-for-bit reproducible in ANSI SQL, so the full chain
-    (tokenize → per-token hash → bit vote → pigeonhole block join →
-    hamming ≤ 8) is oracle-checked, closing the gap dedup_simhash
-    (xxhash64, rows-only) leaves. The oracle brute-forces the pair
-    space (fine at sf0.01); the Spark plan stays block-join-local."""
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming ≤ 8, pigeonhole block-join
+    candidates) on the engine-portable 60-bit md5 hash family — the
+    PRIMARY simhash entry is oracle-checked bit-for-bit: the full
+    chain (tokenize → per-token hash → bit vote → block join →
+    hamming filter) replays in ANSI SQL. The oracle brute-forces the
+    pair space (fine at sf0.01); the Spark plan stays
+    block-join-local. The xxhash64 hash family (~3× cheaper per
+    token, no SQL twin) ships as the rows-only perf variant
+    `dedup_simhash_fast` in plans/extras.py."""
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     return D.simhash_pairs(
         docs, max_hamming=8, hasher=D.simhash60_md5, bits=60

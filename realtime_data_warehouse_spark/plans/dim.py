@@ -235,11 +235,16 @@ def stream_dim_sku_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from ..streaming.runner import staged_files_dir
+    from .streaming_queries import _stage_once
 
-    base = tempfile.mkdtemp(prefix="rdw_dimwh_stream_")
     changes = dim_changelog(spark, sf_dir)
-    stream_in = staged_files_dir(changes, base, n_files=3, order_col="ts")
+    stream_in = _stage_once(
+        sf_dir, "dim_changelog",
+        lambda base: staged_files_dir(changes, base, n_files=3,
+                                      order_col="ts"),
+    )
+    wh = tempfile.mkdtemp(prefix="rdw_dimwh_stream_")
     tables = run_dim_pipeline(
-        spark, sf_dir, os.path.join(base, "wh"), stream_input_dir=stream_in
+        spark, sf_dir, os.path.join(wh, "wh"), stream_input_dir=stream_in
     )
     return tables["dim_sku_info"].select("rowkey", _kv_string().alias("kv"))

@@ -1043,3 +1043,20 @@ def late_dim_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("c_custkey").isNull(), 1).otherwise(0)).alias("n_orphans"),
     )
     return e1.unionByName(e2)
+
+
+@register("dedup_simhash_fast")  # xxhash64 hash family: no SQL twin → rows-only
+def dedup_simhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perf variant of dedup_simhash: identical pipeline (64-bit vote,
+    pigeonhole block join, hamming ≤ 8) on xxhash64 token hashes —
+    ~3× cheaper per token than md5 and the hash you'd run at 100 TB,
+    but with no ANSI-SQL twin, so the driver records the weaker
+    rows-only check. The oracle-checked md5 family (`dedup_simhash`,
+    plans/datapipe.py) proves the operator bit-for-bit; pytest
+    additionally cross-checks these pairs ⊇ exact ≥0.95-Jaccard
+    pairs (tests/test_datapipe.py)."""
+    from ..operators import dedup as D
+    from ..sources.batch import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return D.simhash_pairs(docs, max_hamming=8)

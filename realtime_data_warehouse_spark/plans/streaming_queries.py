@@ -53,6 +53,49 @@ def _dirs() -> tuple[str, str, str]:
     )
 
 
+_STAGE_CACHE: dict[tuple[str, str], object] = {}
+
+
+def _stage_once(sf_dir: str, name: str, build):
+    """Stage a replay input once per (sf_dir, input-descriptor) per
+    process. Every stream_* query rewrites its source into a
+    file-stream dir (often plus a collect()ed max-event-time for the
+    watermark sentinel); that staging is O(input) and byte-identical
+    across invocations — the driver gate, the parity suite, and bench
+    all re-run the same queries — so `build(base_dir)` runs only on
+    the first call and its return value (input dir(s), sentinel
+    metadata) is reused afterwards. Only INPUTS are cached: out/
+    checkpoint/result dirs stay per-invocation (checkpoint reuse
+    against restaged files would resume offsets into different files
+    and corrupt results)."""
+    key = (os.path.abspath(sf_dir), name)
+    if key not in _STAGE_CACHE:
+        base = tempfile.mkdtemp(prefix=f"rdw_stage_{name}_")
+        _STAGE_CACHE[key] = build(base)
+    return _STAGE_CACHE[key]
+
+
+def _stage_events_sentinel(spark: SparkSession, sf_dir: str) -> str:
+    """Shared staging for the raw-events replay: events + a far-future
+    sentinel row (filtered from results) that pushes the final
+    watermark past every real window. Used by every stream that
+    windows the events table."""
+    def build(base: str) -> str:
+        in_dir = os.path.join(base, "in")
+        # load_table normalizes either historical ts layout (nanos/us)
+        raw = load_table(spark, sf_dir, "events")
+        max_ts = raw.agg(F.max("ts")).collect()[0][0]
+        sentinel = spark.createDataFrame(
+            [(10**9, max_ts + timedelta(days=40), 10**9, "sentinel", 0.0, "{}")],
+            EVENTS_RAW,
+        )
+        raw.write.mode("overwrite").parquet(in_dir)
+        sentinel.coalesce(1).write.mode("append").parquet(in_dir)
+        return in_dir
+
+    return _stage_once(sf_dir, "events_sentinel", build)
+
+
 # ---------------------------------------------------------------------------
 # A2/A5 streaming twin — keyed tumbling window over the event stream
 # ---------------------------------------------------------------------------
@@ -79,16 +122,8 @@ def stream_traffic_page_view_window(spark: SparkSession, sf_dir: str) -> DataFra
     a streaming agg (HLL twin lives in streaming_page_view_window and
     its parity test); this registry entry keeps the hash-exact subset.
     """
-    in_dir, out, ck = _dirs()
-    # load_table normalizes either historical ts layout (nanos / us)
-    raw = load_table(spark, sf_dir, "events")
-    max_ts = raw.agg(F.max("ts")).collect()[0][0]
-    sentinel = spark.createDataFrame(
-        [(10**9, max_ts + timedelta(days=40), 10**9, "sentinel", 0.0, "{}")],
-        EVENTS_RAW,
-    )
-    raw.write.mode("overwrite").parquet(in_dir)
-    sentinel.coalesce(1).write.mode("append").parquet(in_dir)
+    _, out, ck = _dirs()
+    in_dir = _stage_events_sentinel(spark, sf_dir)
 
     events = stream_events(spark, in_dir, watermark="1 hour")
     windowed = streaming_tumble(
@@ -130,16 +165,22 @@ def stream_sku_order_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     after read-back — same cardinality trick as the batch twin
     (enrich per-window rows, not raw facts). Same oracle as
     dws_sku_order_window: stream ≡ batch ≡ SQL."""
-    in_dir, out, ck = _dirs()
+    _, out, ck = _dirs()
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"
     )
-    max_ship = li.agg(F.max("l_shipdate")).collect()[0][0]
-    li.write.mode("overwrite").parquet(in_dir)
-    sentinel = spark.createDataFrame(
-        [(-1, 0.0, 0.0, 0.0, max_ship)], li.schema
-    ).withColumn("l_shipdate", F.col("l_shipdate") + F.expr("INTERVAL 40 DAYS"))
-    sentinel.coalesce(1).write.mode("append").parquet(in_dir)
+
+    def build(base: str) -> str:
+        in_dir = os.path.join(base, "in")
+        max_ship = li.agg(F.max("l_shipdate")).collect()[0][0]
+        li.write.mode("overwrite").parquet(in_dir)
+        sentinel = spark.createDataFrame(
+            [(-1, 0.0, 0.0, 0.0, max_ship)], li.schema
+        ).withColumn("l_shipdate", F.col("l_shipdate") + F.expr("INTERVAL 40 DAYS"))
+        sentinel.coalesce(1).write.mode("append").parquet(in_dir)
+        return in_dir
+
+    in_dir = _stage_once(sf_dir, "li_sku_sentinel", build)
 
     # parquet TIMESTAMP_NTZ → TIMESTAMP (LTZ): watermarks only accept
     # instant-typed event time; the session pins UTC so the wall time
@@ -213,9 +254,11 @@ def stream_a6_delta_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(2).cast("long").alias("version"),
         (amount + 100).cast("double").alias("amount"),
     )
-    staged = tempfile.mkdtemp(prefix="rdw_streamq_a6_")
-    in_dir = staged_files_dir(
-        base.unionByName(v2), staged, n_files=2, order_col="version"
+    in_dir = _stage_once(
+        sf_dir, "a6_upsert",
+        lambda staged: staged_files_dir(
+            base.unionByName(v2), staged, n_files=2, order_col="version"
+        ),
     )
     sdf = (
         spark.readStream.schema("id string, version long, amount double")
@@ -271,22 +314,27 @@ def stream_interval_join_pay_detail(spark: SparkSession, sf_dir: str) -> DataFra
     dwd_trade_pay_suc_interval: stream ≡ batch ≡ SQL."""
     from ..streaming.joins import interval_join as s_interval_join
 
-    base = tempfile.mkdtemp(prefix="rdw_streamq_j2_")
-    pay_dir = os.path.join(base, "pay")
-    out, ck = os.path.join(base, "out"), os.path.join(base, "ck")
+    rundir = tempfile.mkdtemp(prefix="rdw_streamq_j2_")
+    out, ck = os.path.join(rundir, "out"), os.path.join(rundir, "ck")
 
     orders = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("order_id"),
         F.col("o_orderdate").cast("timestamp").alias("pay_ts"),
     )
-    orders.write.mode("overwrite").parquet(pay_dir)
     detail = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("d_order_id"),
         (F.col("l_orderkey") * 100 + F.col("l_linenumber")).alias("detail_id"),
         F.col("l_extendedprice").cast("decimal(12,2)").alias("amount"),
         F.col("l_shipdate").cast("timestamp").alias("ship_ts"),
     )
-    detail_dir = staged_files_dir(detail, base, n_files=2, order_col="ship_ts")
+
+    def build(base: str) -> tuple[str, str]:
+        pay_dir = os.path.join(base, "pay")
+        orders.write.mode("overwrite").parquet(pay_dir)
+        return pay_dir, staged_files_dir(detail, base, n_files=2,
+                                         order_col="ship_ts")
+
+    pay_dir, detail_dir = _stage_once(sf_dir, "j2_pay_detail", build)
 
     s_pay = (
         spark.readStream.schema(orders.schema).parquet(pay_dir)
@@ -350,16 +398,8 @@ def stream_sessionize_user_events(spark: SparkSession, sf_dir: str) -> DataFrame
     sessionize_user_events: stream ≡ batch ≡ SQL."""
     from ..streaming.windows import streaming_session
 
-    in_dir, out, ck = _dirs()
-    # load_table normalizes either historical ts layout (nanos / us)
-    raw = load_table(spark, sf_dir, "events")
-    max_ts = raw.agg(F.max("ts")).collect()[0][0]
-    sentinel = spark.createDataFrame(
-        [(10**9, max_ts + timedelta(days=40), 10**9, "sentinel", 0.0, "{}")],
-        EVENTS_RAW,
-    )
-    raw.write.mode("overwrite").parquet(in_dir)
-    sentinel.coalesce(1).write.mode("append").parquet(in_dir)
+    _, out, ck = _dirs()
+    in_dir = _stage_events_sentinel(spark, sf_dir)
 
     events = stream_events(spark, in_dir, watermark="1 hour")
     sess = streaming_session(
@@ -403,13 +443,16 @@ def stream_daily_uv_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle = distinct-(user, day) + min-day in SQL."""
     from ..streaming.stateful import daily_first_event_stream
 
-    base = tempfile.mkdtemp(prefix="rdw_streamq_a7_")
-    out, ck = os.path.join(base, "out"), os.path.join(base, "ck")
+    rundir = tempfile.mkdtemp(prefix="rdw_streamq_a7_")
+    out, ck = os.path.join(rundir, "out"), os.path.join(rundir, "ck")
     events = load_table(spark, sf_dir, "events").select(
         F.col("user_id").cast("string").alias("user_id"),
         F.unix_timestamp("ts").cast("long").alias("ts"),
     )
-    in_dir = staged_files_dir(events, base, n_files=3, order_col="ts")
+    in_dir = _stage_once(
+        sf_dir, "a7_events_ts",
+        lambda base: staged_files_dir(events, base, n_files=3, order_col="ts"),
+    )
     sdf = (
         spark.readStream.schema("user_id string, ts long")
         .option("maxFilesPerTrigger", "1").parquet(in_dir)
@@ -457,10 +500,14 @@ def stream_log_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.runner import run_foreach_batch
     from .dwd import synthesize_log_json
 
-    base = tempfile.mkdtemp(prefix="rdw_streamq_p8_")
-    out_base, ck = os.path.join(base, "out"), os.path.join(base, "ck")
+    rundir = tempfile.mkdtemp(prefix="rdw_streamq_p8_")
+    out_base, ck = os.path.join(rundir, "out"), os.path.join(rundir, "ck")
     events = fan_out(load_table(spark, sf_dir, "events"))
-    in_dir = staged_files_dir(synthesize_log_json(events), base, n_files=2)
+    in_dir = _stage_once(
+        sf_dir, "p8_log_json",
+        lambda base: staged_files_dir(synthesize_log_json(events), base,
+                                      n_files=2),
+    )
     sdf = (
         spark.readStream.schema("value string")
         .option("maxFilesPerTrigger", "1").parquet(in_dir)
@@ -518,8 +565,11 @@ def stream_dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame
         "doc_id", fingerprint("text").alias("fp"),
         (-F.col("doc_id")).alias("neg_id"),
     )
-    staged = tempfile.mkdtemp(prefix="rdw_streamq_dedup_")
-    in_dir = staged_files_dir(docs, staged, n_files=4, order_col="doc_id")
+    in_dir = _stage_once(
+        sf_dir, "dedup_fp",
+        lambda base: staged_files_dir(docs, base, n_files=4,
+                                      order_col="doc_id"),
+    )
     sdf = (
         spark.readStream.schema("doc_id long, fp string, neg_id long")
         .option("maxFilesPerTrigger", "1").parquet(in_dir)
@@ -557,8 +607,11 @@ def stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _, out, ck = _dirs()
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    staged = tempfile.mkdtemp(prefix="rdw_streamq_q_")
-    in_dir = staged_files_dir(docs, staged, n_files=2, order_col="doc_id")
+    in_dir = _stage_once(
+        sf_dir, "docs_quality",
+        lambda base: staged_files_dir(docs, base, n_files=2,
+                                      order_col="doc_id"),
+    )
     sdf = spark.readStream.schema("doc_id long, lang string, text string").option(
         "maxFilesPerTrigger", "1"
     ).parquet(in_dir)
@@ -633,8 +686,11 @@ def stream_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("shard", hash_bucket("doc_id", 4).cast("int")).select(
         "lang", "shard", "doc_id", "chunk_idx", "n_tokens"
     )
-    staged = tempfile.mkdtemp(prefix="rdw_streamq_pack_")
-    in_dir = staged_files_dir(chunks, staged, n_files=3, order_col="doc_id")
+    in_dir = _stage_once(
+        sf_dir, "pack_chunks",
+        lambda base: staged_files_dir(chunks, base, n_files=3,
+                                      order_col="doc_id"),
+    )
     sdf = spark.readStream.schema(
         "lang string, shard int, doc_id long, chunk_idx int, n_tokens int"
     ).option("maxFilesPerTrigger", "1").parquet(in_dir)
@@ -679,12 +735,16 @@ def stream_incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFram
     from ..operators.agg import tumble
     from ..streaming.sinks import additive_merge_batch
 
-    base = tempfile.mkdtemp(prefix="rdw_streamq_incr_")
-    table_dir = os.path.join(base, "agg")
+    rundir = tempfile.mkdtemp(prefix="rdw_streamq_incr_")
+    table_dir = os.path.join(rundir, "agg")
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_extendedprice", "l_discount", "l_shipdate"
     )
-    in_dir = staged_files_dir(li, base, n_files=3, order_col="l_shipdate")
+    in_dir = _stage_once(
+        sf_dir, "incr_lineitem",
+        lambda base: staged_files_dir(li, base, n_files=3,
+                                      order_col="l_shipdate"),
+    )
 
     price = F.col("l_extendedprice").cast("decimal(12,2)")
     disc = (F.lit(1) - F.col("l_discount")).cast("decimal(3,2)")
@@ -713,7 +773,7 @@ def stream_incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFram
             sum_cols=["amount_dec", "order_ct"],
             prepare=day_partials,
         ),
-        checkpoint_dir=os.path.join(base, "ck"),
+        checkpoint_dir=os.path.join(rundir, "ck"),
         output_mode="append",
     )
     stored = spark.read.parquet(table_dir)
@@ -756,21 +816,13 @@ def stream_left_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch LEFT JOIN — stream ≡ batch ≡ SQL including the NULLs."""
     from ..streaming.joins import interval_join as s_interval_join
 
-    base = tempfile.mkdtemp(prefix="rdw_streamq_lj_")
-    pay_dir = os.path.join(base, "pay")
-    out, ck = os.path.join(base, "out"), os.path.join(base, "ck")
+    rundir = tempfile.mkdtemp(prefix="rdw_streamq_lj_")
+    out, ck = os.path.join(rundir, "out"), os.path.join(rundir, "ck")
 
     orders = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("order_id"),
         F.col("o_orderdate").cast("timestamp").alias("pay_ts"),
     )
-    max_pay = orders.agg(F.max("pay_ts")).collect()[0][0]
-    far = max_pay + timedelta(days=400)
-    orders.write.mode("overwrite").parquet(pay_dir)
-    spark.createDataFrame([(-1, far)], orders.schema).coalesce(1).write.mode(
-        "append"
-    ).parquet(pay_dir)
-
     detail = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_orderkey") % 4 == 0
     ).select(
@@ -778,10 +830,23 @@ def stream_left_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_orderkey") * 100 + F.col("l_linenumber")).alias("detail_id"),
         F.col("l_shipdate").cast("timestamp").alias("ship_ts"),
     )
-    detail_dir = staged_files_dir(detail, base, n_files=2, order_col="ship_ts")
-    spark.createDataFrame([(-2, -2, far)], detail.schema).coalesce(1).write.mode(
-        "append"
-    ).parquet(detail_dir)
+
+    def build(base: str) -> tuple[str, str]:
+        pay_dir = os.path.join(base, "pay")
+        max_pay = orders.agg(F.max("pay_ts")).collect()[0][0]
+        far = max_pay + timedelta(days=400)
+        orders.write.mode("overwrite").parquet(pay_dir)
+        spark.createDataFrame([(-1, far)], orders.schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(pay_dir)
+        detail_dir = staged_files_dir(detail, base, n_files=2,
+                                      order_col="ship_ts")
+        spark.createDataFrame([(-2, -2, far)], detail.schema).coalesce(
+            1
+        ).write.mode("append").parquet(detail_dir)
+        return pay_dir, detail_dir
+
+    pay_dir, detail_dir = _stage_once(sf_dir, "lj_pay_detail", build)
 
     s_pay = (
         spark.readStream.schema(orders.schema).parquet(pay_dir)
@@ -859,8 +924,8 @@ def stream_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     gapfill_hourly_values: stream ≡ batch ≡ SQL."""
     from ..streaming.stateful import gapfill_locf_stream
 
-    base = tempfile.mkdtemp(prefix="rdw_streamq_gf_")
-    out, ck = os.path.join(base, "out"), os.path.join(base, "ck")
+    rundir = tempfile.mkdtemp(prefix="rdw_streamq_gf_")
+    out, ck = os.path.join(rundir, "out"), os.path.join(rundir, "ck")
     events = load_table(spark, sf_dir, "events")
     hourly = (
         events.filter(F.col("value") > 90)
@@ -874,7 +939,11 @@ def stream_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("double").alias("n"),
         )
     )
-    in_dir = staged_files_dir(hourly, base, n_files=3, order_col="bucket")
+    in_dir = _stage_once(
+        sf_dir, "gapfill_hourly",
+        lambda base: staged_files_dir(hourly, base, n_files=3,
+                                      order_col="bucket"),
+    )
     sdf = (
         spark.readStream
         .schema("event_type string, bucket long, value_sum double, n double")

@@ -36,15 +36,51 @@ from pyspark.sql import functions as F
 from ..operators.state import latest_per_key
 
 
+def _old_dir(table_dir: str) -> str:
+    return table_dir.rstrip("/") + ".__old__"
+
+
+def _recover_table(table_dir: str) -> None:
+    """Crash recovery for the rename-aside swap: if a previous swap
+    died between renaming the live dir aside and renaming the new dir
+    in, the live dir is missing and ``.__old__`` holds the last good
+    table (data + ledger) — restore it so the retried batch merges
+    against full prior state instead of silently rebuilding from its
+    own partials. If both exist, the swap completed and ``.__old__``
+    is garbage; drop it."""
+    old = _old_dir(table_dir)
+    if os.path.exists(old):
+        if os.path.exists(table_dir):
+            shutil.rmtree(old)
+        else:
+            os.replace(old, table_dir)
+
+
+def _swap_in(tmp: str, table_dir: str) -> None:
+    """Rename-aside swap: move the live table out of the way, rename
+    the fully-written tmp dir in, then delete the old copy. At no point
+    is the only copy of prior state inside a directory being deleted —
+    a crash at any step is repaired by _recover_table on the next
+    batch (before old→live: retry rebuilds tmp; after live aside but
+    before tmp in: old is restored; after tmp in: leftover old is
+    dropped)."""
+    old = _old_dir(table_dir)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    if os.path.exists(table_dir):
+        os.replace(table_dir, old)
+    os.replace(tmp, table_dir)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+
+
 def _atomic_overwrite(df: DataFrame, table_dir: str) -> None:
     """Rewrite a local parquet table we are also reading from: write to
-    a sibling tmp dir, then swap. (Delta's txn log does this for real;
-    local tests only need crash-free, not concurrent.)"""
+    a sibling tmp dir, then rename-aside swap. (Delta's txn log does
+    this for real; local tests only need crash-safe, not concurrent.)"""
     tmp = table_dir.rstrip("/") + ".__new__"
     df.write.mode("overwrite").parquet(tmp)
-    if os.path.exists(table_dir):
-        shutil.rmtree(table_dir)
-    os.replace(tmp, table_dir)
+    _swap_in(tmp, table_dir)
 
 
 def upsert_batch(table_dir: str, keys: Sequence[str], order_col: str):
@@ -54,6 +90,7 @@ def upsert_batch(table_dir: str, keys: Sequence[str], order_col: str):
     """
     def fn(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        _recover_table(table_dir)
         merged = batch
         if os.path.exists(table_dir):
             merged = spark.read.parquet(table_dir).unionByName(batch)
@@ -82,6 +119,7 @@ def dim_upsert_batch(warehouse_dir: str, key_expr: str = "rowkey",
         try:
             for (tbl,) in batch.select(table_col).distinct().collect():
                 tdir = os.path.join(warehouse_dir, tbl)
+                _recover_table(tdir)
                 rows = batch.filter(F.col(table_col) == tbl).drop(table_col)
                 if os.path.exists(tdir):
                     cur = spark.read.parquet(tdir)
@@ -114,16 +152,19 @@ def additive_merge_batch(table_dir: str, keys: Sequence[str],
     FlinkSinkUtil.java:29-31) supplies in production. The ledger
     lives INSIDE the table directory (`_applied_batches`, invisible
     to Spark's parquet reader) and is written into the new directory
-    BEFORE the atomic swap, so table state and ledger change in one
-    rename: a crash before the swap retries cleanly (old table + old
-    ledger), a crash after it skips cleanly (new table + new ledger)
-    — no window where the data includes a batch the ledger misses.
-    The O(table) rewrite carries the same Delta MERGE scale note as
-    the header."""
+    BEFORE the swap, so table state and ledger always move together:
+    data never includes a batch the ledger misses. The swap itself is
+    rename-aside (live → ``.__old__``, tmp → live, drop ``.__old__``)
+    with crash recovery on entry — at every step at least one intact
+    (data + ledger) copy of the pre-batch table exists on disk, so a
+    crash at any point either retries cleanly against the restored old
+    state or skips cleanly against the new one. The O(table) rewrite
+    carries the same Delta MERGE scale note as the header."""
     def _ledger(d: str) -> str:
         return os.path.join(d, "_applied_batches")
 
     def fn(batch: DataFrame, batch_id: int) -> None:
+        _recover_table(table_dir)
         applied: set[str] = set()
         if os.path.exists(_ledger(table_dir)):
             with open(_ledger(table_dir)) as fh:
@@ -142,9 +183,7 @@ def additive_merge_batch(table_dir: str, keys: Sequence[str],
         merged.write.mode("overwrite").parquet(tmp)
         with open(_ledger(tmp), "w") as fh:
             fh.write("\n".join(sorted({*applied, str(batch_id)})) + "\n")
-        if os.path.exists(table_dir):
-            shutil.rmtree(table_dir)
-        os.replace(tmp, table_dir)
+        _swap_in(tmp, table_dir)
 
     return fn
 

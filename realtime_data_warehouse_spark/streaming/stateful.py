@@ -284,7 +284,8 @@ def pack_stream(sdf: DataFrame, group_cols: Sequence[str],
 
 def gapfill_locf_stream(sdf: DataFrame, key_col: str, bucket_col: str,
                         val_cols: Sequence[str],
-                        step_seconds: int = 3600) -> DataFrame:
+                        step_seconds: int = 3600,
+                        emit_late: bool = True) -> DataFrame:
     """Streaming twin of operators/agg.gapfill_locf: per key, state
     holds (last emitted bucket, last observed values); each arriving
     bucket first emits the missing intermediate buckets carrying the
@@ -292,12 +293,23 @@ def gapfill_locf_stream(sdf: DataFrame, key_col: str, bucket_col: str,
     SPAN micro-batch boundaries are filled from state — the part a
     batch gapfill never exercises. Buckets are epoch seconds; values
     ride as doubles (LOCF copies, never computes, so integer counts
-    stay exact). Assumes the documented bucket-ordered replay per
-    key (late duplicate buckets are skipped); state is O(1) per key."""
+    stay exact). State is O(1) per key.
+
+    Output contract: buckets ≤ the key's high-water mark (late or
+    duplicate arrivals — the documented bucket-ordered-replay
+    assumption violated) are NOT silently dropped: with
+    emit_late=True (default) they are emitted with their OWN observed
+    values flagged `is_late=1` (no gapfill rows are generated around
+    them and state is untouched — already-emitted buckets can't be
+    retracted in append mode, so the flag is the correction signal a
+    downstream MERGE consumes); emit_late=False restores drop
+    behavior for consumers that require a strictly dense series.
+    In-order rows carry `is_late=0`."""
     out_schema = T.StructType(
         [T.StructField(key_col, T.StringType()),
          T.StructField(bucket_col, T.LongType()),
-         T.StructField("is_gapfilled", T.IntegerType())]
+         T.StructField("is_gapfilled", T.IntegerType()),
+         T.StructField("is_late", T.IntegerType())]
         + [T.StructField(c, T.DoubleType()) for c in val_cols]
     )
     state_schema = T.StructType(
@@ -321,15 +333,19 @@ def gapfill_locf_stream(sdf: DataFrame, key_col: str, bucket_col: str,
             vals = [float(rd[c]) for c in val_cols]
             if last_b is not None:
                 if b <= last_b:
+                    if emit_late:
+                        out.append([key[0], b, 0, 1, *vals])
                     continue
                 for g in range(last_b + step_seconds, b, step_seconds):
-                    out.append([key[0], g, 1, *last_vals])
-            out.append([key[0], b, 0, *vals])
+                    out.append([key[0], g, 1, 0, *last_vals])
+            out.append([key[0], b, 0, 0, *vals])
             last_b, last_vals = b, vals
         state.update((last_b, *last_vals))
         if out:
             yield pd.DataFrame(
-                out, columns=[key_col, bucket_col, "is_gapfilled", *val_cols]
+                out,
+                columns=[key_col, bucket_col, "is_gapfilled", "is_late",
+                         *val_cols],
             )
 
     return sdf.groupBy(key_col).applyInPandasWithState(

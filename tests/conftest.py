@@ -27,3 +27,8 @@ def sf_small() -> str:
 @pytest.fixture(scope="session")
 def sf_medium() -> str:
     return SF_MEDIUM
+
+
+@pytest.fixture(scope="session")
+def sf_large() -> str:
+    return "/root/testdata/sf0.1"

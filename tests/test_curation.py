@@ -144,6 +144,48 @@ def test_min_label_propagation_converges_to_components(spark):
     assert got == want
 
 
+def test_min_label_propagation_converge_collapses_long_chains(spark):
+    """rounds="converge" must reach TRUE connected components on
+    chains far deeper than any fixed round count: a 12-hop duplicate
+    chain (diameter 12 > the gate entry's 3 rounds) plus side
+    components all collapse to one min-id label each, matching a
+    Python union-find. Also pins that fixed rounds=3 genuinely
+    under-merges this graph — the documented caveat the converge mode
+    exists to fix."""
+    chain = [(i, i + 1) for i in range(100, 112)]  # 13 vertices, diameter 12
+    extra = [(1, 2), (2, 3), (50, 51)]
+    pairs = chain + extra
+    pdf = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+
+    got = {
+        r.id: r.cluster
+        for r in C.min_label_propagation(pdf, rounds="converge").collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {v: find(v) for v in parent}
+    assert got == want
+    assert len({c for v, c in got.items() if v >= 100}) == 1
+
+    fixed = {
+        r.id: r.cluster
+        for r in C.min_label_propagation(pdf, rounds=3).collect()
+    }
+    assert len({c for v, c in fixed.items() if v >= 100}) > 1
+
+
 def test_mask_contaminated_spans_covers_overlaps(spark):
     from realtime_data_warehouse_spark.operators import curation as C
 

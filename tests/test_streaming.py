@@ -9,6 +9,7 @@ run would never exercise.
 from __future__ import annotations
 
 import os
+import shutil
 
 import pytest
 from pyspark.sql import functions as F
@@ -182,6 +183,66 @@ def test_is_new_repair_stream_parity(spark, sf_small, tmp_path):
         F.sum("is_new_fixed").alias("n_new"),
         F.date_format(F.min("first_dt"), "yyyy-MM-dd").alias("first_dt"),
     )
+    assert got_agg.exceptAll(want_agg).count() == 0
+    assert want_agg.exceptAll(got_agg).count() == 0
+
+
+@pytest.mark.slow
+def test_stateful_twins_hold_at_sf01(spark, sf_large, tmp_path):
+    """State-size regression guard at bench scale (sf0.1): the A7/A8
+    stateful twins replay the full events table as three micro-batches
+    and must still converge to the batch answer — and the A7 state
+    must stay ≈ one row per distinct (user, observed-date-set), i.e.
+    emitted (uid, dt) pairs equal the batch distinct pairs exactly
+    (no state blowup double-emitting, no dropped users)."""
+    events = (
+        load_table(spark, sf_large, "events")
+        .select(
+            F.col("user_id").cast("string").alias("uid"),
+            F.unix_timestamp("ts").alias("ts_s"),
+            F.lit("1").alias("is_new"),
+            "ts",
+        )
+    )
+    in_dir = staged_files_dir(
+        events.select("uid", "ts_s", "is_new"), str(tmp_path), 3,
+        order_col="ts_s",
+    )
+
+    # A7 — daily-UV dedup
+    sdf = (
+        spark.readStream.schema("uid string, ts_s long, is_new string")
+        .option("maxFilesPerTrigger", "1").parquet(in_dir)
+    )
+    out7 = str(tmp_path / "out7")
+    run_available_now(
+        daily_first_event_stream(sdf, "uid", "ts_s"), out7,
+        str(tmp_path / "ck7"),
+    )
+    got7 = read_back(spark, out7)
+    want7 = daily_first_event(events, "uid", "ts").select(
+        "uid", F.date_format("dt", "yyyy-MM-dd").alias("dt")
+    )
+    assert got7.count() == want7.count()
+    assert got7.select("uid", "dt").exceptAll(want7).count() == 0
+    assert (got7.filter("is_first_ever = 1").count()
+            == events.select("uid").distinct().count())
+
+    # A8 — is_new repair over the same staged replay
+    sdf8 = (
+        spark.readStream.schema("uid string, ts_s long, is_new string")
+        .option("maxFilesPerTrigger", "1").parquet(in_dir)
+    )
+    out8 = str(tmp_path / "out8")
+    run_available_now(
+        is_new_repair_stream(sdf8, "uid", "ts_s"), out8,
+        str(tmp_path / "ck8"),
+    )
+    got8 = read_back(spark, out8)
+    want8 = first_visit_repair(events, "uid", "ts")
+    assert got8.count() == events.count()
+    got_agg = got8.groupBy("uid").agg(F.sum("is_new_fixed").alias("n_new"))
+    want_agg = want8.groupBy("uid").agg(F.sum("is_new_fixed").alias("n_new"))
     assert got_agg.exceptAll(want_agg).count() == 0
     assert want_agg.exceptAll(got_agg).count() == 0
 
@@ -423,6 +484,83 @@ def test_additive_merge_batch_is_idempotent_per_batch_id(spark, tmp_path):
     fn(b2, 1)  # retry of batch 1: ignored
     got = {r.k: r.v for r in spark.read.parquet(table).collect()}
     assert got == {"a": 11, "b": 2}
+
+
+def test_additive_merge_batch_survives_mid_swap_crash(spark, tmp_path):
+    """A crash between the rename-aside and the rename-in must not lose
+    prior batches: the live dir is missing but `.__old__` holds the
+    last good table+ledger, and the retried batch recovers it before
+    merging. A stale leftover `.__old__` after a completed swap must
+    likewise be ignored, not resurrected."""
+    from realtime_data_warehouse_spark.streaming.sinks import additive_merge_batch
+
+    table = str(tmp_path / "agg")
+    fn = additive_merge_batch(table, keys=["k"], sum_cols=["v"])
+    b1 = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v long")
+    b2 = spark.createDataFrame([("a", 10)], "k string, v long")
+    fn(b1, 0)
+
+    # Crash window 1: live dir renamed aside, new dir never renamed in.
+    os.replace(table, table + ".__old__")
+    fn(b2, 1)  # retry of batch 1 against the crashed state
+    got = {r.k: r.v for r in spark.read.parquet(table).collect()}
+    assert got == {"a": 11, "b": 2}  # batch 0's data survived
+    assert not os.path.exists(table + ".__old__")
+
+    # Crash window 2: swap completed but old copy was never deleted.
+    shutil.copytree(table, table + ".__old__")
+    b3 = spark.createDataFrame([("b", 5)], "k string, v long")
+    fn(b3, 2)
+    got = {r.k: r.v for r in spark.read.parquet(table).collect()}
+    assert got == {"a": 11, "b": 7}
+    assert not os.path.exists(table + ".__old__")
+    # Ledger carried through both recoveries: retries are still no-ops.
+    fn(b1, 0)
+    fn(b2, 1)
+    fn(b3, 2)
+    got = {r.k: r.v for r in spark.read.parquet(table).collect()}
+    assert got == {"a": 11, "b": 7}
+
+
+def test_gapfill_stream_emits_late_buckets_flagged(spark, tmp_path):
+    """Contract: a bucket at or below the key's high-water mark (the
+    bucket-ordered-replay assumption violated) is emitted with its own
+    observed value and is_late=1 — never silently dropped — while
+    state and the gapfilled series stay untouched."""
+    from realtime_data_warehouse_spark.streaming.stateful import (
+        gapfill_locf_stream,
+    )
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    pd.DataFrame({"k": ["a", "a"], "bucket": [0, 7200], "v": [1.0, 3.0]}).to_parquet(
+        os.path.join(in_dir, "part-0.parquet"))
+    pd.DataFrame({"k": ["a", "a"], "bucket": [3600, 10800], "v": [99.0, 4.0]}).to_parquet(
+        os.path.join(in_dir, "part-1.parquet"))
+    now = int(__import__("time").time())
+    os.utime(os.path.join(in_dir, "part-0.parquet"), (now - 10, now - 10))
+    os.utime(os.path.join(in_dir, "part-1.parquet"), (now - 9, now - 9))
+
+    sdf = (
+        spark.readStream.schema("k string, bucket long, v double")
+        .option("maxFilesPerTrigger", "1").parquet(in_dir)
+    )
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    run_available_now(
+        gapfill_locf_stream(sdf, "k", "bucket", ["v"], step_seconds=3600),
+        out, ck,
+    )
+    rows = {
+        (r.bucket, r.is_late): (r.is_gapfilled, r.v)
+        for r in read_back(spark, out).collect()
+    }
+    assert rows == {
+        (0, 0): (0, 1.0),
+        (3600, 0): (1, 1.0),   # gapfilled from bucket 0, in-order series
+        (7200, 0): (0, 3.0),
+        (3600, 1): (0, 99.0),  # the late observation, flagged not dropped
+        (10800, 0): (0, 4.0),  # state untouched by the late row
+    }
 
 
 def test_stream_events_adapts_to_nanos_layout(spark, tmp_path):
