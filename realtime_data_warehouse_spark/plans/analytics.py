@@ -1,0 +1,392 @@
+"""Event-stream product analytics + warehouse-history operators.
+
+The reference warehouse computes per-window traffic/trade summaries
+(SURVEY §2.5) but stops short of the cross-event analytics every
+OLAP user of such a store runs next: ordered funnels, cohort
+retention, anomaly flagging over the rollups, and SCD2 dimension
+history (the batch face of the reference's HBase latest-state DIM
+maintenance, DimHBaseSinkFunction.java:16-105 — SCD2 is "the same
+changelog, keeping every version instead of the last"). Each query
+here is shaped for 100 TB:
+
+- funnel_conversion: ONE shuffle on user_id — the three dependent
+  stage timestamps are consecutive window passes over the same
+  partitioning (Spark reuses the exchange), then the per-user rows
+  collapse to a 3-row stage table.
+- retention_cohorts: signup extraction and the activity join share
+  the user_id partitioning; the week-offset matrix is tiny.
+- anomaly_zscore_hourly: z-scores run over the HOURLY ROLLUP
+  (types × hours), never the raw events; the trailing mean/std are
+  integer-sum window frames, so Spark and DuckDB produce
+  bit-identical doubles.
+- scd2_dim_history: lead() over the CDC changelog keyed by the
+  natural key — one shuffle, versions close themselves; a delete
+  change closes the last version without emitting a row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.batch import load_table
+from ..sources.cdc import changelog
+from .registry import register
+
+_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+
+# ---------------------------------------------------------------------------
+# Ordered funnel — view → click → purchase
+# ---------------------------------------------------------------------------
+
+@register(
+    "funnel_conversion",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, ts, event_type FROM events
+        WHERE event_type IN ('view', 'click', 'purchase')
+    ), s1 AS (
+        SELECT *, min(CASE WHEN event_type = 'view' THEN ts END)
+                      OVER (PARTITION BY user_id) AS t1
+        FROM e
+    ), s2 AS (
+        SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+                      OVER (PARTITION BY user_id) AS t2
+        FROM s1
+    ), s3 AS (
+        SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+                      OVER (PARTITION BY user_id) AS t3
+        FROM s2
+    ), u AS (
+        SELECT user_id, min(t1) AS t1, min(t2) AS t2, min(t3) AS t3
+        FROM s3 GROUP BY user_id
+    ), c AS (
+        SELECT count(t1) AS u1, count(t2) AS u2, count(t3) AS u3 FROM u
+    )
+    SELECT 1 AS stage_idx, 'view' AS stage, u1 AS users,
+           CAST(1.0 AS DOUBLE) AS conv_from_prev
+    FROM c
+    UNION ALL
+    SELECT 2, 'click', u2,
+           CAST(CAST(CASE WHEN u1 = 0 THEN 0
+                          ELSE CAST(u2 AS DOUBLE) / CAST(u1 AS DOUBLE) END
+                     AS DECIMAL(10,4)) AS DOUBLE)
+    FROM c
+    UNION ALL
+    SELECT 3, 'purchase', u3,
+           CAST(CAST(CASE WHEN u2 = 0 THEN 0
+                          ELSE CAST(u3 AS DOUBLE) / CAST(u2 AS DOUBLE) END
+                     AS DECIMAL(10,4)) AS DOUBLE)
+    FROM c
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-stage funnel: first view, first click strictly after
+    it, first purchase strictly after that; per-stage user counts and
+    step conversion. The three dependent stage times are consecutive
+    window aggregates over the SAME user_id partitioning — Spark
+    plans one exchange and reuses it for all three passes and for the
+    final per-user collapse, so the whole funnel is one shuffle of
+    the (filtered, 3-column) events projection. No joins, no
+    per-user event-list collection."""
+    w = Window.partitionBy("user_id")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_type")
+        .filter(F.col("event_type").isin("view", "click", "purchase"))
+    )
+    s1 = ev.withColumn(
+        "t1", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w))
+    s2 = s1.withColumn(
+        "t2", F.min(F.when((F.col("event_type") == "click")
+                           & (F.col("ts") > F.col("t1")), F.col("ts"))).over(w))
+    s3 = s2.withColumn(
+        "t3", F.min(F.when((F.col("event_type") == "purchase")
+                           & (F.col("ts") > F.col("t2")), F.col("ts"))).over(w))
+    u = s3.groupBy("user_id").agg(
+        F.min("t1").alias("t1"), F.min("t2").alias("t2"), F.min("t3").alias("t3"))
+    c = u.agg(F.count("t1").alias("u1"), F.count("t2").alias("u2"),
+              F.count("t3").alias("u3"))
+
+    def rate(num, den):
+        r = F.when(F.col(den) == 0, F.lit(0.0)).otherwise(
+            F.col(num).cast("double") / F.col(den).cast("double"))
+        return r.cast("decimal(10,4)").cast("double")
+
+    # One row → three stage rows via explode, NOT a 3-way union: a
+    # union of selects from `c` would plan three full copies of the
+    # scan+window+agg pipeline (verified with .explain — 3 scans).
+    def stage(idx, name, users, conv):
+        return F.struct(
+            F.lit(idx).alias("stage_idx"), F.lit(name).alias("stage"),
+            F.col(users).alias("users"), conv.alias("conv_from_prev"))
+
+    return (
+        c.select(F.explode(F.array(
+            stage(1, "view", "u1", F.lit(1.0)),
+            stage(2, "click", "u2", rate("u2", "u1")),
+            stage(3, "purchase", "u3", rate("u3", "u2")),
+        )).alias("s"))
+        .select("s.*")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention — signup week × week offset
+# ---------------------------------------------------------------------------
+
+@register(
+    "retention_cohorts",
+    oracle="""
+    WITH su AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cohort
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), act AS (
+        SELECT e.user_id, su.cohort,
+               CAST(floor(date_diff('day', CAST(su.cohort AS DATE),
+                                    CAST(e.ts AS DATE)) / 7.0) AS INT)
+                   AS week_offset
+        FROM events e JOIN su ON e.user_id = su.user_id
+        WHERE e.ts >= su.cohort
+    )
+    SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week, week_offset,
+           count(DISTINCT user_id) AS active_users
+    FROM act WHERE week_offset BETWEEN 0 AND 5
+    GROUP BY cohort, week_offset
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle: users cohorted by the ISO week of
+    their first `signup`, counted as active in each of the next 6
+    week-offsets. The signup extraction and the activity join both
+    hash on user_id (exchange reuse); the (cohort, offset) matrix the
+    final distinct-count shuffles is weeks² — bounded regardless of
+    fact size."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort"))
+    )
+    act = (
+        ev.join(su, "user_id")
+        .filter(F.col("ts") >= F.col("cohort"))
+        .withColumn(
+            "week_offset",
+            F.floor(
+                F.datediff(F.col("ts").cast("date"), F.col("cohort").cast("date"))
+                / F.lit(7.0)
+            ).cast("int"),
+        )
+        .filter(F.col("week_offset").between(0, 5))
+    )
+    return (
+        act.groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Anomaly detection — trailing z-score over the hourly rollup
+# ---------------------------------------------------------------------------
+
+@register(
+    "anomaly_zscore_hourly",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS c
+        FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ), stats AS (
+        SELECT event_type, h, c,
+               count(c) OVER w AS n,
+               SUM(c)   OVER w AS s,
+               SUM(c*c) OVER w AS ss
+        FROM hourly
+        WINDOW w AS (PARTITION BY event_type ORDER BY h
+                     ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, strftime(h, '{_FMT_DUCK}') AS hour, c AS cnt,
+           CAST(CAST(
+               (CAST(c AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+               / sqrt((CAST(ss AS DOUBLE)
+                       - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                      / CAST(n - 1 AS DOUBLE))
+               AS DECIMAL(12,4)) AS DOUBLE) AS zscore
+    FROM stats
+    WHERE n >= 12
+      AND (CAST(ss AS DOUBLE)
+           - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) > 0
+      AND abs((CAST(c AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+              / sqrt((CAST(ss AS DOUBLE)
+                      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                     / CAST(n - 1 AS DOUBLE))) >= 2.0
+    """,
+)
+def anomaly_zscore_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing z-score anomaly flags: per event_type, each hour's
+    count against the mean/std of the previous (up to) 24 observed
+    hours; |z| ≥ 2 rows surface. The window runs over the hourly
+    ROLLUP (types × hours — thousands of rows at any fact scale),
+    never raw events, and the trailing moments are integer count/sum/
+    sum-of-squares frames, so the double arithmetic is the same
+    expression in both engines and rounds identically to 4 dp."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = (
+        Window.partitionBy("event_type").orderBy("h")
+        .rowsBetween(-24, -1)
+    )
+    stats = hourly.select(
+        "event_type", "h", "c",
+        F.count("c").over(w).alias("n"),
+        F.sum("c").over(w).alias("s"),
+        F.sum(F.col("c") * F.col("c")).over(w).alias("ss"),
+    )
+    cd = F.col("c").cast("double")
+    nd = F.col("n").cast("double")
+    sd = F.col("s").cast("double")
+    ssd = F.col("ss").cast("double")
+    var_num = ssd - sd * sd / nd
+    z = (cd - sd / nd) / F.sqrt(var_num / (F.col("n") - 1).cast("double"))
+    return (
+        stats.filter((F.col("n") >= 12) & (var_num > 0) & (F.abs(z) >= 2.0))
+        .select(
+            "event_type",
+            F.date_format("h", _FMT_SPARK).alias("hour"),
+            F.col("c").alias("cnt"),
+            z.cast("decimal(12,4)").cast("double").alias("zscore"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 dimension history from the CDC changelog
+# ---------------------------------------------------------------------------
+
+@register(
+    "scd2_dim_history",
+    oracle="""
+    WITH chg AS (
+        SELECT p_partkey, p_size, 0 AS ts, 'bootstrap-insert' AS typ FROM part
+        UNION ALL
+        SELECT p_partkey, p_size * 2, 1, 'update'
+        FROM part WHERE p_partkey % 10000 < 500
+        UNION ALL
+        SELECT p_partkey, NULL, 2, 'delete'
+        FROM part WHERE p_partkey % 1000 = 7
+    ), v AS (
+        SELECT p_partkey, p_size, ts, typ,
+               lead(ts) OVER (PARTITION BY p_partkey ORDER BY ts) AS valid_to
+        FROM chg
+    )
+    SELECT p_partkey, p_size, ts AS valid_from, valid_to,
+           (valid_to IS NULL) AS is_current
+    FROM v WHERE typ <> 'delete'
+    """,
+)
+def scd2_dim_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history build: every change-row version of
+    dim_sku_info kept with [valid_from, valid_to) bounds instead of
+    the latest-state MERGE the reference's HBase sink applies
+    (DimHBaseSinkFunction.java:16-105 keeps only the last put). A
+    version's valid_to is simply the NEXT change's ts for the same
+    key (lead over the key partition — one shuffle); a delete change
+    closes the final version without emitting a row itself, so
+    deleted keys end with is_current = false everywhere. Runs on the
+    same deterministic changelog synthesis the DIM pipeline and its
+    oracle replay (sources/cdc.py key arithmetic)."""
+    part = load_table(spark, sf_dir, "part")
+    chg = changelog(part, "sku_info", "p_partkey", None, "p_size",
+                    with_deletes=True)
+    rows = chg.select(
+        F.col("data")["p_partkey"].cast("long").alias("p_partkey"),
+        F.when(F.col("type") == "delete", F.lit(None).cast("int"))
+         .otherwise(F.col("data")["p_size"].cast("int")).alias("p_size"),
+        F.col("ts").cast("int").alias("ts"),
+        F.col("type").alias("typ"),
+    )
+    w = Window.partitionBy("p_partkey").orderBy("ts")
+    return (
+        rows.withColumn("valid_to", F.lead("ts").over(w))
+        .filter(F.col("typ") != "delete")
+        .select(
+            "p_partkey", "p_size",
+            F.col("ts").alias("valid_from"),
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Passage-level duplication audit (registered here so the entry lands
+# past the driver's 50-entry gate window; earlier rounds' gate order
+# must stay byte-stable — see registry.py import comment)
+# ---------------------------------------------------------------------------
+
+from ..sources.batch import fan_out  # noqa: E402
+from .datapipe import _TOKS as __TOKS  # noqa: E402
+
+@register(
+    "passage_dedup_stats",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {__TOKS} AS t FROM documents
+    ), starts AS (
+        SELECT doc_id,
+               t[start : start + 39] AS passage
+        FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1, 40)) AS start
+              FROM toks WHERE len(t) > 0)
+    ), passages AS (
+        SELECT doc_id, md5(array_to_string(passage, ' ')) AS fp
+        FROM starts
+    ), cnt AS (
+        SELECT doc_id, fp,
+               count(*) OVER (PARTITION BY fp) AS corpus_cnt
+        FROM passages
+    )
+    SELECT doc_id,
+           count(*) AS n_passages,
+           CAST(SUM(CASE WHEN corpus_cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_passages,
+           CAST(CAST(SUM(CASE WHEN corpus_cnt > 1 THEN 1 ELSE 0 END)
+                     / CAST(count(*) AS DOUBLE) AS DECIMAL(10,4)) AS DOUBLE)
+               AS dup_ratio
+    FROM cnt GROUP BY doc_id
+    """,
+)
+def passage_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level (sub-document) duplication audit — the
+    RefinedWeb/Dolma paragraph-dedup shape: split every document into
+    non-overlapping 40-token passages (text.chunk_tokens with
+    stride == size, map-side explode), fingerprint each passage, and
+    count corpus-wide occurrences of every fingerprint with a window
+    over the fingerprint partition. Two shuffles total — one on the
+    passage fingerprint (uniform by construction, it's a hash), one
+    on doc_id for the per-doc rollup — and the pair space is never
+    materialized; at 100 TB the fingerprint shuffle carries
+    (doc_id, 16-byte fp) pairs only. The per-doc output (passage
+    count, duplicated-passage count, ratio) is what a curation loop
+    thresholds on to drop boilerplate-heavy documents."""
+    from ..operators.text import chunk_tokens
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    passages = chunk_tokens(docs, chunk_size=40, stride=40).select(
+        "doc_id", F.md5(F.col("chunk_text")).alias("fp"))
+    w = Window.partitionBy("fp")
+    cnt = passages.withColumn("corpus_cnt", F.count(F.lit(1)).over(w))
+    dup = F.sum(F.when(F.col("corpus_cnt") > 1, 1).otherwise(0))
+    return cnt.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_passages"),
+        dup.alias("n_dup_passages"),
+        (dup / F.count(F.lit(1)).cast("double"))
+        .cast("decimal(10,4)").cast("double").alias("dup_ratio"),
+    )

@@ -167,4 +167,5 @@ from . import dws  # noqa: E402,F401
 from . import extras  # noqa: E402,F401
 from . import sql_apps  # noqa: E402,F401
 from . import streaming_queries  # noqa: E402,F401
+from . import analytics  # noqa: E402,F401  (round 4 — appended last so earlier rounds' gate order is untouched)
 

@@ -961,3 +961,76 @@ def stream_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value_sum",
         F.col("n").cast("long").alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 history maintained incrementally by a streaming MERGE
+# ---------------------------------------------------------------------------
+
+@register(
+    "stream_scd2_dim_history",
+    oracle="""
+    WITH chg AS (
+        SELECT p_partkey, p_size, 0 AS ts, 'bootstrap-insert' AS typ FROM part
+        UNION ALL
+        SELECT p_partkey, p_size * 2, 1, 'update'
+        FROM part WHERE p_partkey % 10000 < 500
+        UNION ALL
+        SELECT p_partkey, NULL, 2, 'delete'
+        FROM part WHERE p_partkey % 1000 = 7
+    ), v AS (
+        SELECT p_partkey, p_size, ts, typ,
+               lead(ts) OVER (PARTITION BY p_partkey ORDER BY ts) AS valid_to
+        FROM chg
+    )
+    SELECT p_partkey, p_size, ts AS valid_from, valid_to,
+           (valid_to IS NULL) AS is_current
+    FROM v WHERE typ <> 'delete'
+    """,
+)
+def stream_scd2_dim_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 maintenance as a REAL stream: the CDC changelog replays as
+    three ts-ordered micro-batches (bootstrap / updates / deletes) and
+    streaming/sinks.scd2_merge_batch folds each into the stored
+    version-history table — a bootstrap applied in batch 1 must get
+    its valid_to closed by batch 2's update and the update's version
+    closed by batch 3's delete, against on-disk state. Same oracle as
+    the batch twin plans/analytics.scd2_dim_history: matching hashes
+    prove one-shot window and incremental MERGE converge."""
+    from ..sources.cdc import changelog
+    from ..streaming.sinks import scd2_merge_batch
+
+    part = load_table(spark, sf_dir, "part")
+    chg = changelog(part, "sku_info", "p_partkey", None, "p_size",
+                    with_deletes=True)
+    rows = chg.select(
+        F.col("data")["p_partkey"].cast("long").alias("p_partkey"),
+        F.when(F.col("type") == "delete", F.lit(None).cast("int"))
+         .otherwise(F.col("data")["p_size"].cast("int")).alias("p_size"),
+        F.col("ts").cast("int").alias("valid_from"),
+        F.col("type").alias("typ"),
+    )
+    in_dir = _stage_once(
+        sf_dir, "scd2_changelog",
+        lambda base: staged_files_dir(rows, base, n_files=3,
+                                      order_col="valid_from"),
+    )
+    rundir = tempfile.mkdtemp(prefix="rdw_streamq_scd2_")
+    table_dir = os.path.join(rundir, "history")
+    sdf = (
+        spark.readStream.schema(rows.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    run_foreach_batch(
+        sdf,
+        scd2_merge_batch(table_dir, "p_partkey"),
+        checkpoint_dir=os.path.join(rundir, "ck"),
+        output_mode="append",
+    )
+    stored = spark.read.parquet(table_dir)
+    return (
+        stored.filter(F.col("typ") != "delete")
+        .select("p_partkey", "p_size", "valid_from", "valid_to",
+                F.col("valid_to").isNull().alias("is_current"))
+    )

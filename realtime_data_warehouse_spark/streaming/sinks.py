@@ -255,3 +255,57 @@ def kafka_dynamic_sink(sdf: DataFrame, brokers: str, checkpoint_dir: str,
         .option("kafka.bootstrap.servers", brokers)
         .option("checkpointLocation", checkpoint_dir)
     )
+
+
+def scd2_merge_batch(table_dir: str, key_col: str,
+                     version_col: str = "valid_from",
+                     closed_col: str = "valid_to",
+                     op_col: str = "typ"):
+    """SCD type-2 maintenance foreachBatch: each micro-batch of change
+    rows (key, attrs…, valid_from, op) is merged into a version-history
+    table — the streaming face of plans/analytics.scd2_dim_history,
+    and the history-keeping sibling of dim_upsert_batch's latest-state
+    MERGE (reference DimHBaseSinkFunction.java:16-105 keeps only the
+    last put; SCD2 keeps them all with validity bounds).
+
+    Merge discipline:
+    - only keys PRESENT in the batch are re-windowed: their stored
+      versions union the incoming rows and valid_to is recomputed as
+      lead(valid_from) per key; untouched keys are carried over
+      verbatim (an anti join — with Delta MERGE this is the standard
+      "match on key" SCD2 pattern and only matched files rewrite).
+    - delete changes persist as tombstone rows so a later batch's
+      lead() still sees the close; readers filter op != 'delete'.
+    - retries are idempotent WITHOUT a ledger: a version's identity is
+      (key, valid_from) and re-merging the same change rows
+      dropDuplicates to the identical table (contrast
+      additive_merge_batch, whose sums need the batch-id ledger).
+
+    Local parquet rewrite is O(table) per batch — same documented
+    trade as the other merge sinks (module docstring scale note)."""
+    from pyspark.sql import Window
+
+    def fn(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        _recover_table(table_dir)
+        incoming = batch.withColumn(closed_col,
+                                    F.lit(None).cast("int"))
+        if os.path.exists(table_dir):
+            cur = spark.read.parquet(table_dir)
+            keys = incoming.select(key_col).distinct()
+            untouched = cur.join(keys, key_col, "left_anti")
+            touched = cur.join(keys, key_col, "left_semi") \
+                .unionByName(incoming.select(cur.columns))
+        else:
+            untouched = None
+            touched = incoming
+        w = Window.partitionBy(key_col).orderBy(version_col)
+        rewound = (
+            touched.dropDuplicates([key_col, version_col])
+            .withColumn(closed_col, F.lead(version_col).over(w))
+        )
+        merged = rewound if untouched is None \
+            else untouched.unionByName(rewound)
+        _atomic_overwrite(merged, table_dir)
+
+    return fn

@@ -287,3 +287,43 @@ def test_hll_rollup_merge_equals_direct(spark, sf_small):
         ).agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("uv")).collect()
     }
     assert merged == direct
+
+
+def test_funnel_is_single_scan_single_shuffle(spark, sf_small):
+    """funnel_conversion: the three dependent stage windows and the
+    per-user collapse must share ONE events scan and ONE user_id
+    exchange — the 3-row stage table is exploded from the single
+    aggregate row, never a self-union (which would triplicate the
+    pipeline)."""
+    plan = physical_plan(QUERIES["funnel_conversion"](spark, sf_small))
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Union" not in plan
+
+
+def test_anomaly_zscore_windows_over_rollup(spark, sf_small):
+    """anomaly_zscore_hourly: the trailing-frame window must consume
+    the hourly rollup (HashAggregate below Window), so the analytic
+    pass never sorts raw events."""
+    plan = physical_plan(QUERIES["anomaly_zscore_hourly"](spark, sf_small))
+    assert plan.index("Window") < plan.index("FileScan")  # plan prints top-down
+    # rollup aggregate sits between the scan and the window pass
+    assert plan.index("HashAggregate") < plan.index("FileScan")
+    assert plan.count("Window") == 1
+
+
+def test_scd2_single_exchange(spark, sf_small):
+    """scd2_dim_history: version closing is one lead() over the key
+    partition — exactly one hash exchange, no join back."""
+    plan = physical_plan(QUERIES["scd2_dim_history"](spark, sf_small))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_passage_dedup_two_shuffles_no_join(spark, sf_small):
+    """passage_dedup_stats: corpus-wide passage counting is a window
+    over the fingerprint partition plus the doc_id rollup — two hash
+    exchanges, and no join of chunks back to documents."""
+    plan = physical_plan(QUERIES["passage_dedup_stats"](spark, sf_small))
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Join" not in plan

@@ -600,3 +600,41 @@ def test_stream_events_adapts_to_nanos_layout(spark, tmp_path):
     )
     got = {r.stt: r["count"] for r in read_back(spark, out).collect()}
     assert got.get("2024-01-01 00:00:00") == 1
+
+
+def test_scd2_merge_batch_reinsert_and_idempotent_retry(spark, tmp_path):
+    """scd2_merge_batch: (a) insert → delete → re-insert across three
+    batches yields two closed-or-open versions with the tombstone
+    closing the first; (b) replaying a batch (crash-retry) leaves the
+    table byte-identical — version identity is (key, valid_from), no
+    ledger needed."""
+    from realtime_data_warehouse_spark.streaming.sinks import scd2_merge_batch
+
+    tdir = str(tmp_path / "hist")
+    fn = scd2_merge_batch(tdir, "k")
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, "k long, attr int, valid_from int, typ string")
+
+    fn(batch([(1, 10, 0, "insert"), (2, 20, 0, "insert")]), 0)
+    fn(batch([(1, None, 1, "delete")]), 1)
+    fn(batch([(1, 11, 2, "insert")]), 2)
+
+    rows = {
+        (r.k, r.valid_from): (r.attr, r.valid_to)
+        for r in spark.read.parquet(tdir).filter("typ != 'delete'").collect()
+    }
+    assert rows == {
+        (1, 0): (10, 1),      # closed by the delete tombstone
+        (1, 2): (11, None),   # re-insert is the new current version
+        (2, 0): (20, None),   # untouched key carried over verbatim
+    }
+
+    # crash-retry: re-apply batch 2 — identical table, no dup versions
+    fn(batch([(1, 11, 2, "insert")]), 2)
+    again = {
+        (r.k, r.valid_from): (r.attr, r.valid_to)
+        for r in spark.read.parquet(tdir).filter("typ != 'delete'").collect()
+    }
+    assert again == rows
