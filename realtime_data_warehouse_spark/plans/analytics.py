@@ -390,3 +390,174 @@ def passage_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (dup / F.count(F.lit(1)).cast("double"))
         .cast("decimal(10,4)").cast("double").alias("dup_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Irregular time series: time-weighted average (TWAP-style)
+# ---------------------------------------------------------------------------
+
+@register(
+    "time_weighted_avg",
+    oracle="""
+    WITH nxt AS (
+        SELECT event_type, value, ts,
+               lead(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id)
+                   AS nxt_ts
+        FROM events
+    ), seg AS (
+        SELECT event_type,
+               CAST(value * (epoch_us(nxt_ts) - epoch_us(ts)) / 1000000.0
+                    AS DECIMAL(28,6)) AS vdt,
+               (epoch_us(nxt_ts) - epoch_us(ts)) / 1000000.0 AS dt
+        FROM nxt WHERE nxt_ts IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(CAST(CAST(SUM(vdt) AS DOUBLE)
+                     / CAST(SUM(CAST(dt AS DECIMAL(20,6))) AS DOUBLE)
+                AS DECIMAL(18,6)) AS DOUBLE) AS twa_value,
+           count(*) AS n_segments
+    FROM seg GROUP BY event_type
+    """,
+)
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average over an IRREGULARLY sampled series (the
+    TimescaleDB `time_weight` shape): each observation's value is
+    weighted by how long it was current (duration to the next sample
+    in its series — lead() per key, one shuffle; the final per-key
+    rollup reuses the same partitioning). Plain AVG over irregular
+    samples over-weights bursts; this is the correct aggregate for
+    sensor/price series. Weighted terms are cast to DECIMAL before
+    summing so the sum is order-independent and engine-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    nxt = ev.select(
+        "event_type", "value", "ts",
+        F.lead("ts").over(w).alias("nxt_ts"),
+    ).filter(F.col("nxt_ts").isNotNull())
+    dt = (F.unix_micros("nxt_ts") - F.unix_micros("ts")) / F.lit(1_000_000.0)
+    seg = nxt.select(
+        "event_type",
+        (F.col("value") * dt).cast("decimal(28,6)").alias("vdt"),
+        dt.cast("decimal(20,6)").alias("dt"),
+    )
+    return seg.groupBy("event_type").agg(
+        (F.sum("vdt").cast("double") / F.sum("dt").cast("double"))
+        .cast("decimal(18,6)").cast("double").alias("twa_value"),
+        F.count(F.lit(1)).alias("n_segments"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# OHLC bars — open/high/low/close per key per day
+# ---------------------------------------------------------------------------
+
+@register(
+    "ohlc_daily_bars",
+    oracle="""
+    WITH ranked AS (
+        SELECT event_type, date_trunc('day', ts) AS day, value,
+               row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                                  ORDER BY ts, event_id)      AS rn_open,
+               row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rn_close
+        FROM events
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+           CAST(CAST(max(CASE WHEN rn_open = 1 THEN value END)
+                AS DECIMAL(18,4)) AS DOUBLE)  AS open,
+           CAST(CAST(max(value) AS DECIMAL(18,4)) AS DOUBLE) AS high,
+           CAST(CAST(min(value) AS DECIMAL(18,4)) AS DOUBLE) AS low,
+           CAST(CAST(max(CASE WHEN rn_close = 1 THEN value END)
+                AS DECIMAL(18,4)) AS DOUBLE)  AS close,
+           count(*) AS n_ticks
+    FROM ranked GROUP BY event_type, day
+    """,
+)
+def ohlc_daily_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candlestick rollup: open/high/low/close per (series, day) in
+    ONE aggregation pass — open and close ride along as
+    min/max(struct(ts, event_id, value)) so no ranking window and no
+    second shuffle is needed (the struct comparison is lexicographic
+    on the unique (ts, event_id) pair, making ties deterministic).
+    The oracle takes the row_number formulation of the same thing."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts")
+    tagged = ev.select(
+        "event_type", day.alias("day"), "value",
+        F.struct("ts", "event_id", "value").alias("tick"),
+    )
+    dec4 = lambda c: c.cast("decimal(18,4)").cast("double")  # noqa: E731
+    return (
+        tagged.groupBy("event_type", "day")
+        .agg(
+            dec4(F.min("tick")["value"]).alias("open"),
+            dec4(F.max("value")).alias("high"),
+            dec4(F.min("value")).alias("low"),
+            dec4(F.max("tick")["value"]).alias("close"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+        .select(
+            "event_type", F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "open", "high", "low", "close", "n_ticks",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decimal-exact correlation from raw power sums
+# ---------------------------------------------------------------------------
+
+@register(
+    "corr_qty_price",
+    oracle="""
+    WITH sums AS (
+        SELECT l_returnflag,
+               count(*) AS n,
+               SUM(CAST(l_quantity AS DECIMAL(20,6)))                  AS sx,
+               SUM(CAST(l_extendedprice AS DECIMAL(20,6)))             AS sy,
+               SUM(CAST(l_quantity * l_quantity AS DECIMAL(24,6)))     AS sxx,
+               SUM(CAST(l_extendedprice * l_extendedprice
+                        AS DECIMAL(28,4)))                             AS syy,
+               SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(26,4))) AS sxy
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           CAST(CAST(
+             (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             AS DECIMAL(12,6)) AS DOUBLE) AS corr_qty_price
+    FROM sums
+    """,
+)
+def corr_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation per group WITHOUT F.corr: built from raw
+    power sums whose addends are cast to DECIMAL first, so the sums
+    are exact and order-independent — Spark's corr() and DuckDB's
+    corr() use different streaming recurrences and disagree in the
+    last ulps, which a value-hash check can't tolerate. One map-side
+    partial agg per group; the six power sums travel as one row per
+    group, so this scales like any sum (the same trick
+    label_centroids uses for embedding sums)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    sums = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q.cast("decimal(20,6)")).alias("sx"),
+        F.sum(p.cast("decimal(20,6)")).alias("sy"),
+        F.sum((q * q).cast("decimal(24,6)")).alias("sxx"),
+        F.sum((p * p).cast("decimal(28,4)")).alias("syy"),
+        F.sum((q * p).cast("decimal(26,4)")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy, sxy = (F.col(c).cast("double") for c in ("sxx", "syy", "sxy"))
+    corr = (nd * sxy - sx * sy) / (
+        F.sqrt(nd * sxx - sx * sx) * F.sqrt(nd * syy - sy * sy))
+    return sums.select(
+        "l_returnflag", "n",
+        corr.cast("decimal(12,6)").cast("double").alias("corr_qty_price"),
+    )

@@ -1034,3 +1034,102 @@ def stream_scd2_dim_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "p_size", "valid_from", "valid_to",
                 F.col("valid_to").isNull().alias("is_current"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Ordered funnel driven through keyed streaming state
+# ---------------------------------------------------------------------------
+
+@register(
+    "stream_funnel_conversion",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, ts, event_type FROM events
+        WHERE event_type IN ('view', 'click', 'purchase')
+    ), s1 AS (
+        SELECT *, min(CASE WHEN event_type = 'view' THEN ts END)
+                      OVER (PARTITION BY user_id) AS t1
+        FROM e
+    ), s2 AS (
+        SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+                      OVER (PARTITION BY user_id) AS t2
+        FROM s1
+    ), s3 AS (
+        SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+                      OVER (PARTITION BY user_id) AS t3
+        FROM s2
+    ), u AS (
+        SELECT user_id, min(t1) AS t1, min(t2) AS t2, min(t3) AS t3
+        FROM s3 GROUP BY user_id
+    ), c AS (
+        SELECT count(t1) AS u1, count(t2) AS u2, count(t3) AS u3 FROM u
+    )
+    SELECT 1 AS stage_idx, 'view' AS stage, u1 AS users,
+           CAST(1.0 AS DOUBLE) AS conv_from_prev
+    FROM c
+    UNION ALL
+    SELECT 2, 'click', u2,
+           CAST(CAST(CASE WHEN u1 = 0 THEN 0
+                          ELSE CAST(u2 AS DOUBLE) / CAST(u1 AS DOUBLE) END
+                     AS DECIMAL(10,4)) AS DOUBLE)
+    FROM c
+    UNION ALL
+    SELECT 3, 'purchase', u3,
+           CAST(CAST(CASE WHEN u2 = 0 THEN 0
+                          ELSE CAST(u3 AS DOUBLE) / CAST(u2 AS DOUBLE) END
+                     AS DECIMAL(10,4)) AS DOUBLE)
+    FROM c
+    """,
+)
+def stream_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ordered funnel as a REAL keyed-state stream: events replay
+    as three event-time-ordered micro-batches and
+    streaming/stateful.funnel_stream advances each user's stage
+    machine across batch boundaries — a view in batch 1 must pair
+    with a click in batch 2 and a purchase in batch 3 through the
+    state store, not within one batch. The reader keeps each user's
+    max-seq snapshot and shapes the same 3-row stage table; same
+    oracle as the batch twin funnel_conversion."""
+    from ..operators.state import latest_per_key
+    from ..streaming.stateful import funnel_stream
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "click", "purchase"))
+        .select("user_id", F.unix_micros("ts").alias("ts_us"), "event_type")
+    )
+    in_dir = _stage_once(
+        sf_dir, "funnel_events",
+        lambda base: staged_files_dir(ev, base, n_files=3,
+                                      order_col="ts_us"),
+    )
+    _, out, ck = _dirs()
+    sdf = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    snap = funnel_stream(sdf, "user_id", "ts_us", "event_type")
+    run_available_now(snap, out, ck)
+    final = latest_per_key(read_back(spark, out), ["user_id"], "seq")
+    c = final.agg(F.count("t1").alias("u1"), F.count("t2").alias("u2"),
+                  F.count("t3").alias("u3"))
+
+    def rate(num, den):
+        r = F.when(F.col(den) == 0, F.lit(0.0)).otherwise(
+            F.col(num).cast("double") / F.col(den).cast("double"))
+        return r.cast("decimal(10,4)").cast("double")
+
+    def stage(idx, name, users, conv):
+        return F.struct(
+            F.lit(idx).alias("stage_idx"), F.lit(name).alias("stage"),
+            F.col(users).alias("users"), conv.alias("conv_from_prev"))
+
+    return (
+        c.select(F.explode(F.array(
+            stage(1, "view", "u1", F.lit(1.0)),
+            stage(2, "click", "u2", rate("u2", "u1")),
+            stage(3, "purchase", "u3", rate("u3", "u2")),
+        )).alias("s"))
+        .select("s.*")
+    )

@@ -351,3 +351,70 @@ def gapfill_locf_stream(sdf: DataFrame, key_col: str, bucket_col: str,
     return sdf.groupBy(key_col).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+# ---------------------------------------------------------------------------
+# Ordered funnel — per-user stage state machine
+# ---------------------------------------------------------------------------
+
+def funnel_stream(sdf: DataFrame, user_col: str, ts_col: str,
+                  type_col: str,
+                  stages: Sequence[str] = ("view", "click", "purchase")
+                  ) -> DataFrame:
+    """Per-user ordered-funnel state machine across micro-batches:
+    ValueState = the first-completion timestamp of each stage
+    (t1..tn, None while unreached) plus an emission counter. Each
+    batch processes the user's events in ts order (explicit sort —
+    see module docstring) and advances the machine: stage k+1 only
+    completes with an event STRICTLY after stage k's completion, so
+    the converged state equals the batch formulation's chained
+    minima (t1 = min view; t2 = min click > t1; …) provided the
+    replay delivers batches in event-time order, which the staged
+    range-split guarantees.
+
+    Emits the user's current (t1..tn, seq) snapshot whenever the user
+    appears in a batch; the reader keeps the max-seq row per user.
+    State is O(stages) scalars per user — RocksDB-store scale-safe at
+    10^9 users like the A6–A8 operators."""
+    n = len(stages)
+    tcols = [f"t{i+1}" for i in range(n)]
+    out_schema = T.StructType(
+        [T.StructField(user_col, T.LongType())]
+        + [T.StructField(c, T.LongType()) for c in tcols]
+        + [T.StructField("seq", T.LongType())]
+    )
+    state_schema = T.StructType(
+        [T.StructField(c, T.LongType()) for c in tcols]
+        + [T.StructField("seq", T.LongType())]
+    )
+    stage_of = {s: i for i, s in enumerate(stages)}
+
+    def fn(key, chunks: Iterator[pd.DataFrame], state: GroupState):
+        pdf = _concat(chunks)
+        if pdf.empty:
+            return
+        pdf = pdf.sort_values(ts_col, kind="stable")
+        if state.exists:
+            st = state.get
+            t = list(st[:n])
+            seq = st[n]
+        else:
+            t, seq = [None] * n, 0
+        for ts, typ in zip(pdf[ts_col].astype("int64"), pdf[type_col]):
+            k = stage_of.get(typ)
+            if k is None:
+                continue
+            if t[k] is not None:
+                continue
+            if k == 0 or (t[k - 1] is not None and ts > t[k - 1]):
+                # only the NEXT unreached stage may advance
+                if k == 0 or all(t[j] is not None for j in range(k)):
+                    t[k] = int(ts)
+        seq += 1
+        state.update((*t, seq))
+        yield pd.DataFrame([[key[0], *t, seq]],
+                           columns=[user_col, *tcols, "seq"])
+
+    return sdf.groupBy(user_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

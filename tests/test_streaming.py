@@ -638,3 +638,43 @@ def test_scd2_merge_batch_reinsert_and_idempotent_retry(spark, tmp_path):
         for r in spark.read.parquet(tdir).filter("typ != 'delete'").collect()
     }
     assert again == rows
+
+
+def test_funnel_stream_advances_across_batches(spark, tmp_path):
+    """funnel_stream: the stage machine must advance through the state
+    store — view in batch 1, click in batch 2, purchase in batch 3 —
+    and must NOT complete a later stage from an event that precedes
+    the prior stage (strictly-after semantics)."""
+    from realtime_data_warehouse_spark.operators.state import latest_per_key
+    from realtime_data_warehouse_spark.streaming.runner import (
+        read_back,
+        run_available_now,
+        staged_files_dir,
+    )
+    from realtime_data_warehouse_spark.streaming.stateful import funnel_stream
+
+    # user 1: clean 3-batch funnel; user 2: click BEFORE its view
+    # (never counts), purchase after view (skipped: click missing)
+    rows = [
+        (1, 100, "view"), (2, 100, "click"),
+        (1, 200, "click"), (2, 150, "view"),
+        (1, 300, "purchase"), (2, 300, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts_us long, event_type string")
+    in_dir = staged_files_dir(df, str(tmp_path), n_files=3,
+                              order_col="ts_us")
+    sdf = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "1").parquet(in_dir)
+    )
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    run_available_now(funnel_stream(sdf, "user_id", "ts_us", "event_type"),
+                      out, ck)
+    final = {
+        r.user_id: (r.t1, r.t2, r.t3)
+        for r in latest_per_key(
+            read_back(spark, out), ["user_id"], "seq").collect()
+    }
+    assert final[1] == (100, 200, 300)
+    assert final[2] == (150, None, None)
