@@ -357,6 +357,23 @@ def gapfill_locf_stream(sdf: DataFrame, key_col: str, bucket_col: str,
 # Ordered funnel — per-user stage state machine
 # ---------------------------------------------------------------------------
 
+def advance_funnel(t: list, events, stage_of: dict) -> list:
+    """The funnel stage transition, shared by funnel_stream's keyed
+    state fn and the semantics property test: mutate `t` (per-stage
+    first-completion ts, None while unreached) over ts-ordered
+    (ts, type) events. Stage k completes only when every earlier
+    stage already has, with an event STRICTLY after stage k−1 —
+    equivalent to the batch chained minima on ordered input."""
+    for ts, typ in events:
+        k = stage_of.get(typ)
+        if k is None or t[k] is not None:
+            continue
+        if k == 0 or (all(t[j] is not None for j in range(k))
+                      and ts > t[k - 1]):
+            t[k] = int(ts)
+    return t
+
+
 def funnel_stream(sdf: DataFrame, user_col: str, ts_col: str,
                   type_col: str,
                   stages: Sequence[str] = ("view", "click", "purchase")
@@ -400,16 +417,8 @@ def funnel_stream(sdf: DataFrame, user_col: str, ts_col: str,
             seq = st[n]
         else:
             t, seq = [None] * n, 0
-        for ts, typ in zip(pdf[ts_col].astype("int64"), pdf[type_col]):
-            k = stage_of.get(typ)
-            if k is None:
-                continue
-            if t[k] is not None:
-                continue
-            if k == 0 or (t[k - 1] is not None and ts > t[k - 1]):
-                # only the NEXT unreached stage may advance
-                if k == 0 or all(t[j] is not None for j in range(k)):
-                    t[k] = int(ts)
+        advance_funnel(t, zip(pdf[ts_col].astype("int64"), pdf[type_col]),
+                       stage_of)
         seq += 1
         state.update((*t, seq))
         yield pd.DataFrame([[key[0], *t, seq]],

@@ -169,3 +169,49 @@ def test_redact_pii_is_idempotent_and_digit_free(spark, frags):
     row = staged.select("t1", twice.alias("t2")).first()
     assert row.t1 == row.t2
     assert not re.search(r"[0-9]{9,}", row.t1)
+
+
+@given(events=st.lists(
+    st.tuples(st.integers(1, 4),                    # user
+              st.integers(0, 50),                   # ts
+              st.sampled_from(["view", "click", "purchase", "other"])),
+    min_size=1, max_size=40))
+@_settings
+def test_funnel_state_machine_equals_chained_minima(spark, events):
+    """streaming/stateful.advance_funnel (the exact transition
+    funnel_stream's keyed state fn runs), fed ts-ordered chunks split
+    at arbitrary batch boundaries, must converge to the batch
+    formulation's chained minima (t1 = min view; t2 = min click > t1;
+    t3 = min purchase > t2) for ANY event soup — duplicate
+    timestamps, missing stages, out-of-order stage types."""
+    from realtime_data_warehouse_spark.streaming.stateful import advance_funnel
+
+    def chained(evts):
+        t1 = min((ts for _, ts, ty in evts if ty == "view"), default=None)
+        t2 = (min((ts for _, ts, ty in evts
+                   if ty == "click" and ts > t1), default=None)
+              if t1 is not None else None)
+        t3 = (min((ts for _, ts, ty in evts
+                   if ty == "purchase" and ts > t2), default=None)
+              if t2 is not None else None)
+        return (t1, t2, t3)
+
+    expected = {
+        u: chained([e for e in events if e[0] == u])
+        for u in {e[0] for e in events}
+    }
+
+    stage_of = {"view": 0, "click": 1, "purchase": 2}
+    ordered = sorted(events, key=lambda e: e[1])
+    cut1, cut2 = len(ordered) // 3, 2 * len(ordered) // 3
+    batches = [ordered[:cut1], ordered[cut1:cut2], ordered[cut2:]]
+
+    t_by_user = {u: [None, None, None] for u in expected}
+    for b in batches:  # cross-batch state carried in t_by_user
+        per_user: dict[int, list] = {}
+        for u, ts, ty in b:
+            per_user.setdefault(u, []).append((ts, ty))
+        for u, rows in per_user.items():
+            advance_funnel(t_by_user[u], sorted(rows, key=lambda r: r[0]),
+                           stage_of)
+    assert {u: tuple(t) for u, t in t_by_user.items()} == expected
