@@ -27,6 +27,21 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 _NANO_TS_COLS = {"events": ("ts",)}
 
 
+#: analyzed-DataFrame cache, the Python face of what a metastore
+#: catalog provides: `spark.read.parquet` pays a JVM file listing +
+#: footer schema inference (~0.1-0.2 s) on EVERY call, and registry
+#: queries re-load the same immutable tables constantly — at 100 TB
+#: that metadata round trip is exactly what `spark.table()` against
+#: a catalog amortizes. Keyed weakly per session so a stopped
+#: session's entries are collectable; DataFrames are immutable, so
+#: sharing the analyzed plan across queries is safe.
+import weakref
+
+_TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one warehouse table. Column pruning + predicate pushdown
     reach the parquet scan because callers filter/select on the
@@ -37,6 +52,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (which Spark reads as TIMESTAMP_NTZ). Either way callers get a
     session-tz TIMESTAMP — the session is pinned UTC, so the ntz→ltz
     cast is value-identical and every epoch/unix_* function works."""
+    per_session = _TABLE_CACHE.setdefault(spark, {})
+    key = (os.path.abspath(sf_dir), name)
+    cached = per_session.get(key)
+    if cached is not None:
+        return cached
+    df = _load_table_uncached(spark, sf_dir, name)
+    per_session[key] = df
+    return df
+
+
+def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in _NANO_TS_COLS.get(name, ()):
         if isinstance(df.schema[col].dataType, T.LongType):

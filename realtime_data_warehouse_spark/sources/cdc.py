@@ -33,11 +33,17 @@ def _base_ts(ts_col: str | None) -> Column:
 
 
 def _data_map(cols: list[str], double_col: str | None = None) -> Column:
-    kv = []
-    for c in cols:
-        val = (F.col(c) * 2).cast("string") if c == double_col else F.col(c).cast("string")
-        kv.extend([F.lit(c), val])
-    return F.create_map(*kv)
+    # Built as ONE parsed SQL expression, not 2×len(cols) Column
+    # objects: every F.lit/F.col/cast is a Py4J round trip, and the
+    # changelog synthesis calls this for every (table, change-type)
+    # pair — the expr string parses JVM-side in a single trip, which
+    # measurably cuts driver-side plan-construction latency.
+    kv = ", ".join(
+        f"'{c}', CAST({c} * 2 AS STRING)" if c == double_col
+        else f"'{c}', CAST({c} AS STRING)"
+        for c in cols
+    )
+    return F.expr(f"map({kv})")
 
 
 def to_change_rows(snapshot: DataFrame, table: str, key_col: str,
@@ -112,43 +118,51 @@ def changelog(snapshot: DataFrame, table: str, key_col: str, ts_col: str | None,
     rows, same values as the branch form (the per-branch helpers
     above stay as the unit-testable spec); at 100 TB this turns three
     fact-table scans into one."""
+    # The whole variant array is ONE parsed SQL expression (a few
+    # hundred F.lit/F.struct/F.when Column round trips otherwise —
+    # measurable driver latency when several tables synthesize per
+    # query). Semantics identical to the per-branch helpers above.
     cols = snapshot.columns
-    key = F.col(key_col).cast("long")
-    base = _base_ts(ts_col)
-    null_old = F.lit(None).cast("map<string,string>")
+    base_sql = f"unix_timestamp({ts_col})" if ts_col else "CAST(0 AS BIGINT)"
+    key_sql = f"CAST({key_col} AS BIGINT)"
+    null_old_sql = "CAST(NULL AS MAP<STRING,STRING>)"
 
-    def chg(typ: str, ts_off: int, data: Column, old: Column) -> Column:
-        return F.struct(
-            F.lit(typ).alias("type"),
-            (base + F.lit(ts_off)).cast("long").alias("ts"),
-            data.alias("data"),
-            old.alias("old"),
+    def data_sql(double_col: str | None = None) -> str:
+        kv = ", ".join(
+            f"'{c}', CAST({c} * 2 AS STRING)" if c == double_col
+            else f"'{c}', CAST({c} AS STRING)"
+            for c in cols
         )
+        return f"map({kv})"
+
+    def chg_sql(typ: str, ts_off: int, data: str, old: str) -> str:
+        return (f"named_struct('type', '{typ}', "
+                f"'ts', CAST({base_sql} + {ts_off} AS BIGINT), "
+                f"'data', {data}, 'old', {old})")
 
     variants = [
-        chg("bootstrap-insert", 0, _data_map(cols), null_old),
-        F.when(
-            F.pmod(key, F.lit(10_000)) < F.lit(500),
-            chg("update", 1, _data_map(cols, double_col=update_col),
-                F.create_map(F.lit(update_col), F.col(update_col).cast("string"))),
-        ),
+        chg_sql("bootstrap-insert", 0, data_sql(), null_old_sql),
+        (f"CASE WHEN pmod({key_sql}, 10000) < 500 THEN "
+         + chg_sql("update", 1, data_sql(double_col=update_col),
+                   f"map('{update_col}', CAST({update_col} AS STRING))")
+         + " END"),
     ]
     if with_deletes:
         variants.append(
-            F.when(
-                F.pmod(key, F.lit(DELETE_MOD)) == F.lit(DELETE_RESIDUE),
-                chg("delete", 2, _data_map(cols), null_old),
-            )
+            f"CASE WHEN pmod({key_sql}, {DELETE_MOD}) = {DELETE_RESIDUE} THEN "
+            + chg_sql("delete", 2, data_sql(), null_old_sql)
+            + " END"
         )
+    arr = ", ".join(variants)
     return (
-        snapshot.select(F.explode(F.array(*variants)).alias("chg"))
+        snapshot.select(F.explode(F.expr(f"array({arr})")).alias("chg"))
         .filter(F.col("chg").isNotNull())
-        .select(
-            F.lit(database).alias("database"),
-            F.lit(table).alias("table"),
-            F.col("chg.type").alias("type"),
-            F.col("chg.ts").alias("ts"),
-            F.col("chg.data").alias("data"),
-            F.col("chg.old").alias("old"),
+        .selectExpr(
+            f"'{database}' AS database",
+            f"'{table}' AS table",
+            "chg.type AS type",
+            "chg.ts AS ts",
+            "chg.data AS data",
+            "chg.old AS old",
         )
     )
