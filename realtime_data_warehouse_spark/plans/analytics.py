@@ -561,3 +561,47 @@ def corr_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag", "n",
         corr.cast("decimal(12,6)").cast("double").alias("corr_qty_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-bound histogram — distribution profiling
+# ---------------------------------------------------------------------------
+
+#: fixed bounds: o_totalprice spans ~[900, 600k] at every SF; fixed
+#: bounds keep the bucketing one map-side expression (a data-derived
+#: min/max would need an extra pass or an approx sketch)
+_HIST_LO, _HIST_HI, _HIST_N = 0.0, 600_000.0, 24
+
+
+@register(
+    "revenue_histogram",
+    oracle=f"""
+    SELECT LEAST({_HIST_N - 1},
+                 CAST(floor((o_totalprice - {_HIST_LO})
+                            / ({_HIST_HI} - {_HIST_LO}) * {_HIST_N}) AS INT))
+               AS bucket,
+           count(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS bucket_revenue
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def revenue_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bound equi-width histogram of order totals: bucket id is
+    one map-side expression (no width_bucket builtin needed — the
+    floor arithmetic is identical SQL in both engines), so the whole
+    profile is a single partial-aggregated groupBy on ≤ N buckets.
+    The distribution-profiling shape `profile_orders` doesn't cover
+    (it does moments/extremes, not shape)."""
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.lit(_HIST_N - 1),
+        F.floor((F.col("o_totalprice") - F.lit(_HIST_LO))
+                / F.lit(_HIST_HI - _HIST_LO) * F.lit(_HIST_N)).cast("int"),
+    )
+    return orders.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double").alias("bucket_revenue"),
+    )
