@@ -1133,3 +1133,102 @@ def stream_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )).alias("s"))
         .select("s.*")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming-maintained rollup + anomaly flags (real-time alerting shape)
+# ---------------------------------------------------------------------------
+
+@register(
+    "stream_anomaly_zscore",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS c
+        FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ), stats AS (
+        SELECT event_type, h, c,
+               count(c) OVER w AS n,
+               SUM(c)   OVER w AS s,
+               SUM(c*c) OVER w AS ss
+        FROM hourly
+        WINDOW w AS (PARTITION BY event_type ORDER BY h
+                     ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, c AS cnt,
+           CAST(CAST(
+               (CAST(c AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+               / sqrt((CAST(ss AS DOUBLE)
+                       - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                      / CAST(n - 1 AS DOUBLE))
+               AS DECIMAL(12,4)) AS DOUBLE) AS zscore
+    FROM stats
+    WHERE n >= 12
+      AND (CAST(ss AS DOUBLE)
+           - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) > 0
+      AND abs((CAST(c AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+              / sqrt((CAST(ss AS DOUBLE)
+                      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                     / CAST(n - 1 AS DOUBLE))) >= 2.0
+    """,
+)
+def stream_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-time alerting shape: the hourly (event_type, hour) count
+    rollup is maintained INCREMENTALLY by the exactly-once additive
+    merge sink across three event-time-ordered micro-batches (counts
+    re-aggregate losslessly), then the trailing-24h z-score alert
+    query — plans/analytics.anomaly_zscore_hourly verbatim — runs on
+    the stored aggregate. A deployment evaluates the alert on the
+    continuously-maintained table instead of rescanning raw events
+    each time; matching the batch twin's oracle proves the maintained
+    rollup is indistinguishable from a one-shot aggregate."""
+    from ..streaming.sinks import additive_merge_batch
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    in_dir = _stage_once(
+        sf_dir, "anomaly_events",
+        lambda base: staged_files_dir(ev, base, n_files=3, order_col="ts"),
+    )
+    rundir = tempfile.mkdtemp(prefix="rdw_streamq_anom_")
+    table_dir = os.path.join(rundir, "hourly")
+
+    def hourly_partials(batch: DataFrame) -> DataFrame:
+        return batch.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("h")
+        ).agg(F.count(F.lit(1)).alias("c"))
+
+    sdf = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    run_foreach_batch(
+        sdf,
+        additive_merge_batch(table_dir, keys=["event_type", "h"],
+                             sum_cols=["c"], prepare=hourly_partials),
+        checkpoint_dir=os.path.join(rundir, "ck"),
+        output_mode="append",
+    )
+    from pyspark.sql import Window as W
+
+    hourly = spark.read.parquet(table_dir)
+    w = W.partitionBy("event_type").orderBy("h").rowsBetween(-24, -1)
+    stats = hourly.select(
+        "event_type", "h", "c",
+        F.count("c").over(w).alias("n"),
+        F.sum("c").over(w).alias("s"),
+        F.sum(F.col("c") * F.col("c")).over(w).alias("ss"),
+    )
+    cd, nd = F.col("c").cast("double"), F.col("n").cast("double")
+    sd, ssd = F.col("s").cast("double"), F.col("ss").cast("double")
+    var_num = ssd - sd * sd / nd
+    z = (cd - sd / nd) / F.sqrt(var_num / (F.col("n") - 1).cast("double"))
+    return (
+        stats.filter((F.col("n") >= 12) & (var_num > 0) & (F.abs(z) >= 2.0))
+        .select(
+            "event_type",
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            F.col("c").alias("cnt"),
+            z.cast("decimal(12,4)").cast("double").alias("zscore"),
+        )
+    )

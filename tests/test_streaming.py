@@ -11,6 +11,7 @@ from __future__ import annotations
 import os
 import shutil
 
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
