@@ -605,3 +605,77 @@ def revenue_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
         .cast("double").alias("bucket_revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-time temporal join — FOR SYSTEM_TIME AS OF against SCD2 history
+# ---------------------------------------------------------------------------
+
+@register(
+    "scd2_point_in_time_join",
+    oracle="""
+    WITH chg AS (
+        SELECT p_partkey, p_size, 0 AS ts, 'bootstrap-insert' AS typ FROM part
+        UNION ALL
+        SELECT p_partkey, p_size * 2, 1, 'update'
+        FROM part WHERE p_partkey % 10000 < 500
+        UNION ALL
+        SELECT p_partkey, NULL, 2, 'delete'
+        FROM part WHERE p_partkey % 1000 = 7
+    ), hist AS (
+        SELECT p_partkey, p_size, ts AS valid_from,
+               lead(ts) OVER (PARTITION BY p_partkey ORDER BY ts) AS valid_to,
+               typ
+        FROM chg
+    ), facts AS (
+        SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
+               CAST(l_orderkey % 3 AS INT) AS as_of_ts
+        FROM lineitem
+    )
+    SELECT f.l_orderkey, f.l_linenumber, f.l_partkey, f.as_of_ts,
+           h.p_size AS p_size_as_of,
+           CAST(CAST(f.l_quantity * h.p_size AS DECIMAL(18,2)) AS DOUBLE)
+               AS volume
+    FROM facts f
+    JOIN hist h
+      ON f.l_partkey = h.p_partkey
+     AND h.typ <> 'delete'
+     AND h.valid_from <= f.as_of_ts
+     AND (h.valid_to IS NULL OR f.as_of_ts < h.valid_to)
+    """,
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time temporal join (Flink `FOR SYSTEM_TIME AS OF
+    fact.ts` on a VERSIONED table — the event-time dual of the
+    reference's processing-time lookup join, SURVEY J3): each fact
+    row joins the dimension version whose [valid_from, valid_to)
+    interval contains the fact's as-of timestamp, against the SCD2
+    history scd2_dim_history builds. The as-of clock is the
+    deterministic `l_orderkey % 3`, spanning the synthetic
+    changelog's version epochs.
+
+    Plan shape for 100 TB: the version history is a dimension —
+    broadcast it, so facts never shuffle; the interval predicate
+    evaluates inside the broadcast-hash join on the equi-key
+    (partkey), never as a range join over facts. A fact whose key was
+    deleted before its as-of time drops out (inner semantics), same
+    as a Flink versioned-table join after a DELETE."""
+    hist = scd2_dim_history(spark, sf_dir).withColumnRenamed(
+        "valid_from", "vf").withColumnRenamed("valid_to", "vt")
+    li = load_table(spark, sf_dir, "lineitem")
+    facts = li.select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_quantity",
+        F.pmod(F.col("l_orderkey"), F.lit(3)).cast("int").alias("as_of_ts"),
+    )
+    j = facts.join(
+        F.broadcast(hist),
+        (facts["l_partkey"] == hist["p_partkey"])
+        & (F.col("vf") <= F.col("as_of_ts"))
+        & (F.col("vt").isNull() | (F.col("as_of_ts") < F.col("vt"))),
+    )
+    return j.select(
+        "l_orderkey", "l_linenumber", "l_partkey", "as_of_ts",
+        F.col("p_size").alias("p_size_as_of"),
+        (F.col("l_quantity") * F.col("p_size")).cast("decimal(18,2)")
+        .cast("double").alias("volume"),
+    )

@@ -679,3 +679,37 @@ def test_funnel_stream_advances_across_batches(spark, tmp_path):
     }
     assert final[1] == (100, 200, 300)
     assert final[2] == (150, None, None)
+
+
+def test_scd2_merge_batch_crash_recovery(spark, tmp_path):
+    """scd2_merge_batch survives both rename-aside crash windows: live
+    dir renamed aside but tmp never renamed in (retry must merge
+    against the RESTORED prior state), and a completed swap whose old
+    copy was never deleted (stale .__old__ must be dropped, not
+    restored over newer state)."""
+    from realtime_data_warehouse_spark.streaming.sinks import scd2_merge_batch
+
+    tdir = str(tmp_path / "hist")
+    fn = scd2_merge_batch(tdir, "k")
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, "k long, attr int, valid_from int, typ string")
+
+    fn(batch([(1, 10, 0, "insert")]), 0)
+
+    # window 1: crash after live→aside, before tmp→live
+    os.replace(tdir, tdir + ".__old__")
+    fn(batch([(1, 20, 1, "insert")]), 1)  # retried batch
+    got = {(r.k, r.valid_from): (r.attr, r.valid_to)
+           for r in spark.read.parquet(tdir).collect()}
+    assert got == {(1, 0): (10, 1), (1, 1): (20, None)}
+    assert not os.path.exists(tdir + ".__old__")
+
+    # window 2: swap completed, old copy left behind
+    shutil.copytree(tdir, tdir + ".__old__")
+    fn(batch([(1, 30, 2, "insert")]), 2)
+    got = {(r.k, r.valid_from): (r.attr, r.valid_to)
+           for r in spark.read.parquet(tdir).collect()}
+    assert got == {(1, 0): (10, 1), (1, 1): (20, 2), (1, 2): (30, None)}
+    assert not os.path.exists(tdir + ".__old__")
