@@ -679,3 +679,54 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_quantity") * F.col("p_size")).cast("decimal(18,2)")
         .cast("double").alias("volume"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy entity-matching join (cross-table PPJoin)
+# ---------------------------------------------------------------------------
+
+@register(
+    "fuzzy_join_parts",
+    oracle="""
+    WITH lt AS (
+        SELECT p_partkey, list_distinct(string_split(p_name, ' ')) AS a
+        FROM part
+    ), pr AS (
+        SELECT p_partkey AS probe_id, list_distinct(ls[2:]) AS b
+        FROM (SELECT p_partkey, string_split(p_name, ' ') AS ls
+              FROM part WHERE p_partkey % 5 = 0)
+    ), pairs AS (
+        SELECT p_partkey, probe_id,
+               len(list_intersect(a, b)) AS i,
+               len(a) + len(b) - len(list_intersect(a, b)) AS u
+        FROM lt CROSS JOIN pr
+    )
+    SELECT p_partkey, probe_id,
+           CAST(CAST(i / CAST(u AS DOUBLE) AS DECIMAL(6,4)) AS DOUBLE)
+               AS jaccard
+    FROM pairs WHERE i >= ceil(0.6 * u)
+    """,
+)
+def fuzzy_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution across tables: a deterministic 'dirty' probe
+    list (every 5th part's name with its first word dropped) fuzzy-
+    joins back to the part catalog on word-set Jaccard ≥ 0.6 via
+    operators/dedup.fuzzy_set_join — PPJoin prefix blocking over the
+    UNION vocabulary, exact verify. The oracle is the brute-force
+    cross join (fine at sf0.01; the Spark side never materializes the
+    pair space — that asymmetry is the point of the operator)."""
+    from ..operators.dedup import fuzzy_set_join
+
+    part = load_table(spark, sf_dir, "part")
+    words = F.split(F.col("p_name"), " ")
+    left = part.select("p_partkey", words.alias("toks"))
+    probe = (
+        part.filter(F.pmod(F.col("p_partkey"), F.lit(5)) == 0)
+        .select(
+            F.col("p_partkey").alias("probe_id"),
+            F.expr("slice(split(p_name, ' '), 2, "
+                   "size(split(p_name, ' ')) - 1)").alias("toks"),
+        )
+    )
+    return fuzzy_set_join(left, probe, "p_partkey", "probe_id",
+                          "toks", threshold=0.6)

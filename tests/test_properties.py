@@ -215,3 +215,35 @@ def test_funnel_state_machine_equals_chained_minima(spark, events):
             advance_funnel(t_by_user[u], sorted(rows, key=lambda r: r[0]),
                            stage_of)
     assert {u: tuple(t) for u, t in t_by_user.items()} == expected
+
+
+@given(
+    lnames=st.lists(st.lists(st.sampled_from("abcdefgh"), min_size=1,
+                             max_size=6), min_size=1, max_size=8),
+    rnames=st.lists(st.lists(st.sampled_from("abcdefgh"), min_size=1,
+                             max_size=6), min_size=1, max_size=8),
+)
+@_settings
+def test_fuzzy_set_join_complete_vs_bruteforce(spark, lnames, rnames):
+    """fuzzy_set_join (cross-table prefix filter over the UNION
+    vocabulary) finds EXACTLY the pairs a brute-force O(n·m) word-set
+    Jaccard computation finds."""
+    from realtime_data_warehouse_spark.operators.dedup import fuzzy_set_join
+
+    threshold = 0.6
+    lrows = [(i, toks) for i, toks in enumerate(lnames)]
+    rrows = [(j, toks) for j, toks in enumerate(rnames)]
+    left = spark.createDataFrame(lrows, "lid long, toks array<string>")
+    right = spark.createDataFrame(rrows, "rid long, toks array<string>")
+    got = {(r.lid, r.rid)
+           for r in fuzzy_set_join(left, right, "lid", "rid",
+                                   threshold=threshold).collect()}
+    want = set()
+    for i, a in lrows:
+        for j, b in rrows:
+            sa, sb = set(a), set(b)
+            if not sa or not sb:
+                continue
+            if len(sa & sb) / len(sa | sb) >= threshold:
+                want.add((i, j))
+    assert got == want
