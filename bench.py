@@ -192,7 +192,9 @@ def main() -> None:
     # round-over-round comparable; never part of the headline value.
     ANALYTICS = [
         "funnel_conversion", "retention_cohorts", "anomaly_zscore_hourly",
-        "scd2_dim_history", "passage_dedup_stats",
+        "scd2_dim_history", "passage_dedup_stats", "time_weighted_avg",
+        "ohlc_daily_bars", "corr_qty_price", "revenue_histogram",
+        "scd2_point_in_time_join", "fuzzy_join_parts",
     ]
     analytics_timings: dict[str, float] = {}
     for _pass in range(3):

@@ -730,3 +730,97 @@ def fuzzy_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return fuzzy_set_join(left, probe, "p_partkey", "probe_id",
                           "toks", threshold=0.6)
+
+
+# ---------------------------------------------------------------------------
+# Embedding int8 quantization audit
+# ---------------------------------------------------------------------------
+
+@register(
+    "embedding_int8_quantize",
+    oracle="""
+    WITH scaled AS (
+        SELECT vec_id,
+               CAST(list_max(list_transform(embedding, v -> abs(v)))
+                    AS DOUBLE) / CAST(127 AS DOUBLE) AS scale,
+               embedding
+        FROM embeddings
+    )
+    SELECT vec_id,
+           CAST(CAST(scale AS DECIMAL(14,8)) AS DOUBLE) AS scale,
+           CAST(list_max(list_transform(
+               embedding,
+               v -> abs(CAST(floor(CAST(v AS DOUBLE) / scale
+                                   + CAST(0.5 AS DOUBLE)) AS INT)
+                        * scale - CAST(v AS DOUBLE))
+           )) AS DECIMAL(14,8))::DOUBLE AS max_abs_err
+    FROM scaled WHERE scale > 0
+    """,
+)
+def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization audit — the storage
+    shape embedding stores ship (scale = max|v|/127, code =
+    floor(v/scale + 0.5); explicit floor(+0.5) because round()
+    half-way rules differ between engines). Reports per-vector scale
+    and worst reconstruction error.
+
+    Long-format plan (posexplode → per-vector max → coordinate math →
+    per-vector rollup) rather than nested array lambdas: referencing
+    a DERIVED scale column inside a higher-order-function lambda gets
+    inlined by CollapseProject into a lambda-in-lambda expression,
+    which mis-evaluates (observed: err off by ~1e-7 — a real Spark
+    HOF-capture hazard). The explode form is also the honest
+    distributed shape: one shuffle on vec_id serves the max, the
+    join-back, and the rollup."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("idx", "val"))
+    per_vec = ex.groupBy("vec_id").agg(
+        (F.max(F.abs(F.col("val").cast("double"))) / F.lit(127.0))
+        .alias("scale"))
+    q = F.floor(F.col("val").cast("double") / F.col("scale")
+                + F.lit(0.5)).cast("int")
+    coord = (
+        ex.join(per_vec, "vec_id")
+        .filter(F.col("scale") > 0)
+        .withColumn("err", F.abs(q.cast("double") * F.col("scale")
+                                 - F.col("val").cast("double")))
+    )
+    return coord.groupBy("vec_id").agg(
+        F.first("scale").cast("decimal(14,8)").cast("double").alias("scale"),
+        F.max("err").cast("decimal(14,8)").cast("double").alias("max_abs_err"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity governance audit
+# ---------------------------------------------------------------------------
+
+@register(
+    "k_anonymity_audit",
+    oracle="""
+    SELECT c_nationkey,
+           CAST(floor(c_acctbal / 1000.0) AS INT) AS balance_band,
+           count(*) AS group_size
+    FROM customer
+    GROUP BY 1, 2
+    HAVING count(*) < 5
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy/governance audit: quasi-identifier groups (nation ×
+    coarse balance band) with fewer than k=5 members — the rows a
+    k-anonymity release policy must suppress or generalize. One
+    partial-aggregated groupBy on the quasi-identifier tuple; at
+    100 TB the group count is bounded by the identifier domain, not
+    the row count."""
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.groupBy(
+            "c_nationkey",
+            F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("int")
+            .alias("balance_band"),
+        )
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .filter(F.col("group_size") < 5)
+    )

@@ -258,3 +258,37 @@ def test_time_bucket_rollup_partials_are_lossless(spark):
     for g in ("day", "month"):
         assert sum(float(r["v"]) for r in by_grain[g]) == total
         assert sum(r["n"] for r in by_grain[g]) == 18
+
+
+def test_optimize_table_preserves_rows_and_compacts(spark, tmp_path):
+    """operators/maintenance.optimize_table: content byte-identical,
+    small-file count collapses to the target math, and a leftover
+    crash artifact (.__old__) is repaired before compacting."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from realtime_data_warehouse_spark.operators.maintenance import (
+        optimize_table,
+        table_bytes,
+    )
+
+    tdir = str(tmp_path / "t")
+    # 40 tiny files
+    spark.range(0, 4000).withColumn("v", F.col("id") * 2) \
+        .repartition(40).write.parquet(tdir)
+    before = {(r.id, r.v) for r in spark.read.parquet(tdir).collect()}
+    n_small = len([f for f in os.listdir(tdir) if f.endswith(".parquet")])
+    assert n_small >= 30
+
+    # leftover crash artifact from a hypothetical earlier swap
+    shutil.copytree(tdir, tdir + ".__old__")
+
+    n_files = optimize_table(spark, tdir, target_file_bytes=table_bytes(tdir))
+    assert n_files == 1
+    assert not os.path.exists(tdir + ".__old__")
+    n_after = len([f for f in os.listdir(tdir) if f.endswith(".parquet")])
+    assert n_after == 1
+    after = {(r.id, r.v) for r in spark.read.parquet(tdir).collect()}
+    assert after == before
