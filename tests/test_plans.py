@@ -327,3 +327,20 @@ def test_passage_dedup_two_shuffles_no_join(spark, sf_small):
     plan = physical_plan(QUERIES["passage_dedup_stats"](spark, sf_small))
     assert plan.count("Exchange hashpartitioning") == 2
     assert "Join" not in plan
+
+
+def test_pit_join_broadcasts_history(spark, sf_small):
+    """scd2_point_in_time_join: the version history is a broadcast
+    dim — facts must join via BroadcastHashJoin (interval predicate
+    inside the equi-key join), never a sort-merge shuffle of facts."""
+    plan = physical_plan(QUERIES["scd2_point_in_time_join"](spark, sf_small))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_revenue_histogram_single_exchange(spark, sf_small):
+    """revenue_histogram: map-side bucket expression + one bounded
+    groupBy — exactly one exchange, no join, no window."""
+    plan = physical_plan(QUERIES["revenue_histogram"](spark, sf_small))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan and "Window" not in plan
