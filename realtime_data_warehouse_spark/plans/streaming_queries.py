@@ -1232,3 +1232,89 @@ def stream_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             z.cast("decimal(12,4)").cast("double").alias("zscore"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# OHLC bars maintained as a streaming continuous aggregate
+# ---------------------------------------------------------------------------
+
+@register(
+    "stream_ohlc_daily_bars",
+    oracle="""
+    WITH ranked AS (
+        SELECT event_type, date_trunc('day', ts) AS day, value,
+               row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                                  ORDER BY ts, event_id)      AS rn_open,
+               row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rn_close
+        FROM events
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+           CAST(CAST(max(CASE WHEN rn_open = 1 THEN value END)
+                AS DECIMAL(18,4)) AS DOUBLE)  AS open,
+           CAST(CAST(max(value) AS DECIMAL(18,4)) AS DOUBLE) AS high,
+           CAST(CAST(min(value) AS DECIMAL(18,4)) AS DOUBLE) AS low,
+           CAST(CAST(max(CASE WHEN rn_close = 1 THEN value END)
+                AS DECIMAL(18,4)) AS DOUBLE)  AS close,
+           count(*) AS n_ticks
+    FROM ranked GROUP BY event_type, day
+    """,
+)
+def stream_ohlc_daily_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bars as a streaming continuous aggregate: min/max over
+    tie-broken (ts, event_id, value) structs are re-aggregable
+    monoids, so the additive-merge sink (extended with merge_aggs)
+    maintains open/close/high/low across micro-batches with NO
+    retraction or ordered replay requirement — a bar whose day
+    straddles batch boundaries merges correctly even if a later batch
+    carries an earlier tick. Same oracle as the batch twin
+    plans/analytics.ohlc_daily_bars."""
+    from ..streaming.sinks import additive_merge_batch
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id", "value")
+    in_dir = _stage_once(
+        sf_dir, "ohlc_events",
+        lambda base: staged_files_dir(ev, base, n_files=3, order_col="ts"),
+    )
+    rundir = tempfile.mkdtemp(prefix="rdw_streamq_ohlc_")
+    table_dir = os.path.join(rundir, "bars")
+
+    def bar_partials(batch: DataFrame) -> DataFrame:
+        return batch.groupBy(
+            "event_type", F.date_trunc("day", "ts").alias("day")
+        ).agg(
+            F.min(F.struct("ts", "event_id", "value")).alias("open_tick"),
+            F.max(F.struct("ts", "event_id", "value")).alias("close_tick"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+
+    sdf = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    run_foreach_batch(
+        sdf,
+        additive_merge_batch(
+            table_dir, keys=["event_type", "day"], sum_cols=["n_ticks"],
+            prepare=bar_partials,
+            merge_aggs={"open_tick": F.min, "close_tick": F.max,
+                        "high": F.max, "low": F.min},
+        ),
+        checkpoint_dir=os.path.join(rundir, "ck"),
+        output_mode="append",
+    )
+    bars = spark.read.parquet(table_dir)
+    dec4 = lambda c: c.cast("decimal(18,4)").cast("double")  # noqa: E731
+    return bars.select(
+        "event_type", F.date_format("day", "yyyy-MM-dd").alias("day"),
+        dec4(F.col("open_tick")["value"]).alias("open"),
+        dec4(F.col("high")).alias("high"),
+        dec4(F.col("low")).alias("low"),
+        dec4(F.col("close_tick")["value"]).alias("close"),
+        "n_ticks",
+    )

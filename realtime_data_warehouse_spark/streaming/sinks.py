@@ -136,7 +136,8 @@ def dim_upsert_batch(warehouse_dir: str, key_expr: str = "rowkey",
 
 
 def additive_merge_batch(table_dir: str, keys: Sequence[str],
-                         sum_cols: Sequence[str], prepare=None):
+                         sum_cols: Sequence[str], prepare=None,
+                         merge_aggs: dict | None = None):
     """Continuous-aggregate maintenance sink: each micro-batch's rows
     are reduced to PARTIAL aggregates (`prepare`, e.g. a per-day
     tumble) and merged into the stored aggregate table by summation —
@@ -176,8 +177,14 @@ def additive_merge_batch(table_dir: str, keys: Sequence[str],
         merged = partial
         if os.path.exists(table_dir):
             merged = spark.read.parquet(table_dir).unionByName(partial)
+        # sum is the additive default; merge_aggs extends the sink to
+        # any re-aggregable monoid (min/max over values or tie-broken
+        # structs — the open/close of an OHLC bar), which is exactly
+        # the set of aggregates a continuous aggregate can maintain
+        # without retraction support
         merged = merged.groupBy(*keys).agg(
-            *[F.sum(c).alias(c) for c in sum_cols]
+            *[F.sum(c).alias(c) for c in sum_cols],
+            *[mk(c).alias(c) for c, mk in (merge_aggs or {}).items()],
         )
         tmp = table_dir.rstrip("/") + ".__new__"
         merged.write.mode("overwrite").parquet(tmp)
