@@ -1318,3 +1318,88 @@ def stream_ohlc_daily_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec4(F.col("close_tick")["value"]).alias("close"),
         "n_ticks",
     )
+
+
+# ---------------------------------------------------------------------------
+# Retention cohorts from a streaming-maintained distinct-activity table
+# ---------------------------------------------------------------------------
+
+@register(
+    "stream_retention_cohorts",
+    oracle="""
+    WITH su AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cohort
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), act AS (
+        SELECT e.user_id, su.cohort,
+               CAST(floor(date_diff('day', CAST(su.cohort AS DATE),
+                                    CAST(e.ts AS DATE)) / 7.0) AS INT)
+                   AS week_offset
+        FROM events e JOIN su ON e.user_id = su.user_id
+        WHERE e.ts >= su.cohort
+    )
+    SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week, week_offset,
+           count(DISTINCT user_id) AS active_users
+    FROM act WHERE week_offset BETWEEN 0 AND 5
+    GROUP BY cohort, week_offset
+    """,
+)
+def stream_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention as a stream: COUNT(DISTINCT) is not additive, so the
+    maintained object is the DISTINCT (cohort, offset, user) activity
+    table — the upsert MERGE dedupes on the full key per micro-batch
+    (idempotent under replay, no ledger needed), and the distinct
+    count becomes a plain count at read time. Cohort assignment joins
+    each batch against the static signup extraction (stream-static
+    broadcast, reference J3 shape). Same oracle as the batch twin
+    retention_cohorts."""
+    from ..streaming.sinks import upsert_batch
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type")
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort"))
+    )
+    in_dir = _stage_once(
+        sf_dir, "retention_events",
+        lambda base: staged_files_dir(ev, base, n_files=3, order_col="ts"),
+    )
+    rundir = tempfile.mkdtemp(prefix="rdw_streamq_ret_")
+    table_dir = os.path.join(rundir, "activity")
+
+    base_sink = upsert_batch(
+        table_dir, keys=["cohort_week", "week_offset", "user_id"],
+        order_col="one")
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        act = (
+            batch.join(F.broadcast(su), "user_id")
+            .filter(F.col("ts") >= F.col("cohort"))
+            .withColumn(
+                "week_offset",
+                F.floor(F.datediff(F.col("ts").cast("date"),
+                                   F.col("cohort").cast("date"))
+                        / F.lit(7.0)).cast("int"))
+            .filter(F.col("week_offset").between(0, 5))
+            .select(
+                F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+                "week_offset", "user_id", F.lit(1).alias("one"))
+            .distinct()
+        )
+        base_sink(act, batch_id)
+
+    sdf = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    run_foreach_batch(sdf, sink, checkpoint_dir=os.path.join(rundir, "ck"),
+                      output_mode="append")
+    return (
+        spark.read.parquet(table_dir)
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )
