@@ -344,3 +344,50 @@ def test_revenue_histogram_single_exchange(spark, sf_small):
     plan = physical_plan(QUERIES["revenue_histogram"](spark, sf_small))
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan and "Window" not in plan
+
+
+def test_gdpr_purge_is_broadcast_probe(spark, sf_small):
+    """gdpr_forget_users: the tombstone list must broadcast — every
+    fact-table probe is a map-side BroadcastHashJoin; a sort-merge
+    join here would shuffle the 100 TB side on the subject key."""
+    plan = physical_plan(QUERIES["gdpr_forget_users"](spark, sf_small))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_audience_overlap_single_user_shuffle(spark, sf_small):
+    """audience_overlap: one user_id exchange (flag aggregate), one
+    single-row reduce — no join of segment lists, no distinct Expand."""
+    plan = physical_plan(QUERIES["audience_overlap"](spark, sf_small))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+    assert "Expand" not in plan
+
+
+def test_quality_percentile_no_global_sort(spark, sf_small):
+    """quality_percentile_by_lang: the rank window partitions by lang
+    — the plan must contain NO single-partition exchange (a global
+    NTILE would show Exchange SinglePartition under the Window)."""
+    plan = physical_plan(QUERIES["quality_percentile_by_lang"](spark, sf_small))
+    window_zone = plan[: plan.index("Window")] if "Window" in plan else ""
+    assert "Exchange SinglePartition" not in window_zone
+    assert plan.count("Window") == 1
+
+
+def test_importance_sample_is_map_side_only(spark, sf_small):
+    """importance_weighted_sample: keep/drop must be a pure map-side
+    predicate — exactly one exchange (the tiny per-lang report), no
+    join, no window, no second scan."""
+    plan = physical_plan(QUERIES["importance_weighted_sample"](spark, sf_small))
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_snapshot_diff_is_one_join_no_second_pass(spark, sf_small):
+    """snapshot_diff_cdc: one full-outer join with the changed-row
+    filter applied on the join output — no re-aggregation, no union
+    of per-op branches (which would re-scan per op type)."""
+    plan = physical_plan(QUERIES["snapshot_diff_cdc"](spark, sf_small))
+    assert plan.count("SortMergeJoin") == 1 and "FullOuter" in plan
+    assert "Union" not in plan
