@@ -407,3 +407,92 @@ def decontaminate_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.fuzzy_set_join(
         train, bench, "train_id", "bench_id",
         toks_col="shingles", threshold=0.8)
+
+
+# ---------------------------------------------------------------------------
+# Streaming twin — audience overlap as a maintained flag table
+# ---------------------------------------------------------------------------
+
+@register(
+    "stream_audience_overlap",
+    oracle="""
+    WITH flags AS (
+        SELECT user_id,
+               max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)     AS in_a,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS in_b
+        FROM events
+        WHERE event_type IN ('view', 'purchase')
+        GROUP BY user_id
+    )
+    SELECT CAST(sum(in_a) AS BIGINT)                  AS viewers,
+           CAST(sum(in_b) AS BIGINT)                  AS purchasers,
+           CAST(sum(in_a * in_b) AS BIGINT)           AS both_segments,
+           count(*)                                   AS either_segment,
+           round(sum(in_a * in_b) / count(*), 6)      AS jaccard
+    FROM flags
+    """,
+)
+def stream_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap as a stream: segment membership flags are
+    max() monoids, so the maintained object is the per-user flag
+    table — each micro-batch reduces to per-user partial flags and
+    merges via max into the stored table (idempotent-by-ledger
+    additive_merge sink, reference T10 exactly-once discipline); the
+    single-row set algebra runs at read time over |users| rows, never
+    over event history. Same oracle as the batch twin
+    `audience_overlap` — the flag table always equals a full
+    recompute, whatever the batch boundaries."""
+    import os
+    import tempfile
+
+    from ..streaming.runner import run_foreach_batch, staged_files_dir
+    from ..streaming.sinks import additive_merge_batch
+    from .streaming_queries import _stage_once
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type")
+    in_dir = _stage_once(
+        sf_dir, "audience_events",
+        lambda base: staged_files_dir(ev, base, n_files=3, order_col="ts"),
+    )
+    rundir = tempfile.mkdtemp(prefix="rdw_streamq_aud_")
+    table_dir = os.path.join(rundir, "flags")
+
+    def flag_partials(batch: DataFrame) -> DataFrame:
+        return (
+            batch.filter(F.col("event_type").isin("view", "purchase"))
+            .groupBy("user_id")
+            .agg(
+                F.max(F.when(F.col("event_type") == "view", 1).otherwise(0))
+                .alias("in_a"),
+                F.max(F.when(F.col("event_type") == "purchase", 1)
+                      .otherwise(0)).alias("in_b"),
+            )
+        )
+
+    sdf = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    run_foreach_batch(
+        sdf,
+        additive_merge_batch(
+            table_dir, keys=["user_id"], sum_cols=[],
+            prepare=flag_partials,
+            merge_aggs={"in_a": F.max, "in_b": F.max},
+        ),
+        checkpoint_dir=os.path.join(rundir, "ck"),
+        output_mode="append",
+    )
+    flags = spark.read.parquet(table_dir)
+    return flags.agg(
+        F.sum("in_a").alias("viewers"),
+        F.sum("in_b").alias("purchasers"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("both_segments"),
+        F.count(F.lit(1)).alias("either_segment"),
+        F.round(
+            F.sum(F.col("in_a") * F.col("in_b")) / F.count(F.lit(1)), 6
+        ).alias("jaccard"),
+    )
