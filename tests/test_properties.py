@@ -247,3 +247,30 @@ def test_fuzzy_set_join_complete_vs_bruteforce(spark, lnames, rnames):
             if len(sa & sb) / len(sa | sb) >= threshold:
                 want.add((i, j))
     assert got == want
+
+
+@given(
+    docs=st.lists(st.lists(st.sampled_from("abcdefgh"), min_size=1,
+                           max_size=8), min_size=1, max_size=10),
+)
+@_settings
+def test_containment_join_complete_vs_bruteforce(spark, docs):
+    """containment_join (inner-side-only prefix filter) finds EXACTLY
+    the (inner, outer) pairs a brute-force O(n²) set-containment scan
+    finds at t = 2/3 — including boundary pairs where t·|inner| is an
+    integer (the case float thresholds mis-round)."""
+    from realtime_data_warehouse_spark.operators.dedup import containment_join
+
+    rows = [(i, toks) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, toks array<string>")
+    got = {(r.inner_id, r.outer_id)
+           for r in containment_join(df, t_num=2, t_den=3).collect()}
+    want = set()
+    for i, a in rows:
+        for j, b in rows:
+            sa, sb = set(a), set(b)
+            if i == j or not sa:
+                continue
+            if len(sa & sb) * 3 >= len(sa) * 2:
+                want.add((i, j))
+    assert got == want
