@@ -256,3 +256,155 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = D.with_shingles(
         fan_out(load_table(spark, sf_dir, "documents")), drop_empty=True)
     return D.containment_join(docs, toks_col="shingles", t_num=9, t_den=10)
+
+
+# ---------------------------------------------------------------------------
+# Incremental ingestion dedup (new batch vs maintained corpus index)
+# ---------------------------------------------------------------------------
+
+_FP_SQL = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+
+
+@register(
+    "dedup_incremental",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT DISTINCT {_FP_SQL} AS fp FROM documents WHERE doc_id % 3 <> 0
+    ), incoming AS (
+        SELECT doc_id, source, {_FP_SQL} AS fp
+        FROM documents WHERE doc_id % 3 = 0
+    ), marked AS (
+        SELECT i.source,
+               CASE WHEN c.fp IS NOT NULL THEN 1 ELSE 0 END AS dup_corpus,
+               CASE WHEN c.fp IS NULL
+                     AND row_number() OVER (PARTITION BY i.fp ORDER BY i.doc_id)
+                         > 1 THEN 1 ELSE 0 END AS dup_batch
+        FROM incoming i LEFT JOIN corpus c ON i.fp = c.fp
+    )
+    SELECT source,
+           count(*)                                            AS n_incoming,
+           CAST(sum(dup_corpus) AS BIGINT)                     AS n_dup_corpus,
+           CAST(sum(dup_batch) AS BIGINT)                      AS n_dup_batch,
+           CAST(count(*) - sum(dup_corpus) - sum(dup_batch) AS BIGINT)
+                                                               AS n_ingested
+    FROM marked GROUP BY source
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: a new batch (the deterministic
+    `doc_id % 3 = 0` cohort) dedupes against the MAINTAINED corpus
+    fingerprint index (distinct normalized-md5 fps of everything
+    already ingested) and then within itself (keep-first per fp) —
+    the steady-state shape of corpus building, where each day's crawl
+    joins a fingerprint table instead of re-scanning 100 TB of
+    history. Per-source report: incoming / dup-vs-corpus /
+    dup-within-batch / ingested.
+
+    Scale: the fp index is |corpus| rows of 32-byte keys — it
+    equi-joins (never broadcasts at full scale, but the join is
+    uniform md5 keys, AQE-splittable); the within-batch keep-first is
+    one window over the batch's own fp partition. Both exchanges key
+    on fp — uniform by construction."""
+    from ..operators import text as X
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = X.fingerprint("text").alias("fp")
+    corpus = (docs.filter(F.col("doc_id") % 3 != 0)
+              .select(fp).distinct()
+              .withColumn("in_corpus", F.lit(1)))
+    incoming = docs.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id", "source", fp)
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    marked = (
+        incoming.join(corpus, "fp", "left")
+        .withColumn("dup_corpus",
+                    F.when(F.col("in_corpus").isNotNull(), 1).otherwise(0))
+        .withColumn(
+            "dup_batch",
+            F.when((F.col("in_corpus").isNull())
+                   & (F.row_number().over(w) > 1), 1).otherwise(0))
+    )
+    return marked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_incoming"),
+        F.sum("dup_corpus").alias("n_dup_corpus"),
+        F.sum("dup_batch").alias("n_dup_batch"),
+        (F.count(F.lit(1)) - F.sum("dup_corpus") - F.sum("dup_batch"))
+        .alias("n_ingested"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN self-evaluation: IVF recall against exact ground truth
+# ---------------------------------------------------------------------------
+
+@register(
+    "ann_recall_report",
+    oracle="""
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings),
+    brute AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM v q JOIN v c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < 10
+        QUALIFY row_number() OVER (
+            PARTITION BY q.vec_id
+            ORDER BY list_inner_product(q.e, c.e)
+                     / sqrt(list_inner_product(q.e, q.e)
+                            * list_inner_product(c.e, c.e)) DESC,
+                     c.vec_id
+        ) <= 5
+    ),
+    ivf AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM v q JOIN v c ON c.vec_id <> q.vec_id AND c.label = q.label
+        WHERE q.vec_id < 10
+        QUALIFY row_number() OVER (
+            PARTITION BY q.vec_id
+            ORDER BY list_inner_product(q.e, c.e)
+                     / sqrt(list_inner_product(q.e, q.e)
+                            * list_inner_product(c.e, c.e)) DESC,
+                     c.vec_id
+        ) <= 5
+    )
+    SELECT b.query_id,
+           count(*)                          AS k,
+           CAST(count(i.neighbor_id) AS BIGINT) AS n_matched,
+           round(count(i.neighbor_id) / count(*), 6) AS recall
+    FROM brute b
+    LEFT JOIN ivf i ON b.query_id = i.query_id
+                   AND b.neighbor_id = i.neighbor_id
+    GROUP BY b.query_id
+    """,
+)
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index self-evaluation: recall@5 of the IVF cell-restricted
+    search against exact brute-force ground truth, per probe query —
+    the acceptance gate run before an index build is promoted to
+    serving (the standard ANN-benchmarks methodology, computed
+    in-engine). Composes the existing ann operators; a LEFT join from
+    truth to candidate pairs + per-query count gives matched@k.
+
+    Scale note: ground truth is only ever computed for the PROBE set
+    (tiny), so the brute side is broadcast-probes × corpus-scan — the
+    expensive exact pass the evaluation pays once, amortized over
+    every index variant it scores."""
+    from ..operators import similarity as S
+
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 10)
+    brute = S.brute_force_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id")
+    ivf = S.ivf_topk(emb, queries, k=5).select(
+        "query_id", F.col("neighbor_id").alias("ivf_neighbor"))
+    j = brute.join(
+        ivf,
+        (brute.query_id == ivf.query_id)
+        & (brute.neighbor_id == ivf.ivf_neighbor),
+        "left",
+    ).select(brute.query_id, "neighbor_id", "ivf_neighbor")
+    return j.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.count("ivf_neighbor").alias("n_matched"),
+        F.round(F.count("ivf_neighbor") / F.count(F.lit(1)), 6)
+        .alias("recall"),
+    )
