@@ -494,7 +494,11 @@ def percentile_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     so values match to float rounding (pinned at 4 decimals). At scale
     exact percentile is a sort-heavy op; the sketch twin below is the
     100 TB path."""
-    li = load_table(spark, sf_dir, "lineitem")
+    from ..sources.batch import fan_out
+
+    # fan_out: the partial percentile buffers are sort-heavy map work —
+    # under a single-row-group layout they'd otherwise build on 1 core
+    li = fan_out(load_table(spark, sf_dir, "lineitem"))
     # one percentile agg with an array argument: a single value buffer
     # + one sort per group, vs three separate aggregates each
     # buffering and sorting the whole group (~3× the work)
