@@ -408,3 +408,118 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.count("ivf_neighbor") / F.count(F.lit(1)), 6)
         .alias("recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming twin — incremental ingestion dedup as a maintained fp ledger
+# ---------------------------------------------------------------------------
+
+@register(
+    "stream_dedup_incremental",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT DISTINCT {_FP_SQL} AS fp FROM documents WHERE doc_id % 3 <> 0
+    ), incoming AS (
+        SELECT doc_id, source, {_FP_SQL} AS fp
+        FROM documents WHERE doc_id % 3 = 0
+    ), marked AS (
+        SELECT i.source,
+               CASE WHEN c.fp IS NOT NULL THEN 1 ELSE 0 END AS dup_corpus,
+               CASE WHEN c.fp IS NULL
+                     AND row_number() OVER (PARTITION BY i.fp ORDER BY i.doc_id)
+                         > 1 THEN 1 ELSE 0 END AS dup_batch
+        FROM incoming i LEFT JOIN corpus c ON i.fp = c.fp
+    )
+    SELECT source,
+           count(*)                                            AS n_incoming,
+           CAST(sum(dup_corpus) AS BIGINT)                     AS n_dup_corpus,
+           CAST(sum(dup_batch) AS BIGINT)                      AS n_dup_batch,
+           CAST(count(*) - sum(dup_corpus) - sum(dup_batch) AS BIGINT)
+                                                               AS n_ingested
+    FROM marked GROUP BY source
+    """,
+)
+def stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus building as a stream, with NO second store and NO
+    arrival-order dependence: the maintained object is a
+    (fp, source)-keyed ledger of arrival statistics — n_seen (sum
+    monoid) and the smallest doc_id (min monoid) — merged exactly-once
+    by the ledgered additive_merge sink. Classification happens at
+    READ time: arrivals whose fp exists in the static corpus index
+    are dup-vs-corpus; otherwise the globally-first arrival (min
+    doc_id across sources, a deterministic tiebreak identical to the
+    batch twin's keep-first) is the ingested copy and the rest are
+    within-stream dups. Because every maintained column is a
+    commutative monoid, ANY batch partitioning of the input replays
+    to the same table — the report equals `dedup_incremental`
+    whatever the micro-batch boundaries, which is the property that
+    makes the pipeline safe to re-shard at 100 TB."""
+    import os
+    import tempfile
+
+    from ..operators import text as X
+    from ..streaming.runner import run_foreach_batch, staged_files_dir
+    from ..streaming.sinks import additive_merge_batch
+    from .streaming_queries import _stage_once
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = X.fingerprint("text").alias("fp")
+    incoming = docs.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id", "source", fp)
+    in_dir = _stage_once(
+        sf_dir, "dedup_incremental_incoming",
+        lambda base: staged_files_dir(incoming, base, n_files=3,
+                                      order_col="doc_id"),
+    )
+    rundir = tempfile.mkdtemp(prefix="rdw_streamq_inc_")
+    table_dir = os.path.join(rundir, "fp_ledger")
+
+    def arrival_partials(batch: DataFrame) -> DataFrame:
+        return batch.groupBy("fp", "source").agg(
+            F.count(F.lit(1)).alias("n_seen"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+
+    sdf = (
+        spark.readStream.schema(incoming.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    run_foreach_batch(
+        sdf,
+        additive_merge_batch(
+            table_dir, keys=["fp", "source"], sum_cols=["n_seen"],
+            prepare=arrival_partials,
+            merge_aggs={"first_doc_id": F.min},
+        ),
+        checkpoint_dir=os.path.join(rundir, "ck"),
+        output_mode="append",
+    )
+
+    ledger = spark.read.parquet(table_dir)
+    corpus = (docs.filter(F.col("doc_id") % 3 != 0)
+              .select(fp).distinct().withColumn("in_corpus", F.lit(1)))
+    w = Window.partitionBy("fp")
+    classified = (
+        ledger.join(corpus, "fp", "left")
+        .withColumn("global_first", F.min("first_doc_id").over(w))
+        .select(
+            "source",
+            F.col("n_seen"),
+            F.when(F.col("in_corpus").isNotNull(), F.col("n_seen"))
+            .otherwise(0).alias("dup_corpus"),
+            F.when(F.col("in_corpus").isNotNull(), 0)
+            .otherwise(
+                F.col("n_seen")
+                - F.when(F.col("first_doc_id") == F.col("global_first"), 1)
+                .otherwise(0)
+            ).alias("dup_batch"),
+        )
+    )
+    return classified.groupBy("source").agg(
+        F.sum("n_seen").alias("n_incoming"),
+        F.sum("dup_corpus").alias("n_dup_corpus"),
+        F.sum("dup_batch").alias("n_dup_batch"),
+        (F.sum("n_seen") - F.sum("dup_corpus") - F.sum("dup_batch"))
+        .alias("n_ingested"),
+    )
