@@ -35,6 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.tokenize import tokenize
 from ..operators import dedup as D
 from ..sources.batch import fan_out, load_table
 from .datapipe import _TOKS
@@ -522,4 +523,130 @@ def stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("dup_batch").alias("n_dup_batch"),
         (F.sum("n_seen") - F.sum("dup_corpus") - F.sum("dup_batch"))
         .alias("n_ingested"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Customer order-count distribution (TPC-H Q13 shape)
+# ---------------------------------------------------------------------------
+
+@register(
+    "customer_order_distribution",
+    oracle="""
+    WITH per_cust AS (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey
+    )
+    SELECT c_count, count(*) AS custdist
+    FROM per_cust GROUP BY c_count
+    """,
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders-per-customer histogram INCLUDING zero-order customers
+    (the TPC-H Q13 shape — the left join is the point: an inner join
+    silently drops the inactive cohort, which is usually the business
+    question). Two shuffles: the custkey outer join + count, then the
+    bounded histogram rollup on c_count."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey",
+                                                        "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist"))
+
+
+# ---------------------------------------------------------------------------
+# Promotion revenue share (TPC-H Q14 shape)
+# ---------------------------------------------------------------------------
+
+@register(
+    "promo_revenue_share",
+    oracle="""
+    SELECT round(
+             100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                   THEN CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4))
+                   END) AS DOUBLE)
+             / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(18,4))) AS DOUBLE), 6) AS promo_pct,
+           count(*) AS n_lineitems
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    """,
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of discounted revenue from promotional parts (TPC-H Q14
+    shape): the part dim BROADCASTS into the fact scan — zero fact
+    shuffles, one single-row reduce; the conditional revenue is the
+    decimal-exact product convention so the percentage hashes stably."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
+        .cast("decimal(18,4)")
+    zero = F.lit(0).cast("decimal(18,4)")
+    j = li.join(F.broadcast(part),
+                li.l_partkey == part.p_partkey)
+    return j.agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero))
+            .cast("double")
+            / F.sum(rev).cast("double"), 6).alias("promo_pct"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled corpus mixture (the multinomial-sampling weights)
+# ---------------------------------------------------------------------------
+
+@register(
+    "mixture_temperature_weights",
+    oracle=f"""
+    WITH a AS (
+        SELECT lang, CAST(SUM(len({_TOKS})) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY 1
+    ), p AS (
+        SELECT lang, n_tokens,
+               n_tokens / CAST(SUM(n_tokens) OVER () AS DOUBLE) AS p_raw
+        FROM a
+    )
+    SELECT lang, n_tokens,
+           round(p_raw, 6) AS p_raw,
+           round(pow(p_raw, 0.7) / SUM(pow(p_raw, 0.7)) OVER (), 6)
+               AS w_temp,
+           round((pow(p_raw, 0.7) / SUM(pow(p_raw, 0.7)) OVER ()) / p_raw, 6)
+               AS effective_epochs
+    FROM p
+    """,
+)
+def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled sampling weights per language: w ∝ p^α with
+    α = 0.7 (the multilingual rebalancing rule from the mBERT/XLM-R
+    line of work — upsample tails, downsample heads), plus the
+    effective-epochs ratio w/p that tells you how many passes each
+    language's data makes. One tokenize+groupBy scan; the temperature
+    math runs over |langs| rows in a single unpartitioned window —
+    bounded by construction. p_raw is a ratio of exact BIGINT token
+    counts, so pow() sees identical doubles in any engine."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    a = (
+        docs.select("lang", F.size(tokenize("text")).alias("nt"))
+        .groupBy("lang")
+        .agg(F.sum("nt").cast("long").alias("n_tokens"))
+    )
+    wall = Window.partitionBy()
+    p_raw = F.col("n_tokens") / F.sum("n_tokens").over(wall).cast("double")
+    p = a.withColumn("p_raw", p_raw)
+    wt = F.pow(F.col("p_raw"), 0.7) / F.sum(F.pow(F.col("p_raw"), 0.7)).over(wall)
+    return p.select(
+        "lang", "n_tokens",
+        F.round("p_raw", 6).alias("p_raw"),
+        F.round(wt, 6).alias("w_temp"),
+        F.round(wt / F.col("p_raw"), 6).alias("effective_epochs"),
     )
