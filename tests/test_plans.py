@@ -20,7 +20,8 @@ def physical_plan(df) -> str:
 
 #: brute-force ANN is all-pairs by definition; its BroadcastNestedLoop
 #: (small query set broadcast, corpus streamed) is the correct plan.
-ALL_PAIRS_BY_DESIGN = {"ann_brute_topk"}
+#: ann_recall_report embeds that same brute pass as its ground truth.
+ALL_PAIRS_BY_DESIGN = {"ann_brute_topk", "ann_recall_report"}
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
