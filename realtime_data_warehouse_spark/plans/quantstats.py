@@ -650,3 +650,136 @@ def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(wt, 6).alias("w_temp"),
         F.round(wt / F.col("p_raw"), 6).alias("effective_epochs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal content-hash dedup (byte-identical payloads)
+# ---------------------------------------------------------------------------
+
+@register(
+    "multimodal_dedup",
+    oracle="""
+    WITH h AS (
+        SELECT source, md5(text) AS content_hash FROM documents
+    ), g AS (
+        SELECT source, content_hash, count(*) AS n FROM h GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(sum(n) AS BIGINT)          AS n_payloads,
+           count(*)                        AS n_distinct,
+           CAST(sum(n) - count(*) AS BIGINT) AS n_dups,
+           CAST(max(n) AS BIGINT)          AS max_group
+    FROM g GROUP BY source
+    """,
+)
+def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-identical payload dedup over the opaque binary column —
+    the FIRST dedup pass of any image/audio pipeline (content hash of
+    the raw bytes, before any decode): per source, payload count,
+    distinct hashes, dup count, and the largest duplicate group. One
+    map-side md5 over the binary column + one shuffle on (source,
+    hash) — payload bytes never shuffle, only their 32-byte hashes
+    (the reason content-hash dedup is cheap at 100 TB while
+    near-dup needs the LSH machinery)."""
+    from ..operators.multimodal import attach_binary_payload
+
+    docs = attach_binary_payload(
+        fan_out(load_table(spark, sf_dir, "documents")))
+    g = (
+        docs.select("source", F.md5("payload").alias("content_hash"))
+        .groupBy("source", "content_hash")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return g.groupBy("source").agg(
+        F.sum("n").alias("n_payloads"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        (F.sum("n") - F.count(F.lit(1))).alias("n_dups"),
+        F.max("n").alias("max_group"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event path analysis (top user-journey trigrams)
+# ---------------------------------------------------------------------------
+
+@register(
+    "event_path_trigrams",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type, 1) OVER w AS e2,
+               lead(event_type, 2) OVER w AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_type || '>' || e2 || '>' || e3 AS path,
+           count(*) AS n
+    FROM seq WHERE e3 IS NOT NULL
+    GROUP BY 1
+    ORDER BY n DESC, path
+    LIMIT 20
+    """,
+)
+def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 three-step user journeys: consecutive event-type
+    trigrams per user (ordered by event time, event_id tiebreak so
+    the sequence — and the counts — are deterministic), counted
+    corpus-wide. ONE user_id exchange builds both lead() columns (one
+    window spec, shared sort); the trigram count partial-aggregates;
+    the top-20 is TakeOrdered (per-partition heads + single merge),
+    never a global sort."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    path = F.concat_ws(">", "event_type", "e2", "e3").alias("path")
+    return (
+        seq.groupBy(path).agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Order fulfillment latency by priority
+# ---------------------------------------------------------------------------
+
+@register(
+    "fulfillment_latency",
+    oracle="""
+    SELECT o.o_orderpriority,
+           count(*) AS n_lineitems,
+           CAST(sum(CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                                   CAST(l.l_shipdate AS DATE))
+                         AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+               AS avg_days_to_ship,
+           CAST(max(date_diff('day', CAST(o.o_orderdate AS DATE),
+                              CAST(l.l_shipdate AS DATE))) AS BIGINT)
+               AS max_days_to_ship
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    """
+    + "GROUP BY 1",
+)
+def fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order→ship latency per priority class: the operational SLA
+    rollup. The orderkey equi-join shuffles both sides once (or zero
+    times on an orderkey-bucketed layout — tests pin that shape for
+    the bucketed write path); day arithmetic on DATE casts matches
+    DuckDB's date_diff exactly, and the mean is a decimal-exact sum
+    over an integer day count."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate")
+    days = F.datediff(F.col("l_shipdate").cast("date"),
+                      F.col("o_orderdate").cast("date"))
+    j = orders.join(li, orders.o_orderkey == li.l_orderkey)
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lineitems"),
+        (F.sum(days.cast("decimal(18,2)")).cast("double")
+         / F.count(F.lit(1))).alias("avg_days_to_ship"),
+        F.max(days).cast("long").alias("max_days_to_ship"),
+    )
