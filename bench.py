@@ -206,6 +206,27 @@ def main() -> None:
             analytics_timings[name] = min(
                 analytics_timings.get(name, el), el)
 
+    # Round-5 governance/statistics family — same discipline: its own
+    # section, never part of the headline value.
+    ROUND5 = [
+        "snapshot_diff_cdc", "gdpr_forget_users", "audience_overlap",
+        "quality_percentile_by_lang", "importance_weighted_sample",
+        "decontaminate_neardup", "containment_pairs",
+        "weighted_median_price", "seasonal_dow_index",
+        "embedding_dim_stats", "dedup_incremental", "ann_recall_report",
+        "customer_order_distribution", "promo_revenue_share",
+        "mixture_temperature_weights", "multimodal_dedup",
+        "event_path_trigrams", "fulfillment_latency",
+    ]
+    round5_timings: dict[str, float] = {}
+    for _pass in range(3):
+        for name in ROUND5:
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite").save()
+            el = round(time.perf_counter() - t0, 3)
+            round5_timings[name] = min(round5_timings.get(name, el), el)
+
     print(json.dumps({
         "metric": "headline_queries_total_runtime",
         "value": round(sum(timings_raw.values()), 3),
@@ -225,6 +246,10 @@ def main() -> None:
         "analytics_note": ("round-4 family on the as-served layout, "
                            "min of 3; reported separately to keep the "
                            "21-query headline comparable across rounds"),
+        "round5_queries": round5_timings,
+        "round5_note": ("round-5 governance/statistics family on the "
+                        "as-served layout, min of 3; own section, same "
+                        "comparability discipline"),
     }))
 
 

@@ -783,3 +783,92 @@ def fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
          / F.count(F.lit(1))).alias("avg_days_to_ship"),
         F.max(days).cast("long").alias("max_days_to_ship"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming twin — fulfillment latency as a continuous aggregate
+# ---------------------------------------------------------------------------
+
+@register(
+    "stream_fulfillment_latency",
+    oracle="""
+    SELECT o.o_orderpriority,
+           count(*) AS n_lineitems,
+           CAST(sum(CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                                   CAST(l.l_shipdate AS DATE))
+                         AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+               AS avg_days_to_ship,
+           CAST(max(date_diff('day', CAST(o.o_orderdate AS DATE),
+                              CAST(l.l_shipdate AS DATE))) AS BIGINT)
+               AS max_days_to_ship
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1
+    """,
+)
+def stream_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfillment latency as a stream: lineitem ships arrive as
+    micro-batches, each joins the static order dim (stream-static
+    broadcast, reference J3 shape), reduces to per-priority partials
+    (count / decimal day-sum / max — all commutative monoids) and
+    merges exactly-once into the stored SLA table; the average is
+    computed at read from the exact partials, so the stored table
+    always equals the batch twin whatever the batch boundaries. Same
+    oracle as `fulfillment_latency`."""
+    import os
+    import tempfile
+
+    from ..streaming.runner import run_foreach_batch, staged_files_dir
+    from ..streaming.sinks import additive_merge_batch
+    from .streaming_queries import _stage_once
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate")
+    in_dir = _stage_once(
+        sf_dir, "fulfillment_lineitem",
+        lambda base: staged_files_dir(li, base, n_files=3,
+                                      order_col="l_orderkey"),
+    )
+    rundir = tempfile.mkdtemp(prefix="rdw_streamq_sla_")
+    table_dir = os.path.join(rundir, "sla")
+
+    days = F.datediff(F.col("l_shipdate").cast("date"),
+                      F.col("o_orderdate").cast("date"))
+
+    def sla_partials(batch: DataFrame) -> DataFrame:
+        return (
+            batch.join(F.broadcast(orders),
+                       batch.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_lineitems"),
+                F.sum(days.cast("decimal(18,2)")).alias("day_sum"),
+                F.max(days).cast("long").alias("max_days_to_ship"),
+            )
+        )
+
+    sdf = (
+        spark.readStream.schema(li.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+        .withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp"))
+    )
+    run_foreach_batch(
+        sdf,
+        additive_merge_batch(
+            table_dir, keys=["o_orderpriority"],
+            sum_cols=["n_lineitems", "day_sum"],
+            prepare=sla_partials,
+            merge_aggs={"max_days_to_ship": F.max},
+        ),
+        checkpoint_dir=os.path.join(rundir, "ck"),
+        output_mode="append",
+    )
+    sla = spark.read.parquet(table_dir)
+    return sla.select(
+        "o_orderpriority", "n_lineitems",
+        (F.col("day_sum").cast("double") / F.col("n_lineitems"))
+        .alias("avg_days_to_ship"),
+        "max_days_to_ship",
+    )
