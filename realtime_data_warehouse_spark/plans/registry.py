@@ -170,4 +170,5 @@ from . import streaming_queries  # noqa: E402,F401
 from . import analytics  # noqa: E402,F401  (round 4 — appended last so earlier rounds' gate order is untouched)
 from . import governance  # noqa: E402,F401  (round 5 — same append-only discipline)
 from . import quantstats  # noqa: E402,F401  (round 5 batch 2)
+from . import classics  # noqa: E402,F401  (round 5 batch 3)
 

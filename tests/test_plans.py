@@ -392,3 +392,67 @@ def test_snapshot_diff_is_one_join_no_second_pass(spark, sf_small):
     plan = physical_plan(QUERIES["snapshot_diff_cdc"](spark, sf_small))
     assert plan.count("SortMergeJoin") == 1 and "FullOuter" in plan
     assert "Union" not in plan
+
+
+def test_waiting_orders_single_fact_scan(spark, sf_small):
+    """waiting_orders_by_supplier (Q21 shape): the EXISTS/NOT-EXISTS
+    correlation must run as stacked windows over ONE evaluation of
+    the joined fact — the naive rollup-self-join plans the lineitem
+    scan twice (once per branch). Exactly one lineitem scan, no
+    fact-side join beyond the orders join, supplier join broadcast."""
+    plan = physical_plan(QUERIES["waiting_orders_by_supplier"](spark, sf_small))
+    assert plan.count("lineitem.parquet") == 1, "fact subtree duplicated"
+    assert "BroadcastHashJoin" in plan
+    import re as _re
+    # two fused window nodes: the (order,supplier)-level max+delegate
+    # share one ordered spec; the per-order sums share the other
+    assert len(_re.findall(r"\bWindow \[", plan)) == 2
+
+
+def test_classics_correlated_rollups_broadcast_back(spark, sf_small):
+    """Q2/Q17 shapes: the correlated-subquery rewrite joins a bounded
+    rollup BACK into the detail side — that join-back must be a
+    broadcast, never a re-shuffle of the detail side."""
+    for name in ("min_cost_regional_supplier", "small_qty_order_revenue"):
+        plan = physical_plan(QUERIES[name](spark, sf_small))
+        assert "BroadcastHashJoin" in plan, f"{name}: rollup join-back not broadcast"
+    # Q17's fact table must be scanned exactly twice (detail + rollup),
+    # never three times (a triple scan would mean the filter re-derives
+    # the rollup per arm).
+    plan17 = physical_plan(QUERIES["small_qty_order_revenue"](spark, sf_small))
+    assert plan17.count("lineitem.parquet") == 2
+
+
+def test_top_supplier_quarter_pushdown_and_bounded_window(spark, sf_small):
+    """Q15 shape: the quarter filter must reach the parquet scan, and
+    the scalar-max window must run over the supplier rollup (AFTER the
+    aggregate), not over raw facts."""
+    plan = physical_plan(QUERIES["top_supplier_quarter"](spark, sf_small))
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate" in plan
+    agg_pos = plan.index("HashAggregate")
+    win_pos = plan.index("Window")
+    assert win_pos < agg_pos or "Window" in plan[:agg_pos] or True  # see below
+    # The window input must be the aggregated rollup: in executedPlan
+    # the Window node sits ABOVE (earlier in the printed tree than)
+    # the HashAggregate that produced total_revenue.
+    assert plan.index("Window") < plan.index("HashAggregate")
+
+
+def test_dormant_customers_no_nested_loop(spark, sf_small):
+    """Q22 shape: the per-nation threshold join must be a broadcast
+    equi-join and the no-recent-orders predicate a LEFT ANTI join —
+    no BroadcastNestedLoopJoin (the scalar-subquery trap) anywhere."""
+    plan = physical_plan(QUERIES["dormant_customers_audit"](spark, sf_small))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_disjunctive_predicate_prunes_part_scan(spark, sf_small):
+    """Q19 shape: the OR-of-conjuncts must push the derivable
+    brand/size envelope into the PART scan (Or(...) in PushedFilters)
+    rather than filtering only after the join."""
+    plan = physical_plan(QUERIES["disjunctive_predicate_revenue"](spark, sf_small))
+    part_scan = [seg for seg in plan.split("FileScan parquet")
+                 if "part.parquet" in seg]
+    assert part_scan and "Or(" in part_scan[0].split("ReadSchema")[0]
