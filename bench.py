@@ -227,6 +227,23 @@ def main() -> None:
             el = round(time.perf_counter() - t0, 3)
             round5_timings[name] = min(round5_timings.get(name, el), el)
 
+    # Warehouse-classic join shapes (round 5 batch 3) — Q2/Q15/Q17/
+    # Q18/Q19/Q21/Q22 patterns; own section, same discipline.
+    CLASSICS = [
+        "min_cost_regional_supplier", "small_qty_order_revenue",
+        "large_volume_customers", "disjunctive_predicate_revenue",
+        "waiting_orders_by_supplier", "dormant_customers_audit",
+        "top_supplier_quarter",
+    ]
+    classics_timings: dict[str, float] = {}
+    for _pass in range(3):
+        for name in CLASSICS:
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite").save()
+            el = round(time.perf_counter() - t0, 3)
+            classics_timings[name] = min(classics_timings.get(name, el), el)
+
     print(json.dumps({
         "metric": "headline_queries_total_runtime",
         "value": round(sum(timings_raw.values()), 3),
@@ -250,6 +267,9 @@ def main() -> None:
         "round5_note": ("round-5 governance/statistics family on the "
                         "as-served layout, min of 3; own section, same "
                         "comparability discipline"),
+        "classics_queries": classics_timings,
+        "classics_note": ("TPC-H Q2/Q15/Q17/Q18/Q19/Q21/Q22 shapes on "
+                          "the as-served layout, min of 3; own section"),
     }))
 
 

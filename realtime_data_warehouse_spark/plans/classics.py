@@ -496,3 +496,92 @@ def top_supplier_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name",
                 F.col("total_revenue").cast("double").alias("total_revenue"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming twin — Q18 as a continuous aggregate
+# ---------------------------------------------------------------------------
+
+@register(
+    "stream_large_volume_customers",
+    oracle="""
+    WITH big AS (
+        SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(12,2))) AS total_qty
+        FROM lineitem GROUP BY 1
+        HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 300
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(b.total_qty AS DOUBLE) AS total_qty
+    FROM big b
+    JOIN orders o   ON b.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def stream_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 as a continuous aggregate: lineitem quantities arrive in
+    micro-batches; each batch reduces to per-order decimal partial
+    sums that merge exactly-once into the stored per-order quantity
+    table (sum is a commutative monoid, so ANY batch split of the
+    lines yields the identical table). The >300 screen plus the
+    orders/customer broadcast enrichment run AT READ — thresholds are
+    not baked into the stored aggregate, so the analyst can re-screen
+    at any cutoff without replaying the stream. Same oracle as the
+    batch twin `large_volume_customers`; the stored table is
+    |orders|-cardinality, the batch-merge cost model documented at
+    streaming/sinks.additive_merge_batch."""
+    import os
+    import tempfile
+
+    from ..streaming.runner import run_foreach_batch, staged_files_dir
+    from ..streaming.sinks import additive_merge_batch
+    from .streaming_queries import _stage_once
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity")
+    in_dir = _stage_once(
+        sf_dir, "q18_lineitem",
+        lambda base: staged_files_dir(li, base, n_files=3,
+                                      order_col="l_orderkey"),
+    )
+    rundir = tempfile.mkdtemp(prefix="rdw_streamq_q18_")
+    table_dir = os.path.join(rundir, "order_qty")
+
+    def qty_partials(batch: DataFrame) -> DataFrame:
+        return (
+            batch.groupBy("l_orderkey")
+            .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+                 .alias("total_qty"))
+        )
+
+    sdf = (
+        spark.readStream.schema(li.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    run_foreach_batch(
+        sdf,
+        additive_merge_batch(
+            table_dir, keys=["l_orderkey"],
+            sum_cols=["total_qty"],
+            prepare=qty_partials,
+        ),
+        checkpoint_dir=os.path.join(rundir, "ck"),
+        output_mode="append",
+    )
+    big = (
+        spark.read.parquet(table_dir)
+        .filter(F.col("total_qty") > 300)
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(big),
+                    F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
+    )

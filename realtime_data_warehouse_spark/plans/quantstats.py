@@ -872,3 +872,124 @@ def stream_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("avg_days_to_ship"),
         "max_days_to_ship",
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-frequency quality scoring (unigram-LM-adjacent signal)
+# ---------------------------------------------------------------------------
+
+@register(
+    "token_rarity_score",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+    ), dfreq AS (
+        SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+    )
+    SELECT t.doc_id,
+           count(*)                                        AS n_tokens,
+           CAST(sum(d.df) AS BIGINT)                       AS sum_df,
+           CAST(sum(CASE WHEN d.df <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                                                           AS n_rare,
+           CAST(sum(CASE WHEN d.df <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(*)                                  AS rarity_ratio,
+           CAST(sum(d.df) AS DOUBLE) / count(*)            AS avg_df
+    FROM toks t JOIN dfreq d ON t.tok = d.tok
+    GROUP BY 1
+    """,
+)
+def token_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency quality scoring — the count-based stand-in for
+    LM-perplexity filtering (docs dominated by corpus-rare tokens are
+    OCR noise / gibberish candidates; docs of only head tokens are
+    boilerplate). Per doc: token count, summed document frequency,
+    rare-token count (df ≤ 2) and the derived ratios.
+
+    100 TB shape: tokens explode map-side; the document-frequency
+    rollup groups the DISTINCT (doc,token) pairs by token — the head
+    tokens ("the") touch every doc but partial aggregation collapses
+    them per-partition before the shuffle, so the hot key moves one
+    partial per task, not one row per occurrence. The vocabulary
+    rollup (≪ corpus; Heaps' law) then BROADCASTS back onto the
+    exploded tokens, and the per-doc rollup shares the doc_id
+    clustering of the explode's source. All ratios are bigint/bigint
+    double divisions — deterministic on every engine, no float
+    aggregation. Zero-token docs drop out (no rows to score) on both
+    engines. Rows-only twin of what a KenLM scorer would run; the
+    count-based signal itself is the oracle-checkable part."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.explode(tokenize("text")).alias("tok"))
+    dfreq = (
+        toks.select("doc_id", "tok").distinct()
+        .groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    )
+    scored = (
+        toks.join(F.broadcast(dfreq), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("df").alias("sum_df"),
+            F.sum((F.col("df") <= 2).cast("long")).alias("n_rare"),
+        )
+    )
+    return scored.select(
+        "doc_id", "n_tokens", "sum_df", "n_rare",
+        (F.col("n_rare").cast("double") / F.col("n_tokens"))
+        .alias("rarity_ratio"),
+        (F.col("sum_df").cast("double") / F.col("n_tokens"))
+        .alias("avg_df"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage report (tokenizer/vocab sizing signal)
+# ---------------------------------------------------------------------------
+
+@register(
+    "vocab_coverage_report",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest({_TOKS}) AS tok FROM documents
+    ), counts AS (
+        SELECT tok, count(*) AS n FROM toks GROUP BY 1
+    ), ranked AS (
+        SELECT tok, n,
+               row_number() OVER (ORDER BY n DESC, tok)          AS rnk,
+               sum(n)      OVER (ORDER BY n DESC, tok)           AS cum_n,
+               sum(n)      OVER ()                               AS total_n
+        FROM counts
+    )
+    SELECT tok, n, rnk,
+           CAST(cum_n AS DOUBLE) / total_n AS cum_share
+    FROM ranked WHERE rnk <= 50
+    """,
+)
+def vocab_coverage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 vocabulary coverage: how much token mass the head of
+    the vocabulary captures — the sizing signal for tokenizer/vocab
+    decisions (and the denominator sanity check before quota-capping
+    head domains). Ranking is tie-broken (count desc, token asc) so
+    the report is deterministic on every engine.
+
+    100 TB shape: occurrence counting is one token-keyed rollup with
+    map-side partials (head tokens collapse per partition, as in
+    token_rarity_score); the ordered cumulative windows then run over
+    the VOCABULARY rollup only — bounded by Heaps' law, never by
+    corpus size. cum_share is bigint/bigint double division."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    counts = (
+        docs.select(F.explode(tokenize("text")).alias("tok"))
+        .groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("tok"))
+    w_all = Window.partitionBy()
+    ranked = counts.select(
+        "tok", "n",
+        F.row_number().over(w).alias("rnk"),
+        F.sum("n").over(w).alias("cum_n"),
+        F.sum("n").over(w_all).alias("total_n"),
+    )
+    return ranked.filter(F.col("rnk") <= 50).select(
+        "tok", "n", "rnk",
+        (F.col("cum_n").cast("double") / F.col("total_n")).alias("cum_share"),
+    )
