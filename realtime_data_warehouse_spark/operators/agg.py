@@ -258,3 +258,177 @@ def gapfill_locf(buckets: DataFrame, bucket_col: str,
         F.when(F.col("__observed").isNull(), 1).otherwise(0).alias("is_gapfilled"),
         *[F.last(c, ignorenulls=True).over(w).alias(c) for c in val_cols],
     )
+
+
+def gapfill_interp(buckets: DataFrame, bucket_col: str,
+                   key_cols: Sequence[str], val_col: str,
+                   step: str = "1 hour") -> DataFrame:
+    """Time-series gap filling by LINEAR INTERPOLATION — the other
+    half of the hypertable `time_bucket_gapfill` pair (`interpolate`
+    next to `locf`): each hole gets the value on the straight line
+    between the surrounding observed buckets; leading/trailing holes
+    (no observation on one side) fall back to the nearest observed
+    value.
+
+    Same scale shape as gapfill_locf: the calendar explode runs on
+    the ROLLUP's cardinality, and the fill is two ordered windows per
+    key (carry the previous observed (index, value) forward, the next
+    one backward) — no self-join of the calendar against the
+    observations. Interpolation weights use the dense calendar ROW
+    NUMBER, not epoch arithmetic, so the weights are small exact
+    integers on any engine and decimal values stay exact until one
+    final double division (hash-stable across engines).
+
+    Interpolation needs the NEXT observation, so this is inherently a
+    batch/lookback verb — the streaming twin of gap filling is LOCF
+    (streaming/stateful.gapfill_locf_stream), which only ever looks
+    back."""
+    keys = list(key_cols)
+    marked = buckets.withColumn("__observed", F.lit(1))
+    bounds = buckets.groupBy(*keys).agg(
+        F.min(bucket_col).alias("__b0"), F.max(bucket_col).alias("__b1")
+    )
+    cal = bounds.select(
+        *keys,
+        F.explode(
+            F.sequence("__b0", "__b1", F.expr(f"interval {step}"))
+        ).alias(bucket_col),
+    )
+    joined = cal.join(marked, [*keys, bucket_col], "left").withColumn(
+        "__rn",
+        F.row_number().over(Window.partitionBy(*keys).orderBy(bucket_col)),
+    )
+    obs = F.when(
+        F.col("__observed").isNotNull() & F.col(val_col).isNotNull(),
+        F.struct(F.col("__rn").alias("rn"), F.col(val_col).alias("v")),
+    )
+    w_prev = (Window.partitionBy(*keys).orderBy("__rn")
+              .rowsBetween(Window.unboundedPreceding, 0))
+    w_next = (Window.partitionBy(*keys).orderBy("__rn")
+              .rowsBetween(0, Window.unboundedFollowing))
+    withnb = joined.select(
+        *keys, bucket_col, "__rn", val_col,
+        F.when(F.col("__observed").isNull(), 1).otherwise(0)
+        .alias("is_gapfilled"),
+        F.last(obs, ignorenulls=True).over(w_prev).alias("__p"),
+        F.first(obs, ignorenulls=True).over(w_next).alias("__n"),
+    )
+    p_rn, p_v = F.col("__p.rn"), F.col("__p.v")
+    n_rn, n_v = F.col("__n.rn"), F.col("__n.v")
+    rn = F.col("__rn")
+    # exact decimal numerator, ONE double division (identical on any
+    # IEEE engine), stabilized by the caller's final decimal cast
+    interp = (
+        (p_v * (n_rn - rn) + n_v * (rn - p_rn)).cast("double")
+        / (n_rn - p_rn).cast("double")
+    )
+    filled = (
+        F.when(F.col("is_gapfilled") == 0, F.col(val_col).cast("double"))
+        .when(F.col("__p").isNull(), n_v.cast("double"))
+        .when(F.col("__n").isNull(), p_v.cast("double"))
+        .otherwise(interp)
+    )
+    return withnb.select(
+        *keys, bucket_col, "is_gapfilled", filled.alias(val_col),
+    )
+
+
+def two_pass_exact_quantile(df: DataFrame, value_col: str, q: float,
+                            keys: Sequence[str] = (),
+                            n_buckets: int = 1024) -> DataFrame:
+    """Exact (discrete, lower-median convention) quantile per group
+    WITHOUT a global sort — the documented escape hatch for huge
+    value domains where the pre-aggregated-cumulative-window plan
+    (weighted_median_price) would still window over too many distinct
+    values.
+
+    Two passes over the data, both shuffle-light:
+      1. one scan → per-(group, equi-width bucket) exact counts
+         (map-side partials; ≤ |groups|·n_buckets rows leave the
+         scan). The driver receives only this bounded histogram —
+         model-parameter-sized, like kmeans_train — and locates each
+         group's target bucket plus the rank remaining inside it.
+      2. one scan → rows of the target buckets only (the filter
+         reuses the IDENTICAL bucket expression, so no float-boundary
+         row can fall between the passes), row_number per group over
+         the bracket (each partition sorts ~n/n_buckets rows), pick
+         the remaining rank. At 100 TB with 1024 buckets the sorted
+         bracket is ~0.1% of the table.
+
+    Rank convention: k = (n+1)//2-style lower quantile —
+    k = ceil(q·n) 1-indexed, matching DuckDB quantile_disc."""
+    import math
+
+    from pyspark.sql import Window
+
+    keys = list(keys)
+    gb = lambda d: d.groupBy(*keys) if keys else d.groupBy()  # noqa: E731
+
+    v = F.col(value_col).cast("double")
+    stats = gb(df).agg(F.min(v).alias("lo"), F.max(v).alias("hi"),
+                       F.count(v).alias("n")).collect()
+    bounds = {tuple(r[k] for k in keys): (r["lo"], r["hi"], r["n"])
+              for r in stats}
+
+    def bucket_expr(lo: float, hi: float):
+        span = (hi - lo) or 1.0
+        return F.least(F.lit(n_buckets - 1),
+                       F.floor((v - F.lit(lo)) / F.lit(span)
+                               * F.lit(n_buckets)).cast("long"))
+
+    # pass 1 — per-group histogram (single scan, bounded output)
+    if keys:
+        bexpr = None
+        for gk, (lo, hi, _n) in bounds.items():
+            cond = None
+            for kcol, kval in zip(keys, gk):
+                c = F.col(kcol) == F.lit(kval)
+                cond = c if cond is None else (cond & c)
+            be = bucket_expr(lo, hi)
+            bexpr = be if bexpr is None else F.when(cond, be).otherwise(bexpr)
+            # build nested whens so each group uses its own bounds
+        bexpr = F.lit(0).cast("long") if bexpr is None else bexpr
+    else:
+        lo, hi, _n = bounds[()]
+        bexpr = bucket_expr(lo, hi)
+    hist = (
+        df.withColumn("__b", bexpr)
+        .groupBy(*keys, "__b").agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    per_group: dict[tuple, list] = {}
+    for r in hist:
+        per_group.setdefault(tuple(r[k] for k in keys), []).append(
+            (r["__b"], r["c"]))
+    targets = {}  # group -> (bucket, remaining_rank)
+    for gk, bl in per_group.items():
+        n = bounds[gk][2]
+        k = max(1, math.ceil(q * n))
+        below = 0
+        for b, c in sorted(bl):
+            if below + c >= k:
+                targets[gk] = (b, k - below)
+                break
+            below += c
+
+    # pass 2 — bracket rows only, bounded per-group sort
+    cond = None
+    rank_expr = F.lit(None).cast("long")
+    for gk, (b, kk) in targets.items():
+        gcond = F.col("__b") == F.lit(b)
+        for kcol, kval in zip(keys, gk):
+            gcond = gcond & (F.col(kcol) == F.lit(kval))
+        cond = gcond if cond is None else (cond | gcond)
+        rank_expr = F.when(gcond, F.lit(kk)).otherwise(rank_expr)
+    bracket = (
+        df.withColumn("__b", bexpr).filter(cond)
+        .withColumn("__target_rank", rank_expr)
+    )
+    w = (Window.partitionBy(*keys) if keys
+         else Window.partitionBy(F.lit(1)))
+    picked = (
+        bracket.withColumn("__rn", F.row_number().over(w.orderBy(v)))
+        .filter(F.col("__rn") == F.col("__target_rank"))
+    )
+    out_cols = [*keys, v.alias(f"{value_col}_q")]
+    return picked.select(*out_cols)

@@ -10,6 +10,7 @@ container, see README "Delta/Iceberg attempts").
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import SparkSession
 
@@ -48,3 +49,124 @@ def optimize_table(spark: SparkSession, table_dir: str,
     df.write.mode("overwrite").parquet(tmp)
     _swap_in(tmp, table_dir)
     return n_files
+
+
+def _morton_interleave(bucket_cols, bits: int):
+    """Bit-interleave N bucket-index columns into one Morton (Z-curve)
+    code, as a pure JVM expression tree (codegen'd — no UDF). Bucket
+    indexes must fit in `bits` bits each."""
+    from pyspark.sql import functions as F
+
+    z = F.lit(0).cast("long")
+    n = len(bucket_cols)
+    for b in range(bits):
+        for i, c in enumerate(bucket_cols):
+            bit = F.shiftright(c.cast("long"), b).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, b * n + i))
+    return z
+
+
+def zorder_table(spark: SparkSession, table_dir: str, cols: list[str],
+                 target_file_bytes: int = 128 * 1024 * 1024,
+                 bits_per_col: int = 12) -> int:
+    """Re-cluster a parquet table along a Z-order (Morton) curve over
+    `cols` — the multi-dimensional OPTIMIZE: after it, a range/point
+    predicate on ANY clustered column touches only the few files and
+    row groups whose min/max stats intersect it, instead of every
+    file (single-column sort gives that pruning for the lead column
+    only and destroys it for the rest).
+
+    Plan shape: one min/max agg per column (tiny driver fetch, the
+    only driver-side data), then a map-side equi-width bucket index
+    per column, the interleave as a codegen'd bit expression, and ONE
+    range-partitioned sorted write — the same single-shuffle cost as
+    a plain sort, so Z-ordering is never more expensive than ORDER BY.
+    Equi-width bucketing keeps the pass one-scan; for heavily skewed
+    columns swap the bucket step for approxQuantile boundaries (same
+    interleave), noted rather than defaulted because the extra
+    quantile pass doubles scan cost.
+
+    Crash-safe via the same rename-aside swap as optimize_table.
+    Returns the number of output files."""
+    from pyspark.sql import functions as F
+
+    _recover_table(table_dir)
+    df = spark.read.parquet(table_dir)
+    n_files = max(1, -(-table_bytes(table_dir) // target_file_bytes))
+    nbuckets = (1 << bits_per_col) - 1
+    bounds = df.agg(*[f(c).alias(f"{f.__name__}_{c}")
+                      for c in cols for f in (F.min, F.max)]).first()
+    bucketed = []
+    for c in cols:
+        lo = float(bounds[f"min_{c}"])
+        hi = float(bounds[f"max_{c}"])
+        span = (hi - lo) or 1.0
+        idx = F.least(
+            F.lit(nbuckets),
+            F.floor((F.col(c).cast("double") - F.lit(lo))
+                    / F.lit(span) * F.lit(nbuckets)).cast("long"),
+        )
+        bucketed.append(idx)
+    zval = _morton_interleave(bucketed, bits_per_col)
+    tmp = table_dir.rstrip("/") + ".__new__"
+    (df.withColumn("__z", zval)
+       .repartitionByRange(n_files, "__z")
+       .sortWithinPartitions("__z")
+       .drop("__z")
+       .write.mode("overwrite").parquet(tmp))
+    _swap_in(tmp, table_dir)
+    return n_files
+
+
+def snapshot_table(table_dir: str, tag: str) -> str:
+    """Zero-copy snapshot of a parquet table directory: hardlink every
+    data file into a sibling ``.__snap_<tag>__`` dir — the poor-man's
+    form of Delta/Iceberg time travel (a snapshot is a manifest of
+    immutable files; hardlinks are the local-FS equivalent). O(files)
+    metadata work, zero data bytes copied, and because every writer in
+    this repo replaces files via whole-directory rename-aside swaps
+    (never in-place appends), the linked files are immutable — the
+    snapshot stays consistent while the live table moves on.
+
+    Returns the snapshot directory (readable with spark.read.parquet).
+    At 100 TB the same verb is one manifest commit; here it is one
+    directory of links — reproducibility pins (what exact corpus did
+    this training run read?) and pre-destructive-merge guards cost
+    nothing either way."""
+    snap = table_dir.rstrip("/") + f".__snap_{tag}__"
+    if os.path.exists(snap):
+        raise ValueError(f"snapshot tag exists: {tag}")
+    os.makedirs(snap)
+    for f in os.listdir(table_dir):
+        src = os.path.join(table_dir, f)
+        if os.path.isfile(src):
+            os.link(src, os.path.join(snap, f))
+    return snap
+
+
+def restore_snapshot(table_dir: str, tag: str) -> None:
+    """Roll the live table back to a snapshot (crash-safe: the swap is
+    the same rename-aside protocol the streaming sinks use, so an
+    intact copy exists at every step). The snapshot itself survives
+    the restore and can be restored again."""
+    snap = table_dir.rstrip("/") + f".__snap_{tag}__"
+    if not os.path.exists(snap):
+        raise ValueError(f"no such snapshot: {tag}")
+    _recover_table(table_dir)
+    tmp = table_dir.rstrip("/") + ".__new__"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(tmp)
+    for f in os.listdir(snap):
+        os.link(os.path.join(snap, f), os.path.join(tmp, f))
+    _swap_in(tmp, table_dir)
+
+
+def list_snapshots(table_dir: str) -> list[str]:
+    base = os.path.basename(table_dir.rstrip("/"))
+    parent = os.path.dirname(table_dir.rstrip("/")) or "."
+    tags = []
+    for d in os.listdir(parent):
+        if d.startswith(base + ".__snap_") and d.endswith("__"):
+            tags.append(d[len(base) + len(".__snap_"):-2])
+    return sorted(tags)

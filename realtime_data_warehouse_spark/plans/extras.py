@@ -998,6 +998,84 @@ def gapfill_hourly_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "gapfill_hourly_interp",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS bucket,
+               SUM(CAST(value AS DECIMAL(18,2))) AS value_sum
+        FROM events WHERE value > 90 GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT event_type, min(bucket) AS b0, max(bucket) AS b1
+        FROM hourly GROUP BY 1
+    ),
+    cal AS (
+        SELECT b.event_type,
+               unnest(generate_series(b.b0, b.b1, INTERVAL 1 HOUR)) AS bucket
+        FROM bounds b
+    ),
+    j AS (
+        SELECT c.event_type, c.bucket,
+               row_number() OVER (
+                   PARTITION BY c.event_type ORDER BY c.bucket) AS rn,
+               h.value_sum,
+               CASE WHEN h.value_sum IS NULL THEN 1 ELSE 0 END AS is_gapfilled
+        FROM cal c LEFT JOIN hourly h USING (event_type, bucket)
+    ),
+    f AS (
+        SELECT *,
+               last_value(CASE WHEN is_gapfilled = 0 THEN
+                   struct_pack(rn := rn, v := value_sum) END IGNORE NULLS)
+                 OVER (PARTITION BY event_type ORDER BY rn
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+               first_value(CASE WHEN is_gapfilled = 0 THEN
+                   struct_pack(rn := rn, v := value_sum) END IGNORE NULLS)
+                 OVER (PARTITION BY event_type ORDER BY rn
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nx
+        FROM j
+    )
+    SELECT event_type,
+           strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+           is_gapfilled,
+           CAST(CAST(CASE
+               WHEN is_gapfilled = 0 THEN CAST(value_sum AS DOUBLE)
+               WHEN p IS NULL THEN CAST(nx.v AS DOUBLE)
+               WHEN nx IS NULL THEN CAST(p.v AS DOUBLE)
+               ELSE CAST(p.v * (nx.rn - rn) + nx.v * (rn - p.rn) AS DOUBLE)
+                    / CAST(nx.rn - p.rn AS DOUBLE)
+           END AS DECIMAL(18,6)) AS DOUBLE) AS value_interp
+    FROM f
+    """,
+)
+def gapfill_hourly_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly rollup with LINEAR INTERPOLATION
+    (operators/agg.gapfill_interp) — the `interpolate` half of the
+    hypertable time_bucket_gapfill pair, next to the LOCF form above.
+    Holes get the straight-line value between the surrounding observed
+    buckets (leading/trailing holes take the nearest observation).
+    Interpolation weights are dense-calendar row numbers — small exact
+    integers — so decimal sums stay exact until one final double
+    division, stabilized through DECIMAL(18,6) on both engines."""
+    from ..operators.agg import gapfill_interp
+
+    events = load_table(spark, sf_dir, "events")
+    hourly = (
+        events.filter(F.col("value") > 90)
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("value_sum"))
+    )
+    filled = gapfill_interp(hourly, "bucket", ["event_type"], "value_sum",
+                            step="1 hour")
+    return filled.select(
+        "event_type",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "is_gapfilled",
+        F.col("value_sum").cast("decimal(18,6)").cast("double")
+        .alias("value_interp"),
+    )
+
+
+@register(
     "late_dim_audit",
     oracle="""
     SELECT 'lineitem->orders' AS fk_edge,

@@ -993,3 +993,39 @@ def vocab_coverage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tok", "n", "rnk",
         (F.col("cum_n").cast("double") / F.col("total_n")).alias("cum_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact quantile without a global sort (two-pass histogram bracket)
+# ---------------------------------------------------------------------------
+
+@register(
+    "exact_median_price_two_pass",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_disc(l_extendedprice, 0.5) AS median_price
+    FROM lineitem GROUP BY 1
+    """,
+)
+def exact_median_price_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group median of a high-cardinality value column via
+    operators/agg.two_pass_exact_quantile — the 100 TB exact-quantile
+    plan: pass 1 builds a bounded per-(group, bucket) histogram (one
+    scan, map-side partials; the driver sees ≤ groups·1024 rows —
+    model-parameter sized); pass 2 sorts ONLY each group's target
+    bucket (~0.1% of rows at 1024 buckets) and row_numbers to the
+    remaining rank. No global sort, no full-table window, and the
+    bracket filter reuses the identical bucket expression so no
+    float-boundary row migrates between passes. Complements
+    weighted_median_price (distinct-value cumulative window) and
+    percentile_revenue (approx sketch): three quantile strategies for
+    three data shapes."""
+    from ..operators.agg import two_pass_exact_quantile
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = two_pass_exact_quantile(li, "l_extendedprice", 0.5,
+                                  keys=["l_returnflag"])
+    return out.select(
+        "l_returnflag",
+        F.col("l_extendedprice_q").alias("median_price"),
+    )

@@ -292,3 +292,168 @@ def test_optimize_table_preserves_rows_and_compacts(spark, tmp_path):
     assert n_after == 1
     after = {(r.id, r.v) for r in spark.read.parquet(tdir).collect()}
     assert after == before
+
+
+def test_zorder_table_prunes_on_both_columns(spark, tmp_path):
+    """operators/maintenance.zorder_table: after Z-ordering on (x, y),
+    a range predicate on EITHER column must be satisfiable from a
+    strict subset of row groups (min/max stats intersect), whereas the
+    single-column sorted layout keeps pruning only for its lead
+    column. Content must be preserved exactly."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from realtime_data_warehouse_spark.operators.maintenance import zorder_table
+
+    # two independent uniform dimensions
+    n = 200_000
+    base = spark.range(0, n).select(
+        (F.col("id") % 447).alias("x"),
+        ((F.col("id") * 7919) % 1000).alias("y"),
+        F.col("id").alias("payload"),
+    )
+
+    def candidate_row_groups(table_dir, col, lo, hi):
+        total, hit = 0, 0
+        for f in glob.glob(f"{table_dir}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.to_arrow_schema().get_field_index(col)
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                total += 1
+                if st.min <= hi and st.max >= lo:
+                    hit += 1
+        return hit, total
+
+    # baseline: sorted by x only (classic lead-column layout)
+    lin = str(tmp_path / "linear")
+    base.repartitionByRange(8, "x").sortWithinPartitions("x") \
+        .write.parquet(lin)
+    # z-ordered on (x, y)
+    zd = str(tmp_path / "zorder")
+    base.write.parquet(zd)
+    zorder_table(spark, zd, ["x", "y"], target_file_bytes=1, bits_per_col=8)
+
+    before = {(r.x, r.y, r.payload) for r in base.collect()}
+    after = {(r.x, r.y, r.payload) for r in spark.read.parquet(zd).collect()}
+    assert after == before
+
+    # y-predicate: linear layout cannot prune (every row group spans
+    # all of y); z-order must prune a majority of row groups
+    y_hit_lin, y_tot_lin = candidate_row_groups(lin, "y", 100, 120)
+    y_hit_z, y_tot_z = candidate_row_groups(zd, "y", 100, 120)
+    assert y_hit_lin == y_tot_lin, "sanity: lead-column sort spans all y"
+    assert y_hit_z / y_tot_z < 0.5, (
+        f"z-order failed to localize y: {y_hit_z}/{y_tot_z}"
+    )
+    # x-predicate must STILL prune after z-ordering
+    x_hit_z, x_tot_z = candidate_row_groups(zd, "x", 100, 120)
+    assert x_hit_z / x_tot_z < 0.5, (
+        f"z-order lost x locality: {x_hit_z}/{x_tot_z}"
+    )
+
+
+def test_snapshot_restore_roundtrip_through_merges(spark, tmp_path):
+    """maintenance.snapshot_table / restore_snapshot: a snapshot taken
+    before destructive merges reads back the pinned state (zero-copy
+    hardlinks stay consistent because writers swap whole directories),
+    and restore rolls the live table back crash-safely."""
+    from pyspark.sql import functions as F
+
+    from realtime_data_warehouse_spark.operators.maintenance import (
+        list_snapshots,
+        restore_snapshot,
+        snapshot_table,
+    )
+    from realtime_data_warehouse_spark.streaming.sinks import _atomic_overwrite
+
+    tdir = str(tmp_path / "t")
+    spark.range(0, 100).withColumn("v", F.col("id") * 2).write.parquet(tdir)
+    v1 = {(r.id, r.v) for r in spark.read.parquet(tdir).collect()}
+
+    snap = snapshot_table(tdir, "before_merge")
+    # destructive rewrite of the live table (the merge-sink path)
+    _atomic_overwrite(
+        spark.range(0, 10).withColumn("v", F.lit(-1).cast("long")), tdir)
+    assert {r.v for r in spark.read.parquet(tdir).collect()} == {-1}
+    # snapshot still reads the pinned state
+    assert {(r.id, r.v) for r in spark.read.parquet(snap).collect()} == v1
+    assert list_snapshots(tdir) == ["before_merge"]
+
+    restore_snapshot(tdir, "before_merge")
+    assert {(r.id, r.v) for r in spark.read.parquet(tdir).collect()} == v1
+    # snapshot survives the restore
+    assert list_snapshots(tdir) == ["before_merge"]
+
+
+def test_two_pass_exact_quantile_matches_sort(spark):
+    """two_pass_exact_quantile == the k-th smallest by full sort, for
+    grouped and global cases, across duplicate-heavy and skewed
+    distributions (bucket-boundary duplicates must not migrate
+    between the histogram pass and the bracket pass)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from realtime_data_warehouse_spark.operators.agg import (
+        two_pass_exact_quantile,
+    )
+
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        # lots of exact duplicates + a skewed tail
+        F.when(F.col("id") % 7 == 0, F.lit(42.0))
+        .otherwise((F.col("id") % 997).cast("double") * 1.5).alias("x"),
+    )
+    rows = df.collect()
+    for q in (0.5, 0.9):
+        got = {
+            r["g"]: r["x_q"]
+            for r in two_pass_exact_quantile(
+                df, "x", q, keys=["g"], n_buckets=32).collect()
+        }
+        for g in ("0", "1", "2"):
+            vals = sorted(r.x for r in rows if r.g == g)
+            k = max(1, math.ceil(q * len(vals)))
+            assert got[g] == vals[k - 1], (g, q)
+        # global (no keys)
+        allv = sorted(r.x for r in rows)
+        k = max(1, math.ceil(q * len(allv)))
+        gotg = two_pass_exact_quantile(df, "x", q, n_buckets=32).collect()
+        assert gotg[0]["x_q"] == allv[k - 1]
+
+
+def test_gapfill_interp_linear_and_edge_fallback(spark):
+    """gapfill_interp: interior holes get the straight-line value
+    between surrounding observations (multi-bucket gaps included),
+    leading/trailing holes take the nearest observation, and observed
+    buckets pass through untouched with is_gapfilled=0."""
+    from pyspark.sql import functions as F
+
+    from realtime_data_warehouse_spark.operators.agg import gapfill_interp
+
+    rows = [
+        # key a: observed hours 1, 4, 5 of 1970-01-01 → holes at 2, 3
+        ("a", "1970-01-01 01:00:00", 10.0),
+        ("a", "1970-01-01 04:00:00", 40.0),
+        ("a", "1970-01-01 05:00:00", 0.0),
+        # key b: single observation → calendar is just that bucket
+        ("b", "1970-01-01 02:00:00", 7.0),
+    ]
+    buckets = spark.createDataFrame(rows, ["k", "bucket", "v"]).select(
+        "k", F.to_timestamp("bucket").alias("bucket"),
+        F.col("v").cast("decimal(18,2)").alias("v"))
+    out = {
+        (r.k, r.bucket.hour): (r.is_gapfilled, float(r.v))
+        for r in gapfill_interp(buckets, "bucket", ["k"], "v").collect()
+    }
+    assert out == {
+        ("a", 1): (0, 10.0),
+        ("a", 2): (1, 20.0),   # 10 + (40-10)*1/3
+        ("a", 3): (1, 30.0),
+        ("a", 4): (0, 40.0),
+        ("a", 5): (0, 0.0),
+        ("b", 2): (0, 7.0),
+    }

@@ -456,3 +456,50 @@ def test_disjunctive_predicate_prunes_part_scan(spark, sf_small):
     part_scan = [seg for seg in plan.split("FileScan parquet")
                  if "part.parquet" in seg]
     assert part_scan and "Or(" in part_scan[0].split("ReadSchema")[0]
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark, sf_small):
+    """100 TB path: when the dim side of a shuffle join carries a
+    selective filter and is too big to broadcast, Spark must inject a
+    runtime BLOOM FILTER built from the filtered dim keys into the
+    fact-side scan (semi-join reduction — the fact rows that cannot
+    match die before the shuffle). Local-scale sizes disqualify the
+    rewrite by default, so the size thresholds are scaled down to
+    let the optimizer face the decision; the assertion is on the
+    PLAN, which is size-independent once eligible."""
+    from pyspark.sql import functions as F
+
+    keys = ("spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+    saved = {}
+    for k in keys:
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold", "0")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "creationSideThreshold", "100MB")
+        li = load_table(spark, sf_small, "lineitem")
+        orders = load_table(spark, sf_small, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT")
+        j = (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+             .groupBy("o_orderpriority").count())
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in opt, "runtime bloom filter not injected"
+        # and the reduction must sit on the FACT side (filters lineitem)
+        assert "bloom_filter_agg" in opt
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
