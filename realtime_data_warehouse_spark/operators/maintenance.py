@@ -170,3 +170,97 @@ def list_snapshots(table_dir: str) -> list[str]:
         if d.startswith(base + ".__snap_") and d.endswith("__"):
             tags.append(d[len(base) + len(".__snap_"):-2])
     return sorted(tags)
+
+
+def build_file_stats_index(spark: SparkSession, table_dir: str,
+                           col: str) -> str:
+    """Build a file-level min/max manifest for one column — the
+    Iceberg/Delta data-skipping index: a tiny table with one row per
+    data file `(path, num_rows, min_val, max_val)`. `pruned_scan`
+    consults it to drop whole FILES before Spark even lists or opens
+    them — one level above parquet row-group pruning (which still
+    costs a footer read per file; at 100 TB with millions of files,
+    footer reads alone are a job). Pairs with `zorder_table` /
+    `optimize_table`: re-cluster first, then files have tight
+    disjoint ranges and the manifest prunes hard.
+
+    Footer stats are gathered by a DISTRIBUTED mapInPandas job over
+    the file list (executors read only parquet metadata via pyarrow —
+    no data pages), so index build is O(files) metadata work spread
+    over the cluster, never a driver loop. The manifest itself is
+    parquet at `<table>.__stats_<col>__`, rebuilt atomically via the
+    same rename-aside swap as every writer here."""
+    import pandas as pd
+    from pyspark.sql import functions as F  # noqa: F401
+
+    files = sorted(
+        os.path.join(table_dir, f) for f in os.listdir(table_dir)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )
+    if not files:
+        raise ValueError(f"no parquet files under {table_dir}")
+
+    def footer_stats(batches):
+        import pyarrow.parquet as pq
+        for pdf in batches:
+            out = []
+            for path in pdf["path"]:
+                md = pq.ParquetFile(path).metadata
+                idx = {md.schema.column(i).name: i
+                       for i in range(md.num_columns)}[col]
+                mins, maxs, rows = [], [], 0
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx).statistics
+                    rows += md.row_group(rg).num_rows
+                    if st is not None and st.has_min_max:
+                        mins.append(st.min)
+                        maxs.append(st.max)
+                out.append((path, rows,
+                            min(mins) if mins else None,
+                            max(maxs) if maxs else None))
+            yield pd.DataFrame(
+                out, columns=["path", "num_rows", "min_val", "max_val"])
+
+    sample = spark.read.parquet(table_dir).schema[col].dataType.simpleString()
+    schema = (f"path string, num_rows long, "
+              f"min_val {sample}, max_val {sample}")
+    stats = (
+        spark.createDataFrame([(p,) for p in files], "path string")
+        .repartition(min(len(files), 64))
+        .mapInPandas(footer_stats, schema=schema)
+    )
+    idx_dir = table_dir.rstrip("/") + f".__stats_{col}__"
+    tmp = idx_dir + ".__new__"
+    stats.coalesce(1).write.mode("overwrite").parquet(tmp)
+    if os.path.exists(idx_dir):
+        shutil.rmtree(idx_dir)
+    os.replace(tmp, idx_dir)
+    return idx_dir
+
+
+def pruned_scan(spark: SparkSession, table_dir: str, col: str,
+                lo, hi) -> "DataFrame":
+    """Manifest-pruned read: keep only the files whose [min,max]
+    envelope intersects [lo, hi], then scan just those (the residual
+    filter still applies row-by-row — the manifest is an upper-bound
+    prune, exactly like an Iceberg manifest evaluation). Files with
+    no stats for the column are conservatively kept. The matched file
+    list is manifest-sized driver data (same class as a catalog's
+    partition listing), not table data."""
+    from pyspark.sql import functions as F
+
+    idx_dir = table_dir.rstrip("/") + f".__stats_{col}__"
+    if not os.path.exists(idx_dir):
+        raise ValueError(f"no stats index for {col}; run "
+                         f"build_file_stats_index first")
+    idx = spark.read.parquet(idx_dir)
+    keep = [
+        r.path for r in idx.filter(
+            F.col("min_val").isNull()
+            | ((F.col("max_val") >= F.lit(lo)) & (F.col("min_val") <= F.lit(hi)))
+        ).select("path").collect()
+    ]
+    pred = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
+    if not keep:
+        return spark.read.parquet(table_dir).filter(pred).limit(0)
+    return spark.read.parquet(*keep).filter(pred)

@@ -824,3 +824,82 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("group_size"))
         .filter(F.col("group_size") < 5)
     )
+
+
+# ---------------------------------------------------------------------------
+# Iterative graph analytics — damped PageRank (operators/graph.py)
+# ---------------------------------------------------------------------------
+
+#: one oracle iteration: contributions join-agg, then the damped
+#: update — textually identical recurrence to operators/graph.pagerank
+_PR_ITER = """
+{out} AS (
+    SELECT n2.node,
+           CAST((CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / p.n
+                + CAST(COALESCE(s.s, 0) AS DOUBLE) AS DECIMAL(18,12)) AS rank
+    FROM nodes n2 CROSS JOIN params p
+    LEFT JOIN (
+        SELECT e.dst,
+               SUM(CAST(CAST(r.rank AS DOUBLE) * CAST(0.85 AS DOUBLE)
+                        / CAST(od.od AS DOUBLE) AS DECIMAL(18,12))) AS s
+        FROM edges e
+        JOIN {src} r ON e.src = r.node
+        JOIN outdeg od ON e.src = od.src
+        GROUP BY e.dst
+    ) s ON s.dst = n2.node
+)"""
+
+
+@register(
+    "pagerank_bipartite_3iter",
+    oracle="""
+    WITH pairs AS (
+        SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+                        's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    edges AS (
+        SELECT src, dst FROM pairs
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    params AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+    outdeg AS (SELECT src, count(*) AS od FROM edges GROUP BY 1),
+    r0 AS (
+        SELECT node, CAST(CAST(1 AS DOUBLE) / p.n AS DECIMAL(18,12)) AS rank
+        FROM nodes CROSS JOIN params p
+    ),""" + _PR_ITER.format(out="r1", src="r0") + ","
+           + _PR_ITER.format(out="r2", src="r1") + ","
+           + _PR_ITER.format(out="r3", src="r2") + """
+    SELECT node, CAST(rank AS DOUBLE) AS rank FROM r3
+    """,
+)
+def pagerank_bipartite_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped PageRank (3 fixed iterations) over the symmetric
+    customer↔supplier trade graph — who are the structurally central
+    parties in the order flow. Fixed iteration count keeps the oracle
+    replayable (same policy as dedup_clusters); quantized-decimal
+    ranks make every per-iteration sum exact and order-independent,
+    so both engines land on identical values (operators/graph.py).
+    Each iteration is the two-shuffle Pregel super-step: edge-key
+    equi-join, then map-side-combined sum by destination."""
+    from ..operators.graph import pagerank
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+            .alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+            .alias("dst"),
+        )
+        .distinct()
+    )
+    edges = pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    ranks = pagerank(edges, iterations=3, damping=0.85)
+    return ranks.select("node", F.col("rank").cast("double").alias("rank"))

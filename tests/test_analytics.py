@@ -90,3 +90,22 @@ def test_passage_dedup_duplicated_doc_flags_all_passages(spark, sf_small, tmp_pa
     assert out[999999].dup_ratio == 1.0
     assert out[0].dup_ratio == 1.0
     assert out[999999].n_passages == out[0].n_passages
+
+
+def test_pagerank_mass_conserved_and_degree_ordered(spark):
+    """On a symmetric graph (no dangling sinks) total PageRank mass
+    stays ≈ 1 through every iteration (only quantization dust leaks),
+    and a hub with strictly more distinct in-neighbors outranks a
+    leaf."""
+    from realtime_data_warehouse_spark.operators.graph import pagerank
+
+    # star: hub h connected to 4 leaves, plus an isolated pair x-y
+    undirected = [("h", f"l{i}") for i in range(4)] + [("x", "y")]
+    edges = spark.createDataFrame(
+        undirected + [(b, a) for a, b in undirected], ["src", "dst"])
+    out = {r.node: float(r.rank)
+           for r in pagerank(edges, iterations=5).collect()}
+    assert abs(sum(out.values()) - 1.0) < 1e-6
+    assert out["h"] > out["l0"] and out["h"] > out["x"]
+    # leaves are symmetric → identical ranks
+    assert len({out[f"l{i}"] for i in range(4)}) == 1

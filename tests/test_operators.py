@@ -457,3 +457,40 @@ def test_gapfill_interp_linear_and_edge_fallback(spark):
         ("a", 5): (0, 0.0),
         ("b", 2): (0, 7.0),
     }
+
+
+def test_file_stats_index_prunes_files(spark, sf_small, tmp_path):
+    """Manifest-level data skipping: after range-clustering orders by
+    o_orderkey into several files, a narrow key-range pruned_scan must
+    (a) read strictly fewer files than the table has and (b) return
+    exactly the rows a full-scan filter returns."""
+    from pyspark.sql import functions as F
+
+    from realtime_data_warehouse_spark.operators.maintenance import (
+        build_file_stats_index, pruned_scan)
+    from realtime_data_warehouse_spark.sources.batch import load_table
+
+    tdir = str(tmp_path / "orders_clustered")
+    (load_table(spark, sf_small, "orders")
+     .repartitionByRange(8, "o_orderkey")
+     .sortWithinPartitions("o_orderkey")
+     .write.parquet(tdir))
+    idx_dir = build_file_stats_index(spark, tdir, "o_orderkey")
+    idx = {r.path: (r.min_val, r.max_val)
+           for r in spark.read.parquet(idx_dir).collect()}
+    n_files = len(idx)
+    assert n_files == 8 and all(v[0] is not None for v in idx.values())
+
+    lo, hi = 100, 900
+    got = pruned_scan(spark, tdir, "o_orderkey", lo, hi)
+    # strictly fewer files in the pruned scan's input
+    scanned = {f for f in got.inputFiles()}
+    assert 0 < len(scanned) < n_files
+    want = (spark.read.parquet(tdir)
+            .filter(F.col("o_orderkey").between(lo, hi)))
+    assert sorted(r.o_orderkey for r in got.collect()) == \
+        sorted(r.o_orderkey for r in want.collect())
+
+    # empty-intersection range → empty result, zero data files touched
+    none = pruned_scan(spark, tdir, "o_orderkey", -50, -10)
+    assert none.count() == 0
