@@ -903,3 +903,84 @@ def pagerank_bipartite_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist()
     ranks = pagerank(edges, iterations=3, damping=0.85)
     return ranks.select("node", F.col("rank").cast("double").alias("rank"))
+
+
+# ---------------------------------------------------------------------------
+# Marketing attribution — first-touch / last-touch credit assignment
+# ---------------------------------------------------------------------------
+
+@register(
+    "touch_attribution",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id, event_type,
+               CAST(value AS DECIMAL(18,2)) AS value,
+               CASE WHEN event_type IN ('view', 'click')
+                    THEN event_type END AS touch
+        FROM events
+    ),
+    enriched AS (
+        SELECT *,
+               first_value(touch IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS first_touch,
+               last_value(touch IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS last_touch
+        FROM ordered
+    ),
+    conv AS (SELECT * FROM enriched WHERE event_type = 'purchase'),
+    both_models AS (
+        SELECT COALESCE(first_touch, 'none') AS channel,
+               'first_touch' AS model, value FROM conv
+        UNION ALL
+        SELECT COALESCE(last_touch, 'none'), 'last_touch', value FROM conv
+    )
+    SELECT channel, model,
+           CAST(count(*) AS BIGINT) AS conversions,
+           CAST(SUM(value) AS DOUBLE) AS attributed_revenue
+    FROM both_models GROUP BY 1, 2
+    """,
+)
+def touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch vs last-touch marketing attribution in ONE event
+    scan: per-user ordered windows carry the earliest and the most
+    recent prior touch (view/click) up to each event, purchases read
+    both off the window, and an in-row explode unpivots the two
+    models before one bounded group-by — no self-join of conversions
+    against touch history (the naive plan is O(purchases × touches)
+    per user; this is O(events log events) within each user
+    partition). Purchases with no prior touch credit 'none'.
+    Deterministic tie order: (ts, event_id)."""
+    ev = load_table(spark, sf_dir, "events")
+    touch = F.when(F.col("event_type").isin("view", "click"),
+                   F.col("event_type"))
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    conv = (
+        ev.select(
+            "user_id", "ts", "event_id", "event_type",
+            F.col("value").cast("decimal(18,2)").alias("value"),
+            touch.alias("touch"),
+        )
+        .withColumn("first_touch", F.first("touch", ignorenulls=True).over(w))
+        .withColumn("last_touch", F.last("touch", ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+    )
+    models = conv.select(
+        F.explode(F.array(
+            F.struct(F.coalesce("first_touch", F.lit("none")).alias("channel"),
+                     F.lit("first_touch").alias("model")),
+            F.struct(F.coalesce("last_touch", F.lit("none")).alias("channel"),
+                     F.lit("last_touch").alias("model")),
+        )).alias("m"),
+        "value",
+    )
+    return (
+        models.groupBy(F.col("m.channel").alias("channel"),
+                       F.col("m.model").alias("model"))
+        .agg(F.count(F.lit(1)).alias("conversions"),
+             F.sum("value").cast("double").alias("attributed_revenue"))
+    )

@@ -759,6 +759,73 @@ def incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mv_rollup_rewrite",
+    oracle="""
+    SELECT l_returnflag,
+           strftime(date_trunc('month', l_shipdate), '%Y-%m')    AS month,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(1 - l_discount AS DECIMAL(3,2))) AS DOUBLE)
+               AS revenue,
+           CAST(count(*) AS BIGINT)                              AS order_ct,
+           -- avg at 6 decimals, rounded HALF-UP in pure integer math:
+           -- a double→decimal cast would tie-break differently across
+           -- engines when sum/count lands exactly on a .5 grid point
+           CAST((2 * CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                              * CAST(1 - l_discount AS DECIMAL(3,2)))
+                          * 1000000 AS BIGINT) + count(*))
+                // (2 * count(*)) AS DOUBLE)
+               / CAST(1000000 AS DOUBLE)                         AS avg_revenue
+    FROM lineitem GROUP BY 1, 2
+    """,
+)
+def mv_rollup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-navigator rewrite: a MONTHLY revenue query answered
+    entirely FROM the daily materialized view — never the fact table.
+    The daily MV keeps additive partials (decimal sum, count); the
+    monthly rollup re-aggregates those partials and derives avg from
+    merged sum/count, so the coarser grain is exact — the oracle
+    computes monthly straight from the facts and the hash gate proves
+    MV-answered == fact-answered bit-for-bit. This is the query-
+    rewrite contract every MV system (Calcite, Druid, continuous
+    aggregates) relies on: at 100 TB the second aggregation reads
+    O(days × keys) MV rows, not O(facts) — here both stages appear in
+    one plan only because the MV is built inline; in production the
+    daily stage IS the stored table that incremental_agg_refresh
+    (above) maintains. Derivability rule: only additive partials
+    (sum, count) live in the MV; avg is derived AFTER the merge —
+    storing avg itself would make the rollup inexact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = (F.lit(1) - F.col("l_discount")).cast("decimal(3,2)")
+    daily_mv = (
+        li.groupBy("l_returnflag",
+                   F.date_trunc("day", "l_shipdate").alias("day"))
+        .agg(F.sum(price * disc).alias("rev_dec"),
+             F.count(F.lit(1)).alias("order_ct"))
+    )
+    monthly = (
+        daily_mv.groupBy(
+            "l_returnflag",
+            F.date_format(F.date_trunc("month", "day"), "yyyy-MM")
+            .alias("month"))
+        .agg(F.sum("rev_dec").alias("rev_dec"),
+             F.sum("order_ct").alias("order_ct"))
+    )
+    # half-up rounding to the 1e-6 grid in pure integer math — a
+    # double→decimal cast ties differently across engines when the
+    # quotient lands exactly on a .5 grid point (it does at sf0.001)
+    n_micro = (F.col("rev_dec") * 1000000).cast("long")
+    q = F.expr("(2 * __n + order_ct) div (2 * order_ct)")
+    return monthly.withColumn("__n", n_micro).select(
+        "l_returnflag", "month",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        "order_ct",
+        (q.cast("double") / F.lit(1000000).cast("double"))
+        .alias("avg_revenue"),
+    )
+
+
+@register(
     "sliding_traffic_window",
     oracle="""
     SELECT strftime(ws, '%Y-%m-%d %H:%M:%S')                    AS stt,
