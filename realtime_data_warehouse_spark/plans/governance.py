@@ -496,3 +496,73 @@ def stream_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("in_a") * F.col("in_b")) / F.count(F.lit(1)), 6
         ).alias("jaccard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Declarative data-quality expectations (operators/quality.py)
+# ---------------------------------------------------------------------------
+
+@register(
+    "dq_orders_expectations",
+    oracle="""
+    SELECT 'positive_totalprice' AS check_name,
+           CAST(SUM(CASE WHEN NOT COALESCE(o_totalprice > 0, FALSE)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM orders
+    UNION ALL
+    SELECT 'status_domain',
+           CAST(SUM(CASE WHEN NOT COALESCE(o_orderstatus IN ('O', 'F'),
+                                           FALSE)
+                         THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(*) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orderdate_in_range',
+           CAST(SUM(CASE WHEN NOT COALESCE(
+                        o_orderdate >= TIMESTAMP '1995-01-01'
+                        AND o_orderdate < TIMESTAMP '2001-01-01', FALSE)
+                         THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(*) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'unique(o_orderkey)',
+           CAST(SUM(c) - count(*) AS BIGINT), CAST(SUM(c) AS BIGINT)
+    FROM (SELECT o_orderkey, count(*) AS c FROM orders GROUP BY 1)
+    UNION ALL
+    SELECT 'fk(o_custkey->c_custkey)',
+           CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(count(*) AS BIGINT)
+    FROM orders o
+    LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+      ON o.o_custkey = c.c_custkey
+    """,
+)
+def dq_orders_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation suite over orders (operators/quality):
+    three row predicates folded into ONE single-scan aggregate (the
+    status-domain check is deliberately too strict — 'P' rows — so
+    the suite demonstrably trips), a key-uniqueness check (one
+    grouped pass), and an orders→customer referential check
+    (broadcast left join, dim-sized parent). Violations are ROWS in
+    the same oracle/hash gate as any query — quality results are
+    data, not log lines. At 100 TB: one fact scan for all row
+    predicates, one key shuffle, one broadcast probe."""
+    from ..operators.quality import (
+        expect_fk, expect_rows, expect_unique, quality_report)
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    rows = expect_rows(orders, {
+        "positive_totalprice": F.col("o_totalprice") > 0,
+        "status_domain": F.col("o_orderstatus").isin("O", "F"),
+        "orderdate_in_range":
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("2001-01-01").cast("timestamp")),
+    })
+    return quality_report(
+        rows,
+        expect_unique(orders, ["o_orderkey"]),
+        expect_fk(orders, "o_custkey", cust, "c_custkey"),
+    )

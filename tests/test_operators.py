@@ -494,3 +494,29 @@ def test_file_stats_index_prunes_files(spark, sf_small, tmp_path):
     # empty-intersection range → empty result, zero data files touched
     none = pruned_scan(spark, tdir, "o_orderkey", -50, -10)
     assert none.count() == 0
+
+
+def test_expectation_checks_count_violations(spark):
+    """expect_rows is null-hostile (null predicate = violation),
+    expect_unique counts copies beyond the first, expect_fk counts
+    orphans including null keys."""
+    from pyspark.sql import functions as F
+
+    from realtime_data_warehouse_spark.operators.quality import (
+        expect_fk, expect_rows, expect_unique, quality_report)
+
+    child = spark.createDataFrame(
+        [(1, 5.0), (1, -1.0), (2, None), (3, 2.0), (9, 4.0)],
+        "k int, v double")
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk int")
+    rep = {
+        r.check_name: (r.violations, r.n_rows)
+        for r in quality_report(
+            expect_rows(child, {"v_positive": F.col("v") > 0}),
+            expect_unique(child, ["k"]),
+            expect_fk(child, "k", parent, "pk"),
+        ).collect()
+    }
+    assert rep["v_positive"] == (2, 5)          # -1 and the NULL both trip
+    assert rep["unique(k)"] == (1, 5)           # k=1 appears twice -> 1 extra
+    assert rep["fk(k->pk)"] == (1, 5)           # k=9 is an orphan
