@@ -1403,3 +1403,101 @@ def stream_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.count(F.lit(1)).alias("active_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Continuous data-quality monitoring — the dq_orders_expectations twin
+# ---------------------------------------------------------------------------
+
+@register(
+    "stream_dq_violations_daily",
+    oracle="""
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS day,
+               SUM(CASE WHEN NOT COALESCE(value <= 150, FALSE)
+                        THEN 1 ELSE 0 END) AS v_value_le_150,
+               SUM(CASE WHEN NOT COALESCE(value >= 0, FALSE)
+                        THEN 1 ELSE 0 END) AS v_value_nonneg,
+               SUM(CASE WHEN NOT COALESCE(
+                        event_type IN ('signup','click','error',
+                                       'view','purchase'), FALSE)
+                        THEN 1 ELSE 0 END) AS v_type_domain,
+               count(*) AS n
+        FROM events GROUP BY 1
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, c.check_name,
+           CAST(CASE c.check_name
+                WHEN 'value_le_150' THEN v_value_le_150
+                WHEN 'value_nonneg' THEN v_value_nonneg
+                ELSE v_type_domain END AS BIGINT) AS violations,
+           CAST(n AS BIGINT) AS n_rows
+    FROM daily
+    CROSS JOIN (SELECT unnest(['value_le_150', 'value_nonneg',
+                               'type_domain']) AS check_name) c
+    """,
+)
+def stream_dq_violations_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous data-quality monitoring: per-day violation counts
+    for a row-predicate expectation suite, maintained INCREMENTALLY
+    by the exactly-once additive merge sink — violation counts are
+    additive partials, so the stored quality dashboard re-aggregates
+    losslessly across micro-batches and never rescans history (the
+    streaming twin of dq_orders_expectations' row-predicate pass;
+    uniqueness/FK checks need keyed state and live in
+    stream_dedup_incremental's family instead). Matching the batch
+    oracle proves the maintained monitor equals a one-shot audit."""
+    from ..streaming.sinks import additive_merge_batch
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts", "event_type", "value")
+    in_dir = _stage_once(
+        sf_dir, "dq_events",
+        lambda base: staged_files_dir(ev, base, n_files=3, order_col="ts"),
+    )
+    rundir = tempfile.mkdtemp(prefix="rdw_streamq_dq_")
+    table_dir = os.path.join(rundir, "daily_dq")
+
+    def dq_partials(batch: DataFrame) -> DataFrame:
+        def viol(cond):
+            return F.sum(F.when(F.coalesce(cond, F.lit(False)), 0)
+                         .otherwise(1))
+        return batch.groupBy(
+            F.date_trunc("day", "ts").alias("day")
+        ).agg(
+            viol(F.col("value") <= 150).alias("v_value_le_150"),
+            viol(F.col("value") >= 0).alias("v_value_nonneg"),
+            viol(F.col("event_type").isin(
+                "signup", "click", "error", "view", "purchase"))
+            .alias("v_type_domain"),
+            F.count(F.lit(1)).alias("n"),
+        )
+
+    sdf = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    run_foreach_batch(
+        sdf,
+        additive_merge_batch(
+            table_dir, keys=["day"],
+            sum_cols=["v_value_le_150", "v_value_nonneg",
+                      "v_type_domain", "n"],
+            prepare=dq_partials),
+        checkpoint_dir=os.path.join(rundir, "ck"),
+        output_mode="append",
+    )
+    daily = spark.read.parquet(table_dir)
+    reports = F.array(*[
+        F.struct(F.lit(name).alias("check_name"),
+                 F.col(col).cast("long").alias("violations"))
+        for name, col in [("value_le_150", "v_value_le_150"),
+                          ("value_nonneg", "v_value_nonneg"),
+                          ("type_domain", "v_type_domain")]
+    ])
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.explode(reports).alias("r"),
+        F.col("n").cast("long").alias("n_rows"),
+    ).select("day", "r.check_name", "r.violations", "n_rows")
