@@ -1501,3 +1501,54 @@ def stream_dq_violations_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(reports).alias("r"),
         F.col("n").cast("long").alias("n_rows"),
     ).select("day", "r.check_name", "r.violations", "n_rows")
+
+
+# ---------------------------------------------------------------------------
+# Native watermark-bounded stream dedup (dropDuplicatesWithinWatermark)
+# ---------------------------------------------------------------------------
+
+@register(
+    "stream_dedup_within_watermark",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_unique
+    FROM events GROUP BY 1
+    """,
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE watermark-bounded streaming dedup
+    (`dropDuplicatesWithinWatermark`) — the built-in counterpart of
+    this repo's ledgered foreachBatch dedup sinks: the state store
+    keys on event_id and the WATERMARK bounds state retention (T7
+    keyed-state-with-TTL semantics, expressed declaratively). Input
+    is the events table with EVERY row duplicated in-file, so each
+    duplicate arrives inside the watermark delay by construction and
+    the native guarantee (dups within the delay are dropped) is
+    total — the deduped stream's per-type counts must equal the
+    pristine table's counts, which is the oracle. At 100 TB the
+    state store holds only ids inside the watermark horizon —
+    bounded by arrival rate × delay, not by history."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type")
+    in_dir = _stage_once(
+        sf_dir, "dupped_events",
+        lambda base: staged_files_dir(
+            ev.unionAll(ev), base, n_files=3, order_col="ts"),
+    )
+    rundir = tempfile.mkdtemp(prefix="rdw_streamq_ddww_")
+    out_dir = os.path.join(rundir, "deduped")
+
+    sdf = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    run_available_now(sdf, out_dir,
+                      checkpoint_dir=os.path.join(rundir, "ck"))
+    return (
+        read_back(spark, out_dir)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+    )
