@@ -1552,3 +1552,90 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_unique"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming attribution — the touch_attribution twin
+# ---------------------------------------------------------------------------
+
+@register(
+    "stream_touch_attribution",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id, event_type,
+               CAST(value AS DECIMAL(18,2)) AS value,
+               CASE WHEN event_type IN ('view', 'click')
+                    THEN event_type END AS touch
+        FROM events
+    ),
+    enriched AS (
+        SELECT *,
+               first_value(touch IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS first_touch,
+               last_value(touch IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS last_touch
+        FROM ordered
+    ),
+    conv AS (SELECT * FROM enriched WHERE event_type = 'purchase'),
+    both_models AS (
+        SELECT COALESCE(first_touch, 'none') AS channel,
+               'first_touch' AS model, value FROM conv
+        UNION ALL
+        SELECT COALESCE(last_touch, 'none'), 'last_touch', value FROM conv
+    )
+    SELECT channel, model,
+           CAST(count(*) AS BIGINT) AS conversions,
+           CAST(SUM(value) AS DOUBLE) AS attributed_revenue
+    FROM both_models GROUP BY 1, 2
+    """,
+)
+def stream_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """touch_attribution as a STREAM (stateful.attribution_stream):
+    per-user (first, last) touch ValueState — two strings — advanced
+    across three event-time-ordered micro-batches; each conversion
+    emits its attribution at arrival. The batch twin re-sorts all
+    history per run; the stream sees each event once. Same oracle as
+    the batch twin — converged emissions must reproduce the
+    unbounded-window formulation exactly."""
+    from ..streaming.stateful import attribution_stream
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value")
+    in_dir = _stage_once(
+        sf_dir, "attr_events",
+        lambda base: staged_files_dir(ev, base, n_files=3, order_col="ts"),
+    )
+    rundir = tempfile.mkdtemp(prefix="rdw_streamq_attr_")
+    out_dir = os.path.join(rundir, "conversions")
+
+    sdf = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+        .withColumn("ts_long",
+                    F.unix_micros(F.col("ts").cast("timestamp")))
+    )
+    conv = attribution_stream(
+        sdf, "user_id", "ts_long", "event_id", "event_type", "value")
+    run_available_now(conv, out_dir,
+                      checkpoint_dir=os.path.join(rundir, "ck"))
+    out = read_back(spark, out_dir)
+    models = out.select(
+        F.explode(F.array(
+            F.struct(F.col("first_touch").alias("channel"),
+                     F.lit("first_touch").alias("model")),
+            F.struct(F.col("last_touch").alias("channel"),
+                     F.lit("last_touch").alias("model")),
+        )).alias("m"),
+        F.col("value").cast("decimal(18,2)").alias("value"),
+    )
+    return (
+        models.groupBy(F.col("m.channel").alias("channel"),
+                       F.col("m.model").alias("model"))
+        .agg(F.count(F.lit(1)).alias("conversions"),
+             F.sum("value").cast("double").alias("attributed_revenue"))
+    )

@@ -427,3 +427,60 @@ def funnel_stream(sdf: DataFrame, user_col: str, ts_col: str,
     return sdf.groupBy(user_col).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+# ---------------------------------------------------------------------------
+# Marketing attribution — per-user first/last-touch state machine
+# ---------------------------------------------------------------------------
+
+def attribution_stream(sdf: DataFrame, user_col: str, ts_col: str,
+                       id_col: str, type_col: str, value_col: str,
+                       touch_types: Sequence[str] = ("view", "click"),
+                       conversion_type: str = "purchase") -> DataFrame:
+    """Per-user attribution state across micro-batches: ValueState =
+    (earliest touch channel, most recent touch channel) — two strings,
+    O(1) per user like the A6–A8 operators. Each batch walks the
+    user's events in (ts, id) order; touches update the state,
+    conversions emit a row carrying the CURRENT first/last touch (or
+    'none' if the user has never touched), which is exactly the
+    batch twin's unbounded-preceding window semantics provided the
+    replay delivers batches in event-time order (the staged
+    range-split guarantees it). The streaming win at 100 TB: the
+    batch form re-sorts all history per run; here each event is
+    seen once and the state is two strings per user."""
+    out_schema = T.StructType([
+        T.StructField(user_col, T.LongType()),
+        T.StructField("first_touch", T.StringType()),
+        T.StructField("last_touch", T.StringType()),
+        T.StructField(value_col, T.DoubleType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("first_touch", T.StringType()),
+        T.StructField("last_touch", T.StringType()),
+    ])
+    touches = set(touch_types)
+
+    def fn(key, chunks: Iterator[pd.DataFrame], state: GroupState):
+        pdf = _concat(chunks)
+        if pdf.empty:
+            return
+        pdf = pdf.sort_values([ts_col, id_col], kind="stable")
+        first, last = state.get if state.exists else (None, None)
+        out = []
+        for typ, val in zip(pdf[type_col], pdf[value_col]):
+            if typ in touches:
+                last = typ
+                if first is None:
+                    first = typ
+            elif typ == conversion_type:
+                out.append((key[0], first or "none", last or "none",
+                            float(val)))
+        state.update((first, last))
+        if out:
+            yield pd.DataFrame(
+                out, columns=[user_col, "first_touch", "last_touch",
+                              value_col])
+
+    return sdf.groupBy(user_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
