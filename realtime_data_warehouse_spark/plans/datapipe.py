@@ -946,3 +946,61 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("doc_id").alias("n_docs"),
         F.count(F.lit(1)).alias("n_chunks"),
     )
+
+
+@register(
+    "crosssource_neardup_matrix",
+    oracle=f"""
+    WITH pairs AS ({_JACCARD_PAIRS_SQL}),
+    labeled AS (
+        SELECT least(da.source, db.source)    AS source_a,
+               greatest(da.source, db.source) AS source_b,
+               p.jaccard
+        FROM pairs p
+        JOIN documents da ON p.doc_a = da.doc_id
+        JOIN documents db ON p.doc_b = db.doc_id
+    )
+    SELECT source_a, source_b,
+           CAST(COUNT(*) AS BIGINT)   AS n_pairs,
+           round(AVG(jaccard), 6)     AS avg_jaccard
+    FROM labeled
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def crosssource_neardup_matrix(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: how many near-dup pairs
+    (MinHash+LSH candidates, exact-verified — same chain as
+    `dedup_minhash_lsh`, hence the shared oracle family) fall within
+    and between each pair of corpus sources — the report that
+    decides which crawl snapshots to drop before training. Scale
+    plan: the expensive part (candidate generation) stays
+    bucket-local LSH; the source labeling joins the PAIR list
+    (orders of magnitude smaller than the corpus) to the 2-column
+    (doc_id, source) projection of documents on doc_id — column
+    pruning keeps the heavy text column out of both exchanges — and
+    the matrix rollup is bounded by |sources|². Source pairs are
+    canonicalized least/greatest so the matrix has one row per
+    unordered pair."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    pairs = D.minhash_lsh_pairs(docs, threshold=0.8)
+    src = docs.select("doc_id", "source")
+    a = src.select(F.col("doc_id").alias("doc_a"),
+                   F.col("source").alias("sa"))
+    b = src.select(F.col("doc_id").alias("doc_b"),
+                   F.col("source").alias("sb"))
+    return (
+        pairs.join(a, "doc_a").join(b, "doc_b")
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            "jaccard",
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg("jaccard"), 6).alias("avg_jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )

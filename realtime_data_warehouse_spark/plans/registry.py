@@ -171,4 +171,6 @@ from . import analytics  # noqa: E402,F401  (round 4 — appended last so earlie
 from . import governance  # noqa: E402,F401  (round 5 — same append-only discipline)
 from . import quantstats  # noqa: E402,F401  (round 5 batch 2)
 from . import classics  # noqa: E402,F401  (round 5 batch 3)
+from . import decision_support  # noqa: E402,F401  (round 5 batch 4)
+from . import rollups  # noqa: E402,F401  (round 5 batch 4)
 

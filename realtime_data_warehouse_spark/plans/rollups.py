@@ -1,0 +1,299 @@
+"""Relational rollup/reshape surface, round 4 continuation.
+
+The reference's DWS layer materializes per-window rollups
+(`DwsTradeSkuOrderWindow.java` etc.); this module adds the remaining
+rollup/reshape primitives an analyst points at those tables —
+multi-set GROUPING SETS, wide→long unpivot, trailing-window distinct
+counts, and deterministic per-group sampling — each planned for
+100 TB:
+
+- grouping_sets_revenue: one Expand×|sets| pass over the PRE-REDUCED
+  (year, status) rollup — the fact is aggregated once, the grouping
+  sets multiply only the tiny rollup (same Expand-after-reduce
+  discipline as `extras.rollup_revenue` / `extras.cube_revenue`).
+- unpivot_nation_metrics: wide→long melt of a |nations|-row
+  aggregate — the unpivot Expand runs over 25 rows, never the fact.
+- rolling_7d_distinct_users: trailing-7-day exact distinct actives
+  per day. The fanout explodes the DISTINCT (user, day) rollup
+  (bounded: 7×|user-days|), never the raw event stream, then one
+  distinct count per target day — no per-day window scans, no
+  O(days × facts) self-join.
+- sample_k_per_lang: deterministic k-per-group sample ranked by
+  md5(doc_id) — re-derivable on any engine (the same discipline as
+  `governance.importance_weighted_sample`). row_number ≤ k engages
+  Spark's WindowGroupLimit rewrite: each map task pre-prunes to its
+  local top-k per group BEFORE the sort exchange, so the shuffle
+  carries ≤ k·|groups|·|tasks| rows, not the table (plan-pinned).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.batch import load_table
+from .registry import register
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS over the pre-reduced rollup
+# ---------------------------------------------------------------------------
+
+@register(
+    "grouping_sets_revenue",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+           o_orderstatus AS status,
+           CAST(2 * GROUPING(year(o_orderdate))
+                + GROUPING(o_orderstatus) AS INT) AS gid,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((year(o_orderdate), o_orderstatus),
+                            (year(o_orderdate)), (o_orderstatus), ())
+    ORDER BY gid, order_year, status
+    """,
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by explicit GROUPING SETS — the general form of which
+    `rollup_revenue`/`cube_revenue` are the fixed lattices. Scale
+    plan: the fact reduces FIRST to the (year, status) rollup in one
+    map-side-combined exchange; the Expand×4 and the grouping-sets
+    re-aggregation then run over ≤ |years|·|statuses| rows (decimal
+    sums and counts are monoids, so re-summing partials is exact) —
+    the lattice never multiplies the scan. gid (2·grouping(year) +
+    grouping(status)) disambiguates 'grouped out' from a genuine
+    NULL on every engine."""
+    o = load_table(spark, sf_dir, "orders")
+    year = F.year("o_orderdate").cast("int").alias("order_year")
+    status = F.col("o_orderstatus").alias("status")
+    base = (
+        o.select(year, status, "o_totalprice")
+        .groupBy("order_year", "status")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .alias("rev_partial"),
+            F.count(F.lit(1)).alias("n_partial"),
+        )
+    )
+    gid = (2 * F.grouping("order_year")
+           + F.grouping("status")).cast("int").alias("gid")
+    return (
+        base.groupingSets(
+            [["order_year", "status"], ["order_year"], ["status"], []],
+            "order_year", "status",
+        )
+        .agg(
+            gid,
+            F.sum("rev_partial").cast("double").alias("revenue"),
+            F.sum("n_partial").alias("n_orders"),
+        )
+        .select("order_year", "status", "gid", "revenue", "n_orders")
+        .orderBy("gid", "order_year", "status")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wide → long unpivot of a bounded aggregate
+# ---------------------------------------------------------------------------
+
+@register(
+    "unpivot_nation_metrics",
+    oracle="""
+    WITH m AS (
+        SELECT n.n_name,
+               CAST(COUNT(*) AS DOUBLE) AS n_customers,
+               CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_acctbal,
+               CAST(SUM(CASE WHEN c.c_acctbal < 0 THEN 1 ELSE 0 END)
+                    AS DOUBLE) AS n_negative
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1
+    )
+    SELECT n_name, metric, value FROM m
+    UNPIVOT (value FOR metric IN (n_customers, total_acctbal,
+                                  n_negative))
+    ORDER BY n_name, metric
+    """,
+)
+def unpivot_nation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long melt (the inverse of `pivot_status_by_year`): a
+    per-nation metric block unpivoted to (nation, metric, value)
+    rows for generic downstream consumers. Scale plan: the melt's
+    Expand×3 runs over the |nations|-row aggregate — the customer
+    scan is reduced FIRST (map-side combine on the broadcast-joined
+    nation key), so reshape cost is O(25·metrics), independent of
+    table size."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name")
+    wide = (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double").alias("total_acctbal"),
+            F.sum(F.when(F.col("c_acctbal") < 0, 1).otherwise(0))
+            .cast("double").alias("n_negative"),
+        )
+    )
+    return (
+        wide.unpivot(
+            ["n_name"],
+            ["n_customers", "total_acctbal", "n_negative"],
+            "metric", "value",
+        )
+        .orderBy("n_name", "metric")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Trailing-7-day exact distinct actives
+# ---------------------------------------------------------------------------
+
+@register(
+    "rolling_7d_distinct_users",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM ud)
+    SELECT strftime(days.d, '%Y-%m-%d') AS day,
+           CAST(COUNT(DISTINCT ud.user_id) AS BIGINT) AS u7
+    FROM days
+    JOIN ud ON ud.d BETWEEN days.d - 6 AND days.d
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def rolling_7d_distinct_users(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Trailing-7-day exact distinct active users per day — the WAU
+    curve next to A7's daily UV (reference
+    DwsUserUserLoginWindow.java counts uuCt per window; this is the
+    overlapping-window generalization COUNT DISTINCT can't express
+    per-window). Scale plan: dedupe to DISTINCT (user, day) FIRST
+    (one exchange over the rollup key), then each user-day fans out
+    to the ≤ 7 target days it contributes to — a constant-factor
+    explode of the ROLLUP, not the event stream — and one distinct
+    count per target day finishes it. The observed-days dim
+    (≤ |calendar| rows) broadcasts to clip the fanout horizon; no
+    per-day re-scan, no days×facts range join."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).distinct()
+    days = ud.select("d").distinct()
+    fanned = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.col("d"), F.date_add("d", 6)))
+        .alias("day"),
+    )
+    return (
+        fanned.join(F.broadcast(days),
+                    fanned["day"] == days["d"], "left_semi")
+        .groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
+        .agg(F.count_distinct("user_id").alias("u7"))
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic k-per-group sample
+# ---------------------------------------------------------------------------
+
+@register(
+    "sample_k_per_lang",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, lang, source, n_chars,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rk
+        FROM documents
+    )
+    SELECT doc_id, lang, source, n_chars, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= 5
+    ORDER BY lang, rk
+    """,
+)
+def sample_k_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-k sample per language: rank docs by
+    md5(doc_id) within each lang and keep the first 5 — the
+    eyeball-QA / few-shot-pick primitive. Unlike the Bernoulli
+    `stratified_sample_langs` (fractional, size varies), this
+    guarantees exactly k rows per group, and the hash ranking makes
+    the pick re-derivable on any engine with no RNG state. Scale
+    plan: rank ≤ k engages Spark's WindowGroupLimit rewrite
+    (plan-pinned) — every map task pre-prunes to its LOCAL top-5 per
+    lang before the sort exchange, so the shuffle moves
+    ≤ 5·|langs|·|tasks| rows, not the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (
+        docs.select("doc_id", "lang", "source", "n_chars")
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 5)
+        .orderBy("lang", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis–Spirakis exp-sort)
+# ---------------------------------------------------------------------------
+
+@register(
+    "weighted_sample_per_source",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id, source, n_chars,
+               -ln(((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)
+                          AS BIGINT) % 9007199254740992) + 0.5)
+                   / 9007199254740992.0)
+               / n_chars AS es_key
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, source, n_chars,
+               row_number() OVER (
+                   PARTITION BY source ORDER BY es_key, doc_id
+               ) AS rk
+        FROM keyed
+    )
+    SELECT doc_id, source, n_chars, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= 3
+    ORDER BY source, rk
+    """,
+)
+def weighted_sample_per_source(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k=3 per source, weight
+    ∝ n_chars — the Efraimidis–Spirakis exponential-sort scheme
+    (key = −ln(u)/w, keep the k smallest), the standard one-pass
+    distributed algorithm for 'pick k docs per corpus biased by
+    length'. u is an md5-derived uniform in (0,1) (hash the doc_id,
+    take 52 bits, add ½ then normalize — never exactly 0, so the log
+    is finite), which makes the draw deterministic and re-derivable
+    on any engine — same discipline as
+    `governance.importance_weighted_sample`, upgraded from Bernoulli
+    keep/drop to exact-k without replacement. Scale plan: the rank
+    ≤ k filter engages WindowGroupLimit (map-local top-3 per source
+    before the sort exchange, plan-pinned with sample_k_per_lang)."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13),
+                16, 10).cast("long") % F.lit(9007199254740992).cast("long"))
+        .cast("double") + F.lit(0.5)
+    ) / F.lit(9007199254740992.0)
+    es_key = -F.log(u) / F.col("n_chars")
+    w = Window.partitionBy("source").orderBy(es_key.asc(), F.col("doc_id"))
+    return (
+        docs.select("doc_id", "source", "n_chars")
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 3)
+        .orderBy("source", "rk")
+    )

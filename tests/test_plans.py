@@ -503,3 +503,128 @@ def test_runtime_bloom_filter_prunes_fact_side(spark, sf_small):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+# ---------------------------------------------------------------------------
+# Decision-support batch 2 (plans/decision_support.py) plan pins
+# ---------------------------------------------------------------------------
+
+def test_returned_items_enriches_after_limit(spark, sf_small):
+    """Q10 shape: the customer/nation dims must join the 20-row
+    TakeOrdered result, never the fact — TakeOrderedAndProject must
+    appear BELOW the broadcast joins in the plan tree (i.e. the
+    limit's output feeds the joins), and there is no global sort."""
+    plan = physical_plan(QUERIES["returned_items_report"](spark, sf_small))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    # a global range-partitioned sort of the rollup would betray a
+    # sort-before-limit plan; the final 20-row orderBy collapses to a
+    # single-partition sort at most
+    assert plan.count("rangepartitioning") <= 1
+
+
+def test_late_shipment_exists_costs_one_fact_shuffle(spark, sf_small):
+    """Q4 shape: the correlated EXISTS must fuse into the orderkey
+    rollup of the lineitem join — no second join of a distinct
+    orderkey set back to orders, no extra Exchange beyond the join
+    key and the 5-row priority rollup."""
+    plan = physical_plan(QUERIES["late_shipment_priority_counts"](spark, sf_small))
+    for marker in ("BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert marker not in plan
+    # joins: exactly one (lineitem ⋈ orders); the EXISTS is a rollup,
+    # not a semi-join back
+    njoins = plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin")
+    assert njoins == 1, f"expected 1 join, plan has {njoins}"
+
+
+def test_nation_pair_dims_prune_before_fact_join(spark, sf_small):
+    """Q7 shape: both nation-filtered dims broadcast; the only
+    non-broadcast join key permitted is the lineitem⋈orders orderkey
+    exchange."""
+    plan = physical_plan(QUERIES["nation_pair_trade_volume"](spark, sf_small))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert plan.count("SortMergeJoin") <= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_market_share_single_rollup(spark, sf_small):
+    """Q8 shape: numerator and denominator come from ONE aggregate —
+    no revenue-CTE self-join (≤1 sort-merge join: the orderkey
+    exchange), and no BroadcastNestedLoopJoin from a scalar
+    subquery."""
+    plan = physical_plan(QUERIES["market_share_by_year"](spark, sf_small))
+    assert plan.count("SortMergeJoin") <= 1
+    assert "BroadcastNestedLoopJoin" not in plan
+    # one HashAggregate pair (partial+final) for the year rollup; a
+    # second aggregation subtree would betray a numerator re-scan
+    assert plan.count("HashAggregate") <= 2
+
+
+def test_copurchase_self_join_is_keyed(spark, sf_small):
+    """Market-basket shape: the within-order pair expansion must be
+    an equi-join on l_orderkey (bounded group size), never an
+    inequality-only nested loop."""
+    plan = physical_plan(QUERIES["copurchase_part_pairs"](spark, sf_small))
+    for marker in ("BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert marker not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_trend_fit_runs_on_rollup_only(spark, sf_small):
+    """Closed-form OLS: the regression arithmetic must consume the
+    (year, day) rollup — two aggregate pairs total (daily rollup +
+    power sums), zero joins, zero windows over the fact."""
+    plan = physical_plan(QUERIES["trend_fit_daily_revenue"](spark, sf_small))
+    for marker in ("SortMergeJoin", "BroadcastHashJoin", "Window",
+                   "CartesianProduct"):
+        assert marker not in plan, f"unexpected {marker}"
+
+
+# ---------------------------------------------------------------------------
+# Rollup/reshape surface (plans/rollups.py) plan pins
+# ---------------------------------------------------------------------------
+
+def test_grouping_sets_expand_after_reduce(spark, sf_small):
+    """The grouping-sets lattice must multiply the pre-reduced
+    (year, status) rollup, not the orders scan: the Expand node sits
+    ABOVE the first aggregate pair in the tree (fact → partial+final
+    agg → Expand → re-agg), so exactly one Expand and two aggregate
+    pairs appear."""
+    plan = physical_plan(QUERIES["grouping_sets_revenue"](spark, sf_small))
+    assert plan.count("Expand") == 1
+    # 4 HashAggregate nodes = (partial, final) × (base rollup, lattice)
+    assert plan.count("HashAggregate") == 4
+    # tree prints top-down: the final lattice aggregate precedes
+    # Expand, which precedes the base-rollup aggregate of the scan
+    assert plan.index("Expand") < plan.rindex("HashAggregate")
+
+
+def test_unpivot_melts_rollup_not_fact(spark, sf_small):
+    """The melt's Expand must consume the |nations|-row aggregate —
+    Expand above the aggregate pair, broadcast dim join below it."""
+    plan = physical_plan(QUERIES["unpivot_nation_metrics"](spark, sf_small))
+    assert plan.count("Expand") == 1
+    assert "BroadcastHashJoin" in plan
+    assert plan.index("Expand") < plan.index("BroadcastHashJoin")
+
+
+def test_rolling_distinct_fans_out_rollup_only(spark, sf_small):
+    """The 7-day fanout must explode the DISTINCT (user, day) rollup:
+    Generate (explode) sits above at least one aggregate (the
+    distinct), and the observed-days clip is a broadcast semi-join,
+    never a range join."""
+    plan = physical_plan(QUERIES["rolling_7d_distinct_users"](spark, sf_small))
+    assert "Generate explode" in plan
+    assert plan.index("Generate explode") < plan.rindex("HashAggregate")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    for marker in ("BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert marker not in plan
+
+
+def test_sample_k_engages_window_group_limit(spark, sf_small):
+    """rank ≤ k must plan WindowGroupLimit: map tasks pre-prune to
+    their local top-k per group before the sort exchange — for both
+    the uniform and the Efraimidis–Spirakis weighted sampler."""
+    for name in ("sample_k_per_lang", "weighted_sample_per_source"):
+        plan = physical_plan(QUERIES[name](spark, sf_small))
+        assert "WindowGroupLimit" in plan, f"{name} missing WindowGroupLimit"
