@@ -264,3 +264,4 @@ def pruned_scan(spark: SparkSession, table_dir: str, col: str,
     if not keep:
         return spark.read.parquet(table_dir).filter(pred).limit(0)
     return spark.read.parquet(*keep).filter(pred)
+

@@ -297,3 +297,86 @@ def weighted_sample_per_source(spark: SparkSession,
         .filter(F.col("rk") <= 3)
         .orderBy("source", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming twin — rolling 7-day distinct actives on a maintained table
+# ---------------------------------------------------------------------------
+
+@register(
+    "stream_rolling_7d_distinct_users",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM ud)
+    SELECT strftime(days.d, '%Y-%m-%d') AS day,
+           CAST(COUNT(DISTINCT ud.user_id) AS BIGINT) AS u7
+    FROM days
+    JOIN ud ON ud.d BETWEEN days.d - 6 AND days.d
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def stream_rolling_7d_distinct_users(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """Rolling WAU as a stream: overlapping-window COUNT(DISTINCT)
+    is not additive, so the maintained object is the DISTINCT
+    (user_id, day) activity table — the upsert MERGE dedupes on the
+    full key per micro-batch (idempotent under replay, same
+    discipline as `stream_retention_cohorts`), and the trailing-7-day
+    fanout + distinct count run AT READ over the maintained rollup
+    (bounded 7×|user-days|), never the event history. Same oracle as
+    the batch twin `rolling_7d_distinct_users`."""
+    import os
+    import tempfile
+
+    from ..streaming.runner import run_foreach_batch, staged_files_dir
+    from ..streaming.sinks import upsert_batch
+    from .streaming_queries import _stage_once
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    in_dir = _stage_once(
+        sf_dir, "rolling7d_events",
+        lambda base: staged_files_dir(ev, base, n_files=3,
+                                      order_col="ts"),
+    )
+    rundir = tempfile.mkdtemp(prefix="rdw_streamq_wau_")
+    table_dir = os.path.join(rundir, "user_days")
+
+    base_sink = upsert_batch(table_dir, keys=["user_id", "day"],
+                             order_col="one")
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        ud = (
+            batch.select(
+                "user_id",
+                F.col("ts").cast("date").alias("day"),
+                F.lit(1).alias("one"),
+            ).distinct()
+        )
+        base_sink(ud, batch_id)
+
+    sdf = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    run_foreach_batch(sdf, sink, checkpoint_dir=os.path.join(rundir, "ck"),
+                      output_mode="append")
+
+    ud = spark.read.parquet(table_dir).select("user_id", "day")
+    days = ud.select(F.col("day").alias("d")).distinct()
+    fanned = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.col("day"), F.date_add("day", 6)))
+        .alias("target"),
+    )
+    return (
+        fanned.join(F.broadcast(days),
+                    fanned["target"] == days["d"], "left_semi")
+        .groupBy(F.date_format("target", "yyyy-MM-dd").alias("day"))
+        .agg(F.count_distinct("user_id").alias("u7"))
+        .orderBy("day")
+    )

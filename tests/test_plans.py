@@ -628,3 +628,4 @@ def test_sample_k_engages_window_group_limit(spark, sf_small):
     for name in ("sample_k_per_lang", "weighted_sample_per_source"):
         plan = physical_plan(QUERIES[name](spark, sf_small))
         assert "WindowGroupLimit" in plan, f"{name} missing WindowGroupLimit"
+
