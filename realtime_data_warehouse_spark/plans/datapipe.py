@@ -1004,3 +1004,108 @@ def crosssource_neardup_matrix(spark: SparkSession,
         )
         .orderBy("source_a", "source_b")
     )
+
+
+@register(
+    "bigram_lm_score",
+    oracle=f"""
+    WITH toked AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    bi AS (
+        SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+        FROM toked, unnest(range(1, len(toks))) AS u(i)
+        WHERE len(toks) >= 2
+    ),
+    uni AS (
+        SELECT t AS w, COUNT(*) AS c1
+        FROM (SELECT unnest(toks) AS t FROM toked) GROUP BY 1
+    ),
+    big AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY 1, 2),
+    v AS (SELECT COUNT(*) AS nv FROM uni)
+    SELECT b.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM((g.c12 + 1) * 1000000 // (u.c1 + v.nv)) AS BIGINT)
+               AS p_e6_sum,
+           CAST((2 * SUM((g.c12 + 1) * 1000000 // (u.c1 + v.nv))
+                 + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE) / 1000000.0
+               AS avg_prob
+    FROM bi b
+    JOIN big g ON b.w1 = g.w1 AND b.w2 = g.w2
+    JOIN uni u ON b.w1 = u.w
+    CROSS JOIN v
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-based bigram language-model score per document — the
+    classic perplexity-filter stand-in (KenLM-style corpus-fit
+    scoring, reduced to add-one-smoothed bigram probabilities
+    P(w₂|w₁) = (C(w₁w₂)+1)/(C(w₁)+V)): documents whose word
+    transitions are unusual for the corpus score low and get culled
+    before training. Complements `token_rarity_score` (unigram
+    rarity) with transition-level fit.
+
+    Hash-stable by construction: probabilities are integer-scaled
+    (×1e6, integral `div`) so every per-bigram value and the per-doc
+    sum are exact BIGINTs on both engines — no float summation-order
+    hazard — and the per-doc average is rounded HALF-UP on the 1e-6
+    grid in pure integer math ((2·sum+n) div 2n, the
+    `mv_rollup_rewrite` stabilizer) before the one exact double
+    division, so engines can't disagree on grid half-points.
+
+    Scale plan: the corpus unigram and bigram tables are
+    Heaps-law-bounded rollups (map-side combined); the doc-bigram
+    stream joins them on token equi-keys — uniform-by-construction
+    shuffle keys, and at 100 TB the unigram table (and usually the
+    bigram head) fits a broadcast, dropping one exchange. The
+    per-doc rollup reuses the doc_id key. No UDFs anywhere — the
+    whole chain is codegen'd expressions."""
+    from ..functions.tokenize import tokenize
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    toked = docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
+
+    idx = F.sequence(F.lit(1), F.size("toks") - 1)
+    bi = (
+        toked.filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.element_at(F.col("toks"), i).alias("w1"),
+                    F.element_at(F.col("toks"), i + 1).alias("w2"),
+                ),
+            )).alias("g"),
+        )
+        .select("doc_id", "g.w1", "g.w2")
+    )
+    uni = (
+        toked.select(F.explode("toks").alias("w"))
+        .groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    )
+    big = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    n_vocab = uni.count()  # scalar model parameter, driver-side by design
+
+    scored = (
+        bi.join(big, ["w1", "w2"])
+        .join(uni, bi["w1"] == uni["w"])
+        .select(
+            "doc_id",
+            F.expr(f"(c12 + 1) * 1000000 div (c1 + {n_vocab})")
+            .alias("p_e6"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("p_e6").alias("p_e6_sum"),
+        )
+        .select(
+            "doc_id", "n_bigrams", "p_e6_sum",
+            (F.expr("(2 * p_e6_sum + n_bigrams) div (2 * n_bigrams)")
+             .cast("double") / 1000000.0).alias("avg_prob"),
+        )
+        .orderBy("doc_id")
+    )
