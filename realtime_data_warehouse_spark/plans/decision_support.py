@@ -704,3 +704,114 @@ def stream_market_share_by_year(spark: SparkSession,
                 / F.col("total_vol_partial").cast("double"), 6)
         .alias("mkt_share"),
     ).orderBy("order_year")
+
+
+# ---------------------------------------------------------------------------
+# Streaming twin — OLS trend maintained from additive power sums
+# ---------------------------------------------------------------------------
+
+@register(
+    "stream_trend_fit_daily_revenue",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+               CAST(dayofyear(o_orderdate) AS BIGINT) AS x,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS y
+        FROM orders
+        GROUP BY 1, 2
+    )
+    SELECT order_year,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           round(CAST(COUNT(*) * SUM(CAST(x AS DECIMAL(30,2)) * y)
+                      - SUM(x) * SUM(y) AS DOUBLE)
+                 / CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x)
+                        AS DOUBLE), 6) AS slope,
+           round(CAST(SUM(y) AS DOUBLE) / COUNT(*)
+                 - (CAST(COUNT(*) * SUM(CAST(x AS DECIMAL(30,2)) * y)
+                         - SUM(x) * SUM(y) AS DOUBLE)
+                    / CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x)
+                           AS DOUBLE))
+                   * (CAST(SUM(x) AS DOUBLE) / COUNT(*)), 6)
+               AS intercept
+    FROM daily
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def stream_trend_fit_daily_revenue(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Per-year OLS trend as a stream: every regression power sum
+    (n, Σx, Σx², Σy, Σxy) is a commutative monoid, so the model is a
+    CONTINUOUS AGGREGATE — each micro-batch reduces to per-(year,
+    day) partials, merges exactly-once into the maintained daily
+    rollup (keyed on (year, day): a day split across batches re-sums
+    its decimal y exactly), and slope/intercept are DERIVED AT READ
+    from the stored rollup. Retraining on new data costs one
+    micro-batch merge, never a history rescan — the streaming-ML
+    shape of `trend_fit_daily_revenue`, same oracle.
+
+    Caveat shared with the batch twin: x is the day-of-year ordinal,
+    so the fit is per-calendar-year and the rollup is ≤ 366 rows per
+    year — driver-safe model size at any data scale."""
+    import os
+    import tempfile
+
+    from ..streaming.runner import run_foreach_batch, staged_files_dir
+    from ..streaming.sinks import additive_merge_batch
+    from .streaming_queries import _stage_once
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice")
+    in_dir = _stage_once(
+        sf_dir, "trend_orders",
+        lambda base: staged_files_dir(o, base, n_files=3,
+                                      order_col="o_orderkey"),
+    )
+    rundir = tempfile.mkdtemp(prefix="rdw_streamq_trend_")
+    table_dir = os.path.join(rundir, "daily")
+
+    def daily_partials(batch: DataFrame) -> DataFrame:
+        return (
+            batch.groupBy(
+                F.year("o_orderdate").cast("int").alias("order_year"),
+                F.dayofyear("o_orderdate").cast("long").alias("x"),
+            )
+            .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                 .alias("y"))
+        )
+
+    sdf = (
+        spark.readStream.schema(o.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+        .withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+    )
+    run_foreach_batch(
+        sdf,
+        additive_merge_batch(table_dir, keys=["order_year", "x"],
+                             sum_cols=["y"], prepare=daily_partials),
+        checkpoint_dir=os.path.join(rundir, "ck"),
+        output_mode="append",
+    )
+
+    daily = spark.read.parquet(table_dir)
+    xy = F.col("x").cast("decimal(30,2)") * F.col("y")
+    fit = daily.groupBy("order_year").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(xy).alias("sxy"),
+    )
+    num = (F.col("n_days") * F.col("sxy")
+           - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n_days") * F.col("sxx")
+           - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / den
+    intercept = (F.col("sy").cast("double") / F.col("n_days")
+                 - slope * (F.col("sx").cast("double") / F.col("n_days")))
+    return fit.select(
+        "order_year", "n_days",
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+    ).orderBy("order_year")
