@@ -815,3 +815,45 @@ def stream_trend_fit_daily_revenue(spark: SparkSession,
         F.round(slope, 6).alias("slope"),
         F.round(intercept, 6).alias("intercept"),
     ).orderBy("order_year")
+
+
+# ---------------------------------------------------------------------------
+# Q6 shape — forecast revenue change (pure pushdown aggregate)
+# ---------------------------------------------------------------------------
+
+@register(
+    "forecast_revenue_change",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE)
+               AS potential_revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1997-01-01'
+      AND l_shipdate <  DATE '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def forecast_revenue_change(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: revenue increase if mid-range discounts were
+    dropped — the canonical pure-pushdown aggregate. All four
+    predicates (shipdate range, discount band, quantity cap) reach
+    the parquet scan as PushedFilters, so row groups outside the
+    date/discount envelope never decompress; the plan is scan →
+    partial agg → single-row exchange, zero joins, the cheapest
+    possible shape at any scale (plan-pinned). Discount multiplies
+    as decimal so the single output row is grid-exact."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+        & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(12,2)")
+              * F.col("l_discount").cast("decimal(3,2)"))
+        .cast("double").alias("potential_revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )

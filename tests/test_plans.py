@@ -629,3 +629,12 @@ def test_sample_k_engages_window_group_limit(spark, sf_small):
         plan = physical_plan(QUERIES[name](spark, sf_small))
         assert "WindowGroupLimit" in plan, f"{name} missing WindowGroupLimit"
 
+
+
+def test_forecast_revenue_pure_pushdown(spark, sf_small):
+    """Q6 shape: all predicates reach the scan; zero joins; the plan
+    is scan → partial agg → single-row exchange."""
+    plan = physical_plan(QUERIES["forecast_revenue_change"](spark, sf_small))
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") == 2
