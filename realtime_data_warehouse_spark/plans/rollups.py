@@ -380,3 +380,78 @@ def stream_rolling_7d_distinct_users(spark: SparkSession,
         .agg(F.count_distinct("user_id").alias("u7"))
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort lifetime value — cumulative revenue per signup cohort
+# ---------------------------------------------------------------------------
+
+@register(
+    "cohort_ltv_curve",
+    oracle="""
+    WITH su AS (
+        SELECT user_id, date_trunc('week', MIN(ts)) AS cohort
+        FROM events WHERE event_type = 'signup' GROUP BY 1
+    ),
+    wk AS (
+        SELECT strftime(su.cohort, '%Y-%m-%d') AS cohort_week,
+               CAST(floor(date_diff('day', CAST(su.cohort AS DATE),
+                                    CAST(e.ts AS DATE)) / 7.0) AS INT)
+                   AS week_offset,
+               SUM(CAST(e.value AS DECIMAL(18,2))) AS rev
+        FROM events e JOIN su USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts >= su.cohort
+        GROUP BY 1, 2
+    )
+    SELECT cohort_week, week_offset,
+           CAST(rev AS DOUBLE) AS week_revenue,
+           CAST(SUM(rev) OVER (
+                    PARTITION BY cohort_week ORDER BY week_offset
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS cum_revenue
+    FROM wk
+    WHERE week_offset BETWEEN 0 AND 11
+    ORDER BY cohort_week, week_offset
+    """,
+)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: cumulative purchase revenue per
+    signup-week cohort by week offset — the money twin of
+    `retention_cohorts` (which counts actives). Scale plan: the
+    signup extraction is a per-user rollup broadcast into the
+    purchase scan (stream-static J3 shape batched); revenue reduces
+    to the (cohort, offset) grid — ≤ |weeks|·12 rows — BEFORE the
+    cumulative window, so the running sum runs over the bounded
+    grid, never the events. Decimal week sums make the cumulative
+    doubles grid-exact on both engines (partition-local prefix sums
+    of exact decimals)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "value")
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort"))
+    )
+    wk = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(su), "user_id")
+        .filter(F.col("ts") >= F.col("cohort"))
+        .withColumn(
+            "week_offset",
+            F.floor(F.datediff(F.col("ts").cast("date"),
+                               F.col("cohort").cast("date"))
+                    / F.lit(7.0)).cast("int"))
+        .filter(F.col("week_offset").between(0, 11))
+        .groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+        )
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("rev"))
+    )
+    w = (Window.partitionBy("cohort_week").orderBy("week_offset")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return wk.select(
+        "cohort_week", "week_offset",
+        F.col("rev").cast("double").alias("week_revenue"),
+        F.sum("rev").over(w).cast("double").alias("cum_revenue"),
+    ).orderBy("cohort_week", "week_offset")
