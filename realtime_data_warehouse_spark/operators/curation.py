@@ -328,11 +328,21 @@ def min_label_propagation(pairs: DataFrame, id_a: str = "doc_a",
       multiple clusters — keep-one-per-cluster then keeps extra
       near-dups.
     - "converge" (production semantics): iterate until no label
-      changes (checked with a per-round count, each round's labels
-      persisted so lineage stays flat), capped at `max_rounds`.
-      Fixpoint labels ARE the true connected components (min-label
-      propagation converges in diameter(G) rounds; the cap guards
-      pathological chains — raise it for adversarial graphs).
+      changes (checked with a per-round count), capped at
+      `max_rounds`. Fixpoint labels ARE the true connected
+      components (min-label propagation converges in diameter(G)
+      rounds; the cap guards pathological chains — raise it for
+      adversarial graphs). Each round's labels are CHECKPOINTED, not
+      merely persisted: the label plan references itself twice per
+      round, so without lineage truncation the logical tree doubles
+      every round and the analyzer chokes around round ~15 (persist
+      caches data but keeps the full plan). With a Spark checkpoint
+      dir set (`sc.setCheckpointDir`, the production setting) rounds
+      truncate via reliable checkpoint — executor loss recovers from
+      storage; without one, localCheckpoint(eager) is used and an
+      executor loss restarts the job (acceptable for a
+      driver-coordinated iterative kernel; GraphFrames'
+      connected-components does the same).
 
     Returns (id, cluster) for every vertex that appears in `pairs`;
     `cluster` is the component's min id once converged."""
@@ -355,14 +365,20 @@ def min_label_propagation(pairs: DataFrame, id_a: str = "doc_a",
         )
 
     if rounds == "converge":
-        labels = labels.persist()
-        prev_cached = labels
+        sc = pairs.sparkSession.sparkContext
+        has_ckpt_dir = sc._jsc.sc().getCheckpointDir().isDefined()
+
+        def truncate(df: DataFrame) -> DataFrame:
+            # reliable checkpoint when a dir is configured (cluster
+            # setting), else local — either way the lineage resets to
+            # a flat scan so round N+1 plans O(1) nodes, not O(2^N)
+            return (df.checkpoint(eager=True) if has_ckpt_dir
+                    else df.localCheckpoint(eager=True))
+
         for _ in range(max_rounds):
-            new = one_round(labels).persist()
+            new = truncate(one_round(labels))
             changed = new.filter(F.col("l") < F.col("prev")).count()
             labels = new.drop("prev")
-            prev_cached.unpersist()
-            prev_cached = new
             if changed == 0:
                 break
     else:

@@ -638,3 +638,21 @@ def test_forecast_revenue_pure_pushdown(spark, sf_small):
     assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
     assert "Join" not in plan
     assert plan.count("HashAggregate") == 2
+
+
+def test_cohort_ltv_window_over_grid_only(spark, sf_small):
+    """The cumulative window must consume the (cohort, offset) grid:
+    Window above the aggregate pair, signup rollup broadcast below."""
+    plan = physical_plan(QUERIES["cohort_ltv_curve"](spark, sf_small))
+    assert plan.count("Window") == 1
+    assert "BroadcastHashJoin" in plan
+    assert plan.index("Window") < plan.rindex("HashAggregate")
+
+
+def test_bigram_lm_is_pure_expressions(spark, sf_small):
+    """The LM chain must stay JVM-side: no python UDFs (no
+    BatchEvalPython / ArrowEvalPython), joins are equi-joins."""
+    plan = physical_plan(QUERIES["bigram_lm_score"](spark, sf_small))
+    for marker in ("BatchEvalPython", "ArrowEvalPython",
+                   "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert marker not in plan, f"unexpected {marker}"
