@@ -398,11 +398,12 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     run between pair generation and keep-one-per-cluster. The oracle
     replays the identical rounds as unrolled CTEs, so the result is
     hash-exact whether or not the graph has fully converged. For
-    production semantics use rounds="converge" (iterate-to-fixpoint =
-    true connected components regardless of chain depth —
-    tests/test_curation.py pins it against union-find); the gate
-    entry keeps fixed rounds because an iterate-until-done loop has
-    no closed-form SQL twin."""
+    production semantics see `dedup_clusters_converged`
+    (rounds="converge": iterate-to-fixpoint = true connected
+    components regardless of chain depth, oracle-checked against a
+    recursive-CTE transitive closure; tests/test_curation.py
+    additionally pins it against union-find). This fixed-round entry
+    stays for the deterministic replayable-rounds contract."""
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     pairs = D.jaccard_pairs(docs, threshold=0.8)
     return C.min_label_propagation(pairs, rounds=3).select(
@@ -487,4 +488,54 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("c"),
         F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "dedup_clusters_converged",
+    # True connected components as a recursive transitive closure:
+    # reach(v) = every vertex reachable from v; the component label is
+    # min(reach(v)). UNION (not UNION ALL) dedupes per iteration, so
+    # the recursion terminates at the closure fixpoint — the same
+    # fixpoint min-label propagation converges to. Fine at gate scale
+    # (near-dup components are tiny); the Spark side never builds the
+    # closure, it propagates min labels in O(diameter) rounds.
+    oracle=f"""
+    WITH RECURSIVE pr AS MATERIALIZED (
+        SELECT doc_a, doc_b FROM ({_JACCARD_PAIRS_SQL})
+    ),
+    edges AS MATERIALIZED (
+        SELECT doc_a AS u, doc_b AS v FROM pr
+        UNION ALL
+        SELECT doc_b, doc_a FROM pr
+    ),
+    reach(id, r) AS (
+        SELECT DISTINCT u, u FROM edges
+        UNION
+        SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.id
+    )
+    SELECT CAST(id AS BIGINT) AS doc_id,
+           CAST(MIN(r) AS BIGINT) AS cluster
+    FROM reach GROUP BY 1
+    """,
+)
+def dedup_clusters_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering at PRODUCTION semantics: min-label
+    propagation iterated to fixpoint (`rounds="converge"`,
+    checkpoint-truncated lineage per round), so labels are the TRUE
+    connected components regardless of duplicate-chain depth — the
+    guarantee the fixed-round `dedup_clusters` entry trades away for
+    a replayable unrolled oracle. This entry closes that gap at the
+    gate level too: the oracle states components as a recursive-CTE
+    transitive closure (min reachable id per vertex), which equals
+    the propagation fixpoint — so the driver hash-checks convergence
+    itself, not a round count. Scale plan: each round is one
+    edge-key equi-join + map-side-combined min per vertex; rounds =
+    graph diameter (near-dup graphs: almost always ≤ 3, capped at
+    20); the closure stays in the ORACLE only — Spark never
+    materializes reachability sets."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    pairs = D.jaccard_pairs(docs, threshold=0.8)
+    return C.min_label_propagation(pairs, rounds="converge").select(
+        F.col("id").alias("doc_id"), "cluster"
     )
