@@ -244,6 +244,29 @@ def main() -> None:
             el = round(time.perf_counter() - t0, 3)
             classics_timings[name] = min(classics_timings.get(name, el), el)
 
+    # Decision-support batch 2 (round 5 batch 4) — remaining TPC-H
+    # shapes, rollup/reshape surface, corpus statistics; own section,
+    # same discipline.
+    DS2 = [
+        "returned_items_report", "late_shipment_priority_counts",
+        "nation_pair_trade_volume", "market_share_by_year",
+        "product_profit_by_nation_year", "copurchase_part_pairs",
+        "trend_fit_daily_revenue", "forecast_revenue_change",
+        "grouping_sets_revenue", "unpivot_nation_metrics",
+        "rolling_7d_distinct_users", "sample_k_per_lang",
+        "weighted_sample_per_source", "cohort_ltv_curve",
+        "crosssource_neardup_matrix", "bigram_lm_score",
+        "dedup_clusters_converged",
+    ]
+    ds2_timings: dict[str, float] = {}
+    for _pass in range(3):
+        for name in DS2:
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite").save()
+            el = round(time.perf_counter() - t0, 3)
+            ds2_timings[name] = min(ds2_timings.get(name, el), el)
+
     print(json.dumps({
         "metric": "headline_queries_total_runtime",
         "value": round(sum(timings_raw.values()), 3),
@@ -270,6 +293,11 @@ def main() -> None:
         "classics_queries": classics_timings,
         "classics_note": ("TPC-H Q2/Q15/Q17/Q18/Q19/Q21/Q22 shapes on "
                           "the as-served layout, min of 3; own section"),
+        "decision_support_queries": ds2_timings,
+        "decision_support_note": ("batch-4 family (Q4/Q6/Q7/Q8/Q9/Q10 "
+                                  "shapes, rollups/reshape, sampling, "
+                                  "corpus stats) on the as-served "
+                                  "layout, min of 3; own section"),
     }))
 
 

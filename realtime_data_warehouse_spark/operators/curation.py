@@ -375,6 +375,14 @@ def min_label_propagation(pairs: DataFrame, id_a: str = "doc_a",
             return (df.checkpoint(eager=True) if has_ckpt_dir
                     else df.localCheckpoint(eager=True))
 
+        # materialize the edge list once: every round references it
+        # and Catalyst re-executes repeated subtrees, so without this
+        # an expensive pair-generation upstream (LSH/PPJoin) re-runs
+        # per round — the loop cost becomes rounds × pair-gen instead
+        # of pair-gen + rounds × (join + min)
+        edges = truncate(edges)
+        labels = edges.select(F.col("u").alias("id")).distinct(
+        ).withColumn("l", F.col("id"))
         for _ in range(max_rounds):
             new = truncate(one_round(labels))
             changed = new.filter(F.col("l") < F.col("prev")).count()
