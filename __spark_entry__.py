@@ -34,6 +34,14 @@ export_pythonpath()
 
 
 def _prepare(spark: SparkSession) -> None:
+    # Registry queries persist shared intermediates (shingle passes,
+    # converge-loop edges). A grading session runs MANY queries back
+    # to back on a default-memory driver, and cached blocks pinned by
+    # earlier queries' plans would eventually starve later queries'
+    # broadcast builds — so each wrapped query starts from a clean
+    # block store. Within-query persists are registered lazily and
+    # materialize after this call, so they are unaffected.
+    spark.catalog.clearCache()
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # see session.py: the inferred size()>0 filter from explode()
