@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from realtime_data_warehouse_spark.cache import unpersist_all  # noqa: E402
 from realtime_data_warehouse_spark.plans.registry import (  # noqa: E402
     ORACLE_SQL,
     QUERIES,
@@ -39,9 +40,30 @@ def _prepare(spark: SparkSession) -> None:
     # to back on a default-memory driver, and cached blocks pinned by
     # earlier queries' plans would eventually starve later queries'
     # broadcast builds — so each wrapped query starts from a clean
-    # block store. Within-query persists are registered lazily and
-    # materialize after this call, so they are unaffected.
-    spark.catalog.clearCache()
+    # block store. unpersist_all releases exactly the blocks THIS
+    # package pinned (tracked via cache.persisted) — unlike the
+    # session-global clearCache it cannot evict caches the grading
+    # harness or a co-resident user created. Within-query persists
+    # are registered lazily and materialize after this call, so they
+    # are unaffected.
+    unpersist_all()
+    # Broadcast pieces and localCheckpoint blocks are freed only when
+    # a JVM GC feeds the ContextCleaner's reference queue, and Spark's
+    # own periodic GC defaults to every 30 MINUTES — longer than an
+    # entire grading sweep. On a default-heap (1g) driver, ~150
+    # queries of accumulated dead broadcasts can OOM a later query's
+    # broadcast build (observed: full-registry sweep died in
+    # dedup_clusters). Collect Python first so Py4J proxies release
+    # their JVM references, then hint the JVM GC. Private-bridge
+    # guarded: under Spark Connect there is no _jvm — skip silently
+    # (Connect drivers are remote and not our heap anyway).
+    import gc
+
+    gc.collect()
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # see session.py: the inferred size()>0 filter from explode()

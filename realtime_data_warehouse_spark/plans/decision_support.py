@@ -573,6 +573,7 @@ def trend_fit_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_market_share_by_year",
+    tier="variant",
     oracle="""
     SELECT CAST(year(o.o_orderdate) AS INT) AS order_year,
            CAST(SUM(CASE WHEN sn.n_name = 'NATION_7'
@@ -712,6 +713,7 @@ def stream_market_share_by_year(spark: SparkSession,
 
 @register(
     "stream_trend_fit_daily_revenue",
+    tier="variant",
     oracle="""
     WITH daily AS (
         SELECT CAST(year(o_orderdate) AS INT) AS order_year,

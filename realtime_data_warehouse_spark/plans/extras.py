@@ -1194,7 +1194,8 @@ def late_dim_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e1.unionByName(e2)
 
 
-@register("dedup_simhash_fast")  # xxhash64 hash family: no SQL twin → rows-only
+@register("dedup_simhash_fast",  # xxhash64 family: no SQL twin → rows-only
+          tier="variant")
 def dedup_simhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perf variant of dedup_simhash: identical pipeline (64-bit vote,
     pigeonhole block join, hamming ≤ 8) on xxhash64 token hashes —

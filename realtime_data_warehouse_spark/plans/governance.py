@@ -43,6 +43,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..cache import persisted
 from ..operators import dedup as D
 from ..operators.text import hash_bucket
 from ..sources.batch import fan_out, load_table
@@ -397,16 +398,19 @@ def decontaminate_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair space is rare-token blocks, never |train|×|bench|; exact
     intersect/union verification kills false positives, making the
     exact cross-Jaccard SQL a true oracle. The benchmark side is tiny
-    in practice, so its inverted index broadcasts at 100 TB."""
-    docs = D.with_shingles(
-        fan_out(load_table(spark, sf_dir, "documents")), drop_empty=False)
-    train = docs.filter(~F.expr(_BENCH)).select(
-        F.col("doc_id").alias("train_id"), F.col("shingles"))
-    bench = docs.filter(F.expr(_BENCH)).select(
-        F.col("doc_id").alias("bench_id"), F.col("shingles"))
+    in practice, so its inverted index broadcasts at 100 TB. The
+    shingle postings are built once for the whole corpus with the
+    relational gram_postings (codegen) and split by the cohort
+    predicate — per-doc sizes are split-invariant."""
+    post = persisted(D.gram_postings(
+        fan_out(load_table(spark, sf_dir, "documents"))))
+    train_p = post.filter(~F.expr(_BENCH)).select(
+        F.col("doc_id").alias("train_id"), "s", "sz")
+    bench_p = post.filter(F.expr(_BENCH)).select(
+        F.col("doc_id").alias("bench_id"), "s", "sz")
     return D.fuzzy_set_join(
-        train, bench, "train_id", "bench_id",
-        toks_col="shingles", threshold=0.8)
+        None, None, "train_id", "bench_id", threshold=0.8,
+        left_postings=train_p, right_postings=bench_p)
 
 
 # ---------------------------------------------------------------------------
@@ -415,6 +419,7 @@ def decontaminate_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_audience_overlap",
+    tier="variant",
     oracle="""
     WITH flags AS (
         SELECT user_id,

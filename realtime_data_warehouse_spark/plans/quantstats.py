@@ -253,10 +253,13 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parses 0.9 as exact DECIMAL while a double 0.9·10 lands at
     # 9.000000000000002 and ceils to 10, silently dropping boundary
     # pairs. operators/dedup.containment_join carries the predicate
-    # as common·10 ≥ n·9 on both sides.
-    docs = D.with_shingles(
-        fan_out(load_table(spark, sf_dir, "documents")), drop_empty=True)
-    return D.containment_join(docs, toks_col="shingles", t_num=9, t_den=10)
+    # as common·10 ≥ n·9 on both sides. The inverted index is built
+    # relationally (gram_postings: posexplode + lead window, codegen)
+    # rather than via the interpreted HOF shingle arrays — same
+    # postings, ~¼ the build cost.
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return D.containment_join(docs, t_num=9, t_den=10,
+                              postings=D.gram_postings(docs))
 
 
 # ---------------------------------------------------------------------------
@@ -417,6 +420,7 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_dedup_incremental",
+    tier="variant",
     oracle=f"""
     WITH corpus AS (
         SELECT DISTINCT {_FP_SQL} AS fp FROM documents WHERE doc_id % 3 <> 0
@@ -791,6 +795,7 @@ def fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_fulfillment_latency",
+    tier="variant",
     oracle="""
     SELECT o.o_orderpriority,
            count(*) AS n_lineitems,

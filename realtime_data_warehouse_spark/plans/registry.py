@@ -31,12 +31,31 @@ SparkQuery = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, SparkQuery] = {}
 ORACLE_SQL: dict[str, str] = {}
 
+#: Registry tier per entry (round-5 hygiene, VERDICT r4 item 7).
+#: "core"    — a distinct capability: its own operator semantics,
+#:             its own oracle shape. The gate prefix and any
+#:             capability audit should be read against this tier.
+#: "variant" — a second form of a core entry kept registered on
+#:             purpose: an alternate physical path (`*_fast`), a
+#:             replayable fixed-round twin of a converging kernel,
+#:             or a stream twin whose batch form is already core.
+#:             Variants stay in the registry (they are correctness
+#:             evidence — two paths, one oracle) but a sweep that
+#:             needs to bound wall time can skip them without losing
+#:             capability coverage: scripts/parity_sweep.py --tier
+#:             core. NOTHING is removed and the registration ORDER
+#:             is untouched — the driver gate's natural-order prefix
+#:             is exactly what it was.
+TIERS: dict[str, str] = {}
 
-def register(name: str, oracle: str | None = None):
+
+def register(name: str, oracle: str | None = None,
+             tier: str = "core"):
     def deco(fn: SparkQuery) -> SparkQuery:
         QUERIES[name] = fn
         if oracle is not None:
             ORACLE_SQL[name] = oracle
+        TIERS[name] = tier
         return fn
     return deco
 

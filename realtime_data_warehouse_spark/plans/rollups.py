@@ -251,9 +251,9 @@ def sample_k_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH keyed AS (
         SELECT doc_id, source, n_chars,
-               -ln(((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)
-                          AS BIGINT) % 9007199254740992) + 0.5)
-                   / 9007199254740992.0)
+               round(-ln(((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)
+                                AS BIGINT) % 9007199254740992) + 0.5)
+                         / 9007199254740992.0), 6)
                / n_chars AS es_key
         FROM documents
     ),
@@ -282,14 +282,23 @@ def weighted_sample_per_source(spark: SparkSession,
     `governance.importance_weighted_sample`, upgraded from Bernoulli
     keep/drop to exact-k without replacement. Scale plan: the rank
     ≤ k filter engages WindowGroupLimit (map-local top-3 per source
-    before the sort exchange, plan-pinned with sample_k_per_lang)."""
+    before the sort exchange, plan-pinned with sample_k_per_lang).
+
+    Cross-engine ordering discipline: ln is transcendental and NOT
+    IEEE correctly-rounded, so JVM Math.log and libm can disagree in
+    the last ulp and flip a near-tie rank boundary. −ln(u) is
+    therefore snapped to a coarse 1e-6 grid BEFORE the (exact, IEEE-
+    identical) division by the integer weight; grid collisions are
+    broken by doc_id on both engines, so the ordering never depends
+    on libm ulps — only a value within ~4e-15 of a grid edge (odds
+    ~1e-9/row) could differ, vs every near-tie pair before."""
     docs = load_table(spark, sf_dir, "documents")
     u = (
         (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13),
                 16, 10).cast("long") % F.lit(9007199254740992).cast("long"))
         .cast("double") + F.lit(0.5)
     ) / F.lit(9007199254740992.0)
-    es_key = -F.log(u) / F.col("n_chars")
+    es_key = F.round(-F.log(u), 6) / F.col("n_chars")
     w = Window.partitionBy("source").orderBy(es_key.asc(), F.col("doc_id"))
     return (
         docs.select("doc_id", "source", "n_chars")
@@ -305,6 +314,7 @@ def weighted_sample_per_source(spark: SparkSession,
 
 @register(
     "stream_rolling_7d_distinct_users",
+    tier="variant",
     oracle="""
     WITH ud AS (
         SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
@@ -455,3 +465,43 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rev").cast("double").alias("week_revenue"),
         F.sum("rev").over(w).cast("double").alias("cum_revenue"),
     ).orderBy("cohort_week", "week_offset")
+
+
+# ---------------------------------------------------------------------------
+# Frequent items (round 5 batch 5, appended last) — the bounded-memory
+# heavy-hitters kernel (operators/sketches.py). The reference has no
+# sketch surface; this is a scale-path addition for key cardinalities
+# too large to shuffle in full.
+# ---------------------------------------------------------------------------
+
+@register(
+    "heavy_hitter_users",
+    oracle="""
+    WITH keyed AS (
+        SELECT CASE WHEN user_id % 5 < 2 THEN user_id % 3
+                    ELSE user_id END AS hh_key
+        FROM events
+    ), tot AS (SELECT count(*) AS n FROM keyed)
+    SELECT hh_key, count(*) AS cnt
+    FROM keyed GROUP BY 1
+    HAVING count(*) >= (SELECT CAST(ceil(n * 0.005) AS BIGINT) FROM tot)
+    """,
+)
+def heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters (frequency ≥ 0.5%) over a deliberately
+    skewed key via distributed two-pass Misra–Gries
+    (operators/sketches.exact_heavy_hitters). The testdata's user_id
+    is near-uniform, so — same trick as bench.py's skew section — a
+    deterministic CASE folds ~40% of events onto 3 hot keys; the
+    mapping is part of the query on BOTH engines, so the oracle is
+    exact. Scale plan: pass A moves only partitions×ceil(1/phi)
+    candidate rows out of the mappers (never |distinct keys|); pass B
+    exact-counts the broadcast candidates map-side. The result is
+    bit-identical to the full GROUP BY ... HAVING the oracle runs —
+    sketch as EXECUTION STRATEGY, not approximation."""
+    from ..operators.sketches import exact_heavy_hitters
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") % 5 < 2, F.col("user_id") % 3)
+        .otherwise(F.col("user_id")).alias("hh_key"))
+    return exact_heavy_hitters(ev, "hh_key", phi=0.005)

@@ -580,6 +580,7 @@ def stream_dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @register(
     "stream_quality_filter",
+    tier="variant",
     oracle="""
     WITH scored AS (
         SELECT doc_id, lang,

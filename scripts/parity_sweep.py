@@ -15,7 +15,14 @@ Writes PARITY_SF001.json at the repo root:
 keyed in registry (natural) order, same shape as CORRECTNESS_r*.json
 so the judge can audit the non-driver-gated tail the same way.
 
-Usage: python scripts/parity_sweep.py [sf_dir] [out_json]
+Usage: python scripts/parity_sweep.py [sf_dir] [out_json] [only]
+  only: optional comma-separated query names — targeted re-check of
+  just-touched entries during development — OR the literal
+  `tier:core` / `tier:variant` to sweep one registry tier (see
+  plans/registry.TIERS: variants are alternate physical paths /
+  second-form twins kept as two-path correctness evidence; a
+  time-bounded sweep can skip them without losing capability
+  coverage). The committed artifact is always a FULL sweep.
 """
 from __future__ import annotations
 
@@ -54,6 +61,16 @@ def main() -> int:
 
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    if len(sys.argv) > 3:
+        sel = sys.argv[3]
+        if sel.startswith("tier:"):
+            from realtime_data_warehouse_spark.plans.registry import TIERS
+            want = sel.split(":", 1)[1]
+            queries = {k: v for k, v in queries.items()
+                       if TIERS.get(k, "core") == want}
+        else:
+            only = set(sel.split(","))
+            queries = {k: v for k, v in queries.items() if k in only}
     results: dict[str, dict] = {}
     t0 = time.time()
     n_fail = 0

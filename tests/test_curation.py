@@ -186,6 +186,26 @@ def test_min_label_propagation_converge_collapses_long_chains(spark):
     assert len({c for v, c in fixed.items() if v >= 100}) > 1
 
 
+def test_min_label_propagation_raises_when_cap_exhausted(spark):
+    """A 25-hop chain needs ~24 propagation rounds; with max_rounds=5
+    the fixpoint is NOT reached and converge mode must raise (never
+    silently return partial labels that claim component semantics)."""
+    import pytest
+
+    chain = [(i, i + 1) for i in range(25)]  # 26 vertices, diameter 25
+    pdf = spark.createDataFrame(chain, "doc_a long, doc_b long")
+    with pytest.raises(C.LabelPropagationDidNotConverge, match="max_rounds=5"):
+        C.min_label_propagation(pdf, rounds="converge", max_rounds=5).collect()
+    # a cap ≥ diameter converges fine on the same graph
+    got = {
+        r.id: r.cluster
+        for r in C.min_label_propagation(
+            pdf, rounds="converge", max_rounds=30
+        ).collect()
+    }
+    assert set(got.values()) == {0}
+
+
 def test_mask_contaminated_spans_covers_overlaps(spark):
     from realtime_data_warehouse_spark.operators import curation as C
 
