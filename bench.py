@@ -351,6 +351,15 @@ def main() -> None:
         "queries": timings_raw,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "layout": "driver layout as-served (single row group per table)",
+        "headline_note": (
+            "round-5 comparability break, in the HONEST direction: "
+            "tracked persists are now released between every timed "
+            "execution, so min-of-3 is the true cold-plan number — "
+            "through round 4 later passes could ride cached blocks "
+            "from pass 1 (e.g. dedup_minhash_lsh's shared shingle "
+            "pass), understating steady-state cost. Same machine, "
+            "same queries: ~1-2 s of the round-4 headline was "
+            "cache-riding, not execution."),
         "compaction_sec": compaction_sec,
         "value_compacted": round(sum(timings_compacted.values()), 3),
         "queries_compacted": timings_compacted,

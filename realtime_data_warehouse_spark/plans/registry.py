@@ -192,4 +192,5 @@ from . import quantstats  # noqa: E402,F401  (round 5 batch 2)
 from . import classics  # noqa: E402,F401  (round 5 batch 3)
 from . import decision_support  # noqa: E402,F401  (round 5 batch 4)
 from . import rollups  # noqa: E402,F401  (round 5 batch 4)
+from . import composites  # noqa: E402,F401  (round 5 batch 5)
 
