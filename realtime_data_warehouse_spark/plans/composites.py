@@ -3,10 +3,13 @@
 Each entry composes existing kernels into a capability users run as
 one query: gaps-and-islands streak analysis (the warehouse-classic
 consecutive-activity shape), reciprocal-rank fusion of two ANN
-retrievers (the standard hybrid-retrieval merge), and the
+retrievers (the standard hybrid-retrieval merge), the
 keep-best-quality near-dup policy (cluster, then keep the best
 member — the curation policy real LLM pipelines apply where
-keep-first would discard the superset copy).
+keep-first would discard the superset copy), winsorized robust
+statistics (exact discrete p01/p99 clipping without a global sort),
+and LSH-bucket label-noise detection (the mislabel QA pass run
+before training on labeled data).
 
 Appended last in plans/registry.py so every earlier round's driver
 gate prefix is untouched (append-only registry discipline).
@@ -268,4 +271,179 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("rk") == 1, F.col("doc_id"))).alias("kept_doc_id"),
         F.max(F.when(F.col("rk") == 1, F.col("n_chars"))).alias("kept_n_chars"),
         (F.count(F.lit(1)) - 1).alias("n_dropped"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Robust statistics: winsorized (p01/p99-clipped) per-group metrics
+# ---------------------------------------------------------------------------
+
+@register(
+    "winsorized_price_stats",
+    # The quantile rank is stated with INTEGER arithmetic on both
+    # sides — ceil(n/100) = (n+99)//100, ceil(99n/100) = (99n+99)//100
+    # — so no engine's double multiply (0.01*n can land a ulp above
+    # the exact product and flip the ceil) decides a threshold.
+    oracle="""
+    WITH counts AS (
+        SELECT l_returnflag AS g, l_extendedprice AS x, count(*) AS c
+        FROM lineitem GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT g, x,
+               sum(c) OVER (PARTITION BY g ORDER BY x) AS cum,
+               sum(c) OVER (PARTITION BY g) AS n
+        FROM counts
+    ),
+    th AS (
+        SELECT g,
+               min(CASE WHEN cum >= (n + 99) // 100 THEN x END)      AS lo,
+               min(CASE WHEN cum >= (99 * n + 99) // 100 THEN x END) AS hi
+        FROM cum GROUP BY g
+    )
+    SELECT l.l_returnflag, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(greatest(t.lo, least(t.hi, l.l_extendedprice))
+                         AS DECIMAL(18,2))) AS DOUBLE)   AS sum_winsorized,
+           CAST(SUM(CASE WHEN l.l_extendedprice < t.lo THEN 1 ELSE 0 END)
+                AS BIGINT)                                AS clipped_low,
+           CAST(SUM(CASE WHEN l.l_extendedprice > t.hi THEN 1 ELSE 0 END)
+                AS BIGINT)                                AS clipped_high
+    FROM lineitem l JOIN th t ON l.l_returnflag = t.g
+    GROUP BY 1
+    """,
+)
+def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group statistics via winsorization: clip
+    l_extendedprice at the group's exact discrete p01/p99, then
+    aggregate — the outlier-hardening step metric pipelines apply
+    before training on heavy-tailed columns.
+
+    Plan: per-(group, value) pre-aggregate first (the shuffle carries
+    distinct values, not rows), cumulative-count window per group
+    locates both thresholds in one pass, the |groups|-row threshold
+    table broadcasts back, and the clip is a map-side expression
+    inside the final aggregate. No global sort, no per-row rank. For
+    value domains too large even pre-aggregated, swap the threshold
+    stage for operators/agg.two_pass_exact_quantile (same rank
+    convention)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy(
+        F.col("l_returnflag").alias("g"),
+        F.col("l_extendedprice").alias("x"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wcum = (
+        Window.partitionBy("g").orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("g")
+    cum = counts.select(
+        "g", "x",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    lo_rank = F.expr("(n + 99) div 100")
+    hi_rank = F.expr("(99 * n + 99) div 100")
+    th = cum.groupBy("g").agg(
+        F.min(F.when(F.col("cum") >= lo_rank, F.col("x"))).alias("lo"),
+        F.min(F.when(F.col("cum") >= hi_rank, F.col("x"))).alias("hi"),
+    )
+    joined = li.join(
+        F.broadcast(th), li["l_returnflag"] == th["g"]
+    )
+    clipped = F.greatest(
+        F.col("lo"), F.least(F.col("hi"), F.col("l_extendedprice"))
+    )
+    return joined.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(clipped.cast("decimal(18,2)")).cast("double")
+        .alias("sum_winsorized"),
+        F.sum(F.when(F.col("l_extendedprice") < F.col("lo"), 1)
+              .otherwise(0)).alias("clipped_low"),
+        F.sum(F.when(F.col("l_extendedprice") > F.col("hi"), 1)
+              .otherwise(0)).alias("clipped_high"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Label-noise detection: LSH-bucket majority disagreement
+# ---------------------------------------------------------------------------
+
+@register(
+    "label_noise_candidates",
+    oracle=f"""
+    WITH vb AS ({_LSH_BUCKET_SQL}),
+    lab AS (SELECT v.vec_id, v.bucket, e.label
+            FROM vb v JOIN embeddings e USING (vec_id)),
+    counts AS (
+        SELECT bucket, label, count(*) AS c
+        FROM lab GROUP BY 1, 2
+    ),
+    maj AS (
+        SELECT bucket, label AS majority_label, c AS maj_c,
+               sum(c) OVER (PARTITION BY bucket) AS total
+        FROM counts
+        QUALIFY row_number() OVER (
+            PARTITION BY bucket ORDER BY c DESC, label
+        ) = 1
+    )
+    SELECT l.vec_id, l.label, l.bucket, m.majority_label,
+           CAST(m.total AS BIGINT) AS bucket_size,
+           round(m.maj_c / CAST(m.total AS DOUBLE), 6) AS majority_frac
+    FROM lab l JOIN maj m USING (bucket)
+    WHERE l.label <> m.majority_label
+      AND m.total >= 5
+      AND m.maj_c * 5 >= m.total * 3
+    """,
+)
+def label_noise_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mislabel detection — the dataset-QA pass run before training on
+    labeled embeddings: inside each sign-LSH bucket (geometrically
+    close vectors), flag members whose label disagrees with the
+    bucket's majority label, when the bucket is big enough (≥5) and
+    decisive enough (majority ≥ 60%, stated as maj·5 ≥ total·3 in
+    integer arithmetic). Same confidence idea as "Confident Learning"
+    pruning, computed purely relationally.
+
+    Scale: bucket assignment is one map-side sign expression on the
+    raw float coordinates (bit-identical in any engine — no double
+    cast before the comparison); counts shuffle on (bucket, label);
+    the majority table is |buckets| rows, broadcast back. Bucket
+    width (8 bits here) tunes the geometry/recall trade exactly like
+    ann_lsh_topk, whose hash family this shares."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    bucket = None
+    for i in range(8):
+        term = F.when(F.col("embedding").getItem(i * 8) >= 0,
+                      F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = term if bucket is None else bucket + term
+    lab = emb.select("vec_id", "label", bucket.alias("bucket"))
+    counts = lab.groupBy("bucket", "label").agg(
+        F.count(F.lit(1)).alias("c"))
+    wtot = Window.partitionBy("bucket")
+    wrk = Window.partitionBy("bucket").orderBy(
+        F.col("c").desc(), "label")
+    maj = (
+        counts.select(
+            "bucket",
+            F.col("label").alias("majority_label"),
+            F.col("c").alias("maj_c"),
+            F.sum("c").over(wtot).alias("total"),
+            F.row_number().over(wrk).alias("rk"),
+        )
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+    return (
+        lab.join(F.broadcast(maj), "bucket")
+        .filter(
+            (F.col("label") != F.col("majority_label"))
+            & (F.col("total") >= 5)
+            & (F.col("maj_c") * 5 >= F.col("total") * 3)
+        )
+        .select(
+            "vec_id", "label", "bucket", "majority_label",
+            F.col("total").alias("bucket_size"),
+            F.round(F.col("maj_c") / F.col("total").cast("double"), 6)
+            .alias("majority_frac"),
+        )
     )

@@ -54,6 +54,14 @@ def main() -> None:
     import __spark_entry__ as entry_mod  # noqa: F401  (applies session prep)
 
     from realtime_data_warehouse_spark.plans.registry import QUERIES
+    from realtime_data_warehouse_spark.shipping import ship_package
+
+    # Raw QUERIES skip the entry wrapper's _prepare, so the package is
+    # never shipped to Python workers — queries that execute helper
+    # jobs during plan BUILD (k-means training mapInPandas in
+    # ann_ivf_trained_topk) then die with an import error when the
+    # audit runs outside the repo root. Ship explicitly.
+    ship_package(spark)
 
     out: dict[str, dict] = {}
     for name, fn in QUERIES.items():

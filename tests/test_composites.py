@@ -90,3 +90,32 @@ def test_keep_best_quality_keeps_cluster_argmax(spark, sf_small):
         best = min(members, key=lambda d: (-docs[d], d))
         assert r.kept_doc_id == best
         assert r.kept_n_chars == docs[best]
+
+
+def test_winsorized_stats_invariants(spark, sf_small):
+    li = spark.read.parquet(f"{sf_small}/lineitem.parquet")
+    totals = {r.l_returnflag: r.n for r in
+              li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
+              .collect()}
+    out = QUERIES["winsorized_price_stats"](spark, sf_small).collect()
+    assert {r.l_returnflag for r in out} == set(totals)
+    for r in out:
+        assert r.n == totals[r.l_returnflag]
+        # p01/p99 clip: at most ~1% clipped on each side (ceil slack)
+        assert r.clipped_low <= r.n // 100 + 1
+        assert r.clipped_high <= r.n // 100 + 1
+        assert r.sum_winsorized > 0
+
+
+def test_label_noise_candidates_disagree_with_majority(spark, sf_small):
+    rows = QUERIES["label_noise_candidates"](spark, sf_small).collect()
+    for r in rows:
+        assert r.label != r.majority_label
+        assert r.bucket_size >= 5
+        assert r.majority_frac >= 0.6 - 1e-9
+    # every flagged vector's label must exist in the raw table
+    emb = {r.vec_id: r.label for r in
+           spark.read.parquet(f"{sf_small}/embeddings.parquet")
+           .select("vec_id", "label").collect()}
+    for r in rows:
+        assert emb[r.vec_id] == r.label

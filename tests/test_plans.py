@@ -21,7 +21,11 @@ def physical_plan(df) -> str:
 #: brute-force ANN is all-pairs by definition; its BroadcastNestedLoop
 #: (small query set broadcast, corpus streamed) is the correct plan.
 #: ann_recall_report embeds that same brute pass as its ground truth.
-ALL_PAIRS_BY_DESIGN = {"ann_brute_topk", "ann_recall_report"}
+ALL_PAIRS_BY_DESIGN = {
+    "ann_brute_topk",     # labeled brute-force ANN ground truth
+    "ann_recall_report",  # composes the brute retriever as truth
+    "ann_rrf_fusion",     # fuses the brute retriever (exact list)
+}
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))

@@ -274,3 +274,79 @@ def test_containment_join_complete_vs_bruteforce(spark, docs):
             if len(sa & sb) * 3 >= len(sa) * 2:
                 want.add((i, j))
     assert got == want
+
+
+@given(
+    left=st.lists(
+        st.tuples(st.sampled_from(["a", "b"]),
+                  st.integers(min_value=0, max_value=100)),
+        min_size=1, max_size=25,
+    ),
+    right=st.lists(
+        st.tuples(st.sampled_from(["a", "b"]),
+                  st.integers(min_value=0, max_value=100),
+                  st.integers(min_value=-50, max_value=50)),
+        min_size=1, max_size=25,
+    ),
+    direction=st.sampled_from(["backward", "forward"]),
+    tolerance=st.sampled_from([None, 10]),
+)
+@_settings
+def test_asof_join_equals_pandas_merge_asof(spark, left, right,
+                                            direction, tolerance):
+    """asof_join (union-scan window plan) reproduces
+    pandas.merge_asof — the reference semantics for as-of joins —
+    for both directions, with and without tolerance, including
+    equal-timestamp inclusivity and unmatched-left nulls."""
+    import pandas as pd
+
+    from realtime_data_warehouse_spark.operators.joins import asof_join
+
+    # right must be unique per (key, ts): the match "latest right at
+    # ts T" is ill-defined otherwise (documented contract)
+    rmap = {(k, ts): v for k, ts, v in right}
+    rrows = [(k, float(ts), v) for (k, ts), v in sorted(rmap.items())]
+    ldf = spark.createDataFrame(
+        [(k, float(ts), i) for i, (k, ts) in enumerate(left)],
+        "k string, ts double, lid long",
+    )
+    rdf = spark.createDataFrame(rrows, "k string, ts double, rval long")
+
+    kwargs = {}
+    pd_kwargs = {}
+    if tolerance is not None:
+        # numeric tolerance: express the same bound via pandas; the
+        # Spark operator takes an INTERVAL literal, so feed it
+        # timestamps (epoch seconds) instead of raw doubles
+        from datetime import datetime, timezone
+
+        def to_ts(s):
+            return datetime.fromtimestamp(s, tz=timezone.utc)
+
+        ldf = ldf.select("k", F.timestamp_seconds("ts").alias("ts"), "lid")
+        rdf = rdf.select("k", F.timestamp_seconds("ts").alias("ts"), "rval")
+        kwargs["tolerance"] = f"{tolerance} seconds"
+        pd_kwargs["tolerance"] = pd.Timedelta(seconds=tolerance)
+
+    got = {
+        r.lid: r.rval
+        for r in asof_join(ldf, rdf, "k", "ts", "ts",
+                           direction=direction, **kwargs).collect()
+    }
+
+    lp = pd.DataFrame(
+        [(k, float(ts), i) for i, (k, ts) in enumerate(left)],
+        columns=["k", "ts", "lid"],
+    ).sort_values("ts", kind="stable")
+    rp = pd.DataFrame(rrows, columns=["k", "ts", "rval"]).sort_values(
+        "ts", kind="stable")
+    if tolerance is not None:
+        lp["ts"] = pd.to_datetime(lp["ts"], unit="s", utc=True)
+        rp["ts"] = pd.to_datetime(rp["ts"], unit="s", utc=True)
+    merged = pd.merge_asof(lp, rp, on="ts", by="k",
+                           direction=direction, **pd_kwargs)
+    want = {
+        int(r.lid): (None if pd.isna(r.rval) else int(r.rval))
+        for r in merged.itertuples(index=False)
+    }
+    assert got == want
