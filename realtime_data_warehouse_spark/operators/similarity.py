@@ -44,14 +44,36 @@ def cosine(a, b) -> F.Column:
     return dot(a, b) / (norm2(a) * norm2(b))
 
 
+def _topk_cut(scored: DataFrame, k: int, rank_rounded: bool) -> DataFrame:
+    """Shared top-k cut for the cosine retrievers. With
+    ``rank_rounded`` the k-boundary is decided on the ROUND-6 cosine
+    (neighbor-id tie-break) instead of the raw double: sub-round(6)
+    FP differences between engines at the boundary then cannot select
+    different member SETS — the same convention downstream consumers
+    (ann_rrf_fusion's rank assignment) already use. Default stays the
+    raw-cosine cut so the long-registered ann_* oracle entries are
+    byte-unchanged."""
+    order = F.round("cos_sim", 6) if rank_rounded else F.col("cos_sim")
+    w = Window.partitionBy("query_id").orderBy(
+        order.desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"))
+    )
+
+
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
-                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     rank_rounded: bool = False) -> DataFrame:
     """Exact top-k neighbors per query by cosine.
 
     queries is broadcast (probe batches are small); the corpus is
     scanned once per batch; per-query ranking is a window over the
     (query, corpus) pairs partitioned by query id. Deterministic
-    tie-break on neighbor id.
+    tie-break on neighbor id (on the round-6 cosine when
+    ``rank_rounded`` — see _topk_cut).
 
     Norms are precomputed per side BEFORE the join — inside the pair
     expression they would be folded again for every (query, corpus)
@@ -67,12 +89,7 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     scored = pairs.withColumn(
         "cos_sim", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"))
-    )
+    return _topk_cut(scored, k, rank_rounded)
 
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
@@ -120,7 +137,8 @@ def lsh_sign_bucket(vec_col, bits: int = 8, stride: int = 8) -> F.Column:
 
 def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             bits: int = 8, stride: int = 8) -> DataFrame:
+             bits: int = 8, stride: int = 8,
+             rank_rounded: bool = False) -> DataFrame:
     """LSH-bucketed ANN — the hash-partitioned scale path the task's
     similarity-search family calls for alongside IVF: corpus and
     probes bucket by sign-LSH, candidates come from a bucket
@@ -145,14 +163,7 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     scored = pairs.withColumn(
         "cos_sim", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"))
-    )
+    return _topk_cut(scored, k, rank_rounded)
 
 
 def cosine_near_dup_pairs(vectors: DataFrame, threshold: float = 0.95,

@@ -91,9 +91,12 @@ def user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Candidate lists ranked exactly as the registered ann_* entries are:
 # cosine over DOUBLE-cast embeddings, deterministic neighbor-id
-# tie-break. Ranks (and hence RRF scores) are computed from the
-# ROUNDED cosine on both sides so rank assignment never depends on
-# sub-round(6) ulps.
+# tie-break. BOTH the rank assignment AND the top-10 candidate-set
+# cut use the ROUNDED cosine (QUALIFY orders by cos6 — round-6
+# advice): a sub-round(6) ulp difference between engines at the k
+# boundary can otherwise select different member SETS, and fusion
+# compounds that across two lists. The Spark side passes
+# rank_rounded=True for the same convention.
 _RRF_LIST_SQL = """
     SELECT query_id, neighbor_id,
            row_number() OVER (
@@ -107,11 +110,7 @@ _RRF_LIST_SQL = """
         FROM v q JOIN v c ON c.vec_id <> q.vec_id {cond}
         WHERE q.vec_id < 10
         QUALIFY row_number() OVER (
-            PARTITION BY q.vec_id
-            ORDER BY list_inner_product(q.e, c.e)
-                     / sqrt(list_inner_product(q.e, q.e)
-                            * list_inner_product(c.e, c.e)) DESC,
-                     c.vec_id
+            PARTITION BY q.vec_id ORDER BY cos6 DESC, c.vec_id
         ) <= 10
     )
 """
@@ -180,8 +179,8 @@ def ann_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     contrib = None
     for lst in (
-        S.brute_force_topk(emb, queries, k=10),
-        S.lsh_topk(emb, queries, k=10),
+        S.brute_force_topk(emb, queries, k=10, rank_rounded=True),
+        S.lsh_topk(emb, queries, k=10, rank_rounded=True),
     ):
         c = lst.select(
             "query_id", "neighbor_id",
@@ -404,19 +403,21 @@ def label_noise_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer arithmetic). Same confidence idea as "Confident Learning"
     pruning, computed purely relationally.
 
-    Scale: bucket assignment is one map-side sign expression on the
-    raw float coordinates (bit-identical in any engine — no double
-    cast before the comparison); counts shuffle on (bucket, label);
+    Scale: bucket assignment is one map-side sign expression
+    (float→double widening is exact, so the sign — and the bucket —
+    is bit-identical in any engine); counts shuffle on (bucket, label);
     the majority table is |buckets| rows, broadcast back. Bucket
     width (8 bits here) tunes the geometry/recall trade exactly like
     ann_lsh_topk, whose hash family this shares."""
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
-    bucket = None
-    for i in range(8):
-        term = F.when(F.col("embedding").getItem(i * 8) >= 0,
-                      F.lit(1 << i)).otherwise(F.lit(0))
-        bucket = term if bucket is None else bucket + term
-    lab = emb.select("vec_id", "label", bucket.alias("bucket"))
+    # Bucket expression comes from the ONE shared hash-family source
+    # (operators/similarity.lsh_sign_bucket) so a bits/stride/sign
+    # change there cannot silently desynchronize this plan from
+    # ann_lsh_topk or from the oracle's unrolled form (round-5 advice).
+    lab = emb.select(
+        "vec_id", "label",
+        S.lsh_sign_bucket(F.col("embedding")).alias("bucket"),
+    )
     counts = lab.groupBy("bucket", "label").agg(
         F.count(F.lit(1)).alias("c"))
     wtot = Window.partitionBy("bucket")
