@@ -107,6 +107,28 @@ def test_tokenize_expression(spark):
     assert toks[1].t == []
 
 
+def test_tokenize_cjk_bigram_fallback(spark):
+    # IK-segmenter stand-in (round-6): Han runs → character bigrams,
+    # in document order, interleaved with ASCII runs; a lone Han char
+    # is its own token; ASCII-only text is byte-identical to the
+    # pre-round-6 split (previous test pins that).
+    df = spark.createDataFrame(
+        [("深度学习 with Spark 3",), ("好",), ("mix深度mix",)], "s string"
+    )
+    toks = [r.t for r in df.select(tokenize("s").alias("t")).collect()]
+    assert toks[0] == ["深度", "度学", "学习", "with", "spark", "3"]
+    assert toks[1] == ["好"]
+    assert toks[2] == ["mix", "深度", "mix"]
+    # the SQL kw_split macro shares the same convention
+    from realtime_data_warehouse_spark.functions.tokenize import (
+        register_sql_functions,
+    )
+
+    register_sql_functions(spark)
+    row = spark.sql("SELECT kw_split('深度学习 with Spark 3') AS t").collect()[0]
+    assert row.t == ["深度", "度学", "学习", "with", "spark", "3"]
+
+
 def test_snake_case():
     assert snake_case("skuName") == "sku_name"
     assert snake_case("orderDetailId") == "order_detail_id"
