@@ -713,3 +713,37 @@ def test_scd2_merge_batch_crash_recovery(spark, tmp_path):
            for r in spark.read.parquet(tdir).collect()}
     assert got == {(1, 0): (10, 1), (1, 1): (20, 2), (1, 2): (30, None)}
     assert not os.path.exists(tdir + ".__old__")
+
+
+def test_rocksdb_state_store_same_output(spark, sf_small, tmp_path):
+    """The RocksDB provider (session.use_rocksdb_state — the
+    state-bigger-than-heap production config) must produce the exact
+    rows the default in-memory store does: same A7 replay, two
+    providers, set-equal output."""
+    from realtime_data_warehouse_spark.session import use_rocksdb_state
+
+    events = load_table(spark, sf_small, "events").select(
+        F.col("user_id").cast("string").alias("uid"),
+        F.unix_timestamp("ts").alias("ts_s"),
+    )
+    in_dir = staged_files_dir(events, str(tmp_path), n_files=3, order_col="ts_s")
+
+    def drain(tag: str):
+        sdf = (
+            spark.readStream.schema("uid string, ts_s long")
+            .option("maxFilesPerTrigger", "1").parquet(in_dir)
+        )
+        out = str(tmp_path / f"out_{tag}")
+        run_available_now(
+            daily_first_event_stream(sdf, "uid", "ts_s"), out,
+            str(tmp_path / f"ck_{tag}"),
+        )
+        return sorted(map(tuple, read_back(spark, out).collect()))
+
+    default_rows = drain("default")
+    use_rocksdb_state(spark, True)
+    try:
+        rocks_rows = drain("rocksdb")
+    finally:
+        use_rocksdb_state(spark, False)
+    assert rocks_rows == default_rows
