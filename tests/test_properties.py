@@ -350,3 +350,38 @@ def test_asof_join_equals_pandas_merge_asof(spark, left, right,
         for r in merged.itertuples(index=False)
     }
     assert got == want
+
+
+@given(events=st.lists(
+    st.tuples(st.integers(0, 50),                   # ts
+              st.sampled_from(["view", "click", "purchase", "other"])),
+    min_size=0, max_size=40),
+    split=st.integers(0, 40))
+@_settings
+def test_advance_funnel_vec_equals_reference(events, split):
+    """advance_funnel_vec (the masked-minima transition funnel_stream
+    actually runs, round-6 vectorization) must equal the reference
+    per-event walk for ANY unordered event soup and ANY batch split —
+    including mid-batch stage completions, duplicate timestamps and
+    pre-completed state carried across the boundary."""
+    import numpy as np
+
+    from realtime_data_warehouse_spark.streaming.stateful import (
+        advance_funnel,
+        advance_funnel_vec,
+    )
+
+    stages = ("view", "click", "purchase")
+    stage_of = {s: i for i, s in enumerate(stages)}
+    cut = min(split, len(events))
+    batches = [events[:cut], events[cut:]]
+
+    t_ref: list = [None, None, None]
+    t_vec: list = [None, None, None]
+    for b in batches:
+        advance_funnel(t_ref, sorted(b), stage_of)
+        if b:
+            ts = np.asarray([e[0] for e in b], dtype="int64")
+            ty = np.asarray([e[1] for e in b], dtype=object)
+            advance_funnel_vec(t_vec, ts, ty, stages)
+    assert t_vec == t_ref
