@@ -194,3 +194,4 @@ from . import decision_support  # noqa: E402,F401  (round 5 batch 4)
 from . import rollups  # noqa: E402,F401  (round 5 batch 4)
 from . import composites  # noqa: E402,F401  (round 5 batch 5)
 
+from . import round6  # noqa: E402,F401  (round 6 — append-only: imported after composites)
