@@ -210,3 +210,207 @@ def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         result = row if result is None else result.unionByName(row)
     return result
+
+
+# ---------------------------------------------------------------------------
+# J1's FULL 4-way order-wide join as chained stream-stream joins
+# ---------------------------------------------------------------------------
+
+@register(
+    "stream_order_wide_join",
+    tier="variant",
+    # Same relational answer as the batch dwd_trade_order_detail entry
+    # (one oracle family, two physical paths — stream ≡ batch ≡ SQL).
+    oracle="""
+    SELECT l.l_orderkey * 100 + l.l_linenumber AS id,
+           l.l_orderkey                        AS order_id,
+           l.l_partkey                         AS sku_id,
+           CAST(l.l_quantity AS BIGINT)        AS sku_num,
+           CAST(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                * CAST(1 - l.l_discount AS DECIMAL(3,2)) AS DOUBLE) AS split_total_amount,
+           o.o_custkey                         AS user_id,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS create_time,
+           a.activity_id,
+           c.coupon_id
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    LEFT JOIN (
+        SELECT l_orderkey * 100 + l_linenumber AS order_detail_id,
+               l_orderkey % 5                  AS activity_id
+        FROM lineitem WHERE l_orderkey % 7 = 0
+    ) a ON l.l_orderkey * 100 + l.l_linenumber = a.order_detail_id
+    LEFT JOIN (
+        SELECT l_orderkey * 100 + l_linenumber AS order_detail_id,
+               l_orderkey % 3                  AS coupon_id
+        FROM lineitem WHERE l_orderkey % 11 = 0
+    ) c ON l.l_orderkey * 100 + l.l_linenumber = c.order_detail_id
+    """,
+)
+def stream_order_wide_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's FULL 4-way order-wide chain
+    (DwdTradeOrderDetail.java:68-92: detail ⋈ order ⟕ activity ⟕
+    coupon, idle-state TTL 5-15 s) as CHAINED STREAM-STREAM JOINS —
+    round-6 closure of the gap where only the 2-way LEFT interval
+    join ran as a stream. All four inputs replay as independent
+    file streams split into 3 time-ordered micro-batches each, so
+    every join must match rows across batch boundaries from state.
+
+    Event-time model: each CDC row carries its transaction's commit
+    time — the order's o_orderdate — as all four streams' ts (the
+    reference joins changelog topics of one DB transaction, which is
+    why its 5 s TTL works). Each hop is a windowed equi join with a
+    ±1 h bound: the bound IS the TTL (state for a row is evicted once
+    the other side's watermark passes its window), so per-key state
+    is rate×2 h, not the stream's history. LEFT hops emit their null
+    rows only when the watermark PROVES no match can arrive; one
+    far-future sentinel per input advances the min-policy watermark
+    so availableNow's final no-data batch flushes every outer state
+    (same discipline as stream_left_interval_join).
+
+    Scale: three stateful joins all keyed on order-derived ids — the
+    order_id hash co-locates hop 1, the detail-id hops reuse that
+    partitioning; state bounded by the window on every hop."""
+    from ..streaming.joins import windowed_equi_join
+    from ..streaming.runner import read_back, run_available_now
+    from .streaming_queries import _stage_once
+
+    rundir = tempfile.mkdtemp(prefix="rdw_streamq_owj_")
+    out, ck = os.path.join(rundir, "out"), os.path.join(rundir, "ck")
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    commit_ts = orders.select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_orderdate").cast("timestamp").alias("ts"),
+    )
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = (F.lit(1) - F.col("l_discount")).cast("decimal(3,2)")
+    detail = li.select(
+        (F.col("l_orderkey") * 100 + F.col("l_linenumber")).alias("id"),
+        F.col("l_orderkey").alias("order_id"),
+        F.col("l_partkey").alias("sku_id"),
+        F.col("l_quantity").cast("long").alias("sku_num"),
+        (price * disc).cast("double").alias("split_total_amount"),
+    ).join(commit_ts, "order_id").withColumnRenamed("ts", "d_ts")
+    order = orders.select(
+        F.col("o_orderkey").alias("o_order_id"),
+        F.col("o_custkey").alias("user_id"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("create_time"),
+        F.col("o_orderdate").cast("timestamp").alias("o_ts"),
+    )
+    activity = li.filter(F.col("l_orderkey") % 7 == 0).select(
+        (F.col("l_orderkey") * 100 + F.col("l_linenumber"))
+        .alias("a_detail_id"),
+        (F.col("l_orderkey") % 5).alias("activity_id"),
+        F.col("l_orderkey").alias("order_id"),
+    ).join(commit_ts, "order_id").select(
+        "a_detail_id", "activity_id", F.col("ts").alias("a_ts"))
+    coupon = li.filter(F.col("l_orderkey") % 11 == 0).select(
+        (F.col("l_orderkey") * 100 + F.col("l_linenumber"))
+        .alias("c_detail_id"),
+        (F.col("l_orderkey") % 3).alias("coupon_id"),
+        F.col("l_orderkey").alias("order_id"),
+    ).join(commit_ts, "order_id").select(
+        "c_detail_id", "coupon_id", F.col("ts").alias("c_ts"))
+
+    def build(base: str):
+        import time as _time
+        from datetime import timedelta
+
+        # ONE boundary set for all four streams (order-date terciles):
+        # per-stream repartitionByRange would cut at each dataset's own
+        # quantiles, so batch k of one stream could span time batch k+1
+        # of another — a row then arrives behind the min-policy
+        # watermark and is dropped (measured: 2 rows lost at sf0.001).
+        # Time-aligned files make batch k cover the same [bk, bk+1) on
+        # every input, so nothing is ever late under the 1 h delay.
+        mx, c1, c2 = orders.select(
+            F.max("o_orderdate"),
+            F.expr("percentile(unix_timestamp(o_orderdate), 0.3333)"),
+            F.expr("percentile(unix_timestamp(o_orderdate), 0.6667)"),
+        ).collect()[0]
+        far = mx + timedelta(days=400)
+        dirs = {}
+        for name, df, ts_col, sentinel in (
+            ("detail", detail, "d_ts", (-2, -2, -2, 0, 0.0, far)),
+            ("order", order, "o_ts", (-1, -1, "x", far)),
+            ("activity", activity, "a_ts", (-3, -3, far)),
+            ("coupon", coupon, "c_ts", (-4, -4, far)),
+        ):
+            d = os.path.join(base, name, "in")
+            ep = F.unix_timestamp(ts_col)
+            parts = [
+                df.filter(ep < c1),
+                df.filter((ep >= c1) & (ep < c2)),
+                df.filter(ep >= c2),
+                spark.createDataFrame([sentinel], df.schema),
+            ]
+            for i, p in enumerate(parts):
+                p.coalesce(1).write.mode("append").parquet(d)
+            # FileStreamSource orders by mtime: stamp part files in
+            # write order so file i replays as micro-batch i
+            files = sorted(
+                (os.path.getmtime(os.path.join(d, f)), f)
+                for f in os.listdir(d)
+                if f.startswith("part-") and f.endswith(".parquet")
+            )
+            t0 = int(_time.time()) - len(files) - 10
+            for i, (_, f) in enumerate(files):
+                os.utime(os.path.join(d, f), (t0 + i, t0 + i))
+            dirs[name] = d
+        return dirs
+
+    dirs = _stage_once(sf_dir, "owj_4way", build)
+
+    def stream(name, df, ts_col):
+        return (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", "1").parquet(dirs[name])
+            .withWatermark(ts_col, "1 hour")
+        )
+
+    s_detail = stream("detail", detail, "d_ts")
+    s_order = stream("order", order, "o_ts")
+    s_activity = stream("activity", activity, "a_ts")
+    s_coupon = stream("coupon", coupon, "c_ts")
+
+    # each hop's output must carry exactly ONE event-time column for
+    # the next stateful operator — keep the detail side's d_ts, drop
+    # the probed side's watermark column once the hop has used it
+    hop1 = windowed_equi_join(
+        s_detail, s_order,
+        equi=F.col("order_id") == F.col("o_order_id"),
+        left_ts="d_ts", right_ts="o_ts", ttl="1 hour", how="inner",
+    ).drop("o_order_id", "o_ts")
+    hop2 = windowed_equi_join(
+        hop1, s_activity,
+        equi=F.col("id") == F.col("a_detail_id"),
+        left_ts="d_ts", right_ts="a_ts", ttl="1 hour", how="left",
+    ).drop("a_detail_id", "a_ts")
+    wide = windowed_equi_join(
+        hop2, s_coupon,
+        equi=F.col("id") == F.col("c_detail_id"),
+        left_ts="d_ts", right_ts="c_ts", ttl="1 hour", how="left",
+    ).drop("c_detail_id", "c_ts")
+
+    # Three chained stateful joins each keep state in
+    # spark.sql.shuffle.partitions stores per micro-batch; an untuned
+    # 200-partition session pays 3×200 store commits × 12 batches of
+    # pure overhead at this data size (measured: 222 s vanilla vs tens
+    # of seconds tuned). Pin a replay-sized count for THIS query's
+    # checkpoint; restore the session value after.
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        run_available_now(wide, out, ck)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+        else:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    # sentinels cannot reach the output (hop 1 is inner and no
+    # sentinel key matches across inputs); the guard only documents it
+    return read_back(spark, out).filter(F.col("order_id") >= 0).select(
+        "id", "order_id", "sku_id", "sku_num", "split_total_amount",
+        "user_id", "create_time", "activity_id", "coupon_id",
+    )
