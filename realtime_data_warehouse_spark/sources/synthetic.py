@@ -86,3 +86,110 @@ def zipf_documents(spark: SparkSession, n_docs: int = 5000,
              .alias("text"))
         .withColumn("n_chars", F.length("text"))
     )
+
+
+def synthetic_embeddings(spark: SparkSession, n_vecs: int = 2000,
+                         dim: int = 64, n_labels: int = 10,
+                         noise: float = 1.5, dup_frac: float = 0.1,
+                         dup_noise: float = 0.25) -> DataFrame:
+    """(vec_id, embedding array<float>, label) — deterministic
+    clustered vectors with PLANTED near-dups for ANN/dedup scaling
+    runs: each label owns a hash-derived centroid in [−1, 1]^dim;
+    base vectors are centroid + `noise`-scaled per-(id, dim) hash
+    noise (sized so same-cluster NON-dup cosine sits ≈ 0.5 — below
+    every dedup threshold, keeping output pair counts LINEAR in n);
+    the last `dup_frac` of ids are copies of base vectors with small
+    `dup_noise` perturbation (cosine ≈ 0.95 — above the thresholds),
+    carrying the source's label so block-keyed dedup can find them.
+    Pure integer multiplicative-hash uniforms (no RNG, no time) →
+    byte-identical on any engine/partitioning/retry. Generated in one
+    vectorized mapInPandas pass — corpus STAGING, not a hot path, but
+    it still distributes."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    dims = np.arange(dim, dtype=np.uint64)
+    n_base = max(1, int(n_vecs * (1.0 - dup_frac)))
+
+    def gen(batches):
+        def mix(z):
+            # splitmix64 finalizer — FULL avalanche. A plain
+            # multiplicative-mod hash is an LCG: consecutive ids'
+            # "noise" differs by a constant tiny step per coordinate,
+            # which silently plants near-dups EVERYWHERE (measured:
+            # 76k pairs ≥0.9 cosine at n=2000). uint64 mults wrap
+            # mod 2^64, which is the point.
+            z = (z + np.uint64(0x9E3779B97F4A7C15))
+            z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            return z ^ (z >> np.uint64(31))
+
+        def unit(keys, salt):
+            # uniform in [0, 1) per (key, dim)
+            z = mix(keys[:, None] * np.uint64(dim + 1)
+                    + dims[None, :] + np.uint64(salt))
+            return z.astype(np.float64) / float(1 << 64)
+
+        def tri(keys, salt):
+            # triangular in (−1, 1), mean 0, var 1/6
+            return unit(keys, salt) + unit(keys, salt + 7919) - 1.0
+
+        for pdf in batches:
+            ids = pdf["id"].to_numpy("uint64")
+            # clones re-derive their SOURCE's base vector exactly
+            src = np.where(ids >= n_base, (ids - np.uint64(n_base))
+                           * np.uint64(7) % np.uint64(n_base), ids)
+            lab = (src % np.uint64(n_labels)).astype(np.uint64)
+            centers = 2.0 * unit(lab, 104729) - 1.0
+            X = centers + noise * tri(src, 1)
+            is_dup = (ids >= n_base)[:, None]
+            X = X + np.where(is_dup, dup_noise * tri(ids, 3), 0.0)
+            X = X.astype(np.float32)
+            yield pd.DataFrame({
+                "vec_id": ids.astype(np.int64),
+                "embedding": [row for row in X],
+                "label": lab.astype(np.int32),
+            })
+
+    return spark.range(n_vecs).mapInPandas(
+        gen, schema="vec_id long, embedding array<float>, label int")
+
+
+def synthetic_upserts(spark: SparkSession, n_keys: int = 100_000,
+                      versions: int = 2) -> DataFrame:
+    """(id string, ts long, amt double, fee double) upsert changelog:
+    `versions` rows per key with increasing ts — the input shape the
+    A6 delta-correction stream consumes. Amounts are hash-derived
+    (deterministic); later versions revise earlier ones, so the
+    delta kernel's prev-state path is exercised for every key.
+    Expression-only: one range scan, no shuffle."""
+    rows = spark.range(n_keys * versions)
+    key = (F.col("id") % n_keys).cast("long")
+    ver = (F.col("id") / n_keys).cast("long")
+    return rows.select(
+        key.cast("string").alias("id"),
+        ver.alias("ts"),
+        (F.pmod(F.xxhash64(key, ver, F.lit("amt")), F.lit(10_000))
+         .cast("double") / 100.0).alias("amt"),
+        (F.pmod(F.xxhash64(key, ver, F.lit("fee")), F.lit(1_000))
+         .cast("double") / 100.0).alias("fee"),
+    )
+
+
+def synthetic_user_events(spark: SparkSession, n_events: int = 100_000,
+                          n_users: int = 10_000,
+                          days: int = 30) -> DataFrame:
+    """(uid string, ts_s long) event stream over `days` days — the A7
+    daily-UV input shape at a chosen key cardinality. Timestamps
+    interleave users across the whole span (hash-scattered within the
+    day), so per-(user, day) dedup state sees realistic revisit
+    patterns. Expression-only."""
+    rows = spark.range(n_events)
+    uid = (F.col("id") % n_users).cast("long")
+    day = (F.col("id") * F.lit(days)) / F.lit(n_events)
+    sec = F.pmod(F.xxhash64("id", F.lit("sec")), F.lit(86_400))
+    base = F.lit(1_704_067_200)  # 2024-01-01 UTC
+    return rows.select(
+        uid.cast("string").alias("uid"),
+        (base + day.cast("long") * 86_400 + sec).cast("long").alias("ts_s"),
+    )

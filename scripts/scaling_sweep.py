@@ -1,0 +1,221 @@
+#!/usr/bin/env python
+"""Measured scaling proof for the quadratic-risk families (round 6,
+VERDICT r5 top item): every "100 TB-safe" claim through round 5 was
+validated at 17 MB — argued from plan shape (bucketed candidates,
+bounded state, plan pins), never from a measured curve. This sweep
+runs each family on deterministic synthetic corpora at ~1×/3×/10× the
+sf0.1 size and fits the empirical cost exponent
+
+    t(n) ∝ n^e  ⇒  e = slope of least-squares fit on (log n, log t)
+
+so "bucketed, never all-pairs" becomes a number. Corpora are
+hash-derived (sources/synthetic.py — no RNG, no time), staged once to
+parquet per size (generation untimed; every timed run pays a real
+scan), timings are min-of-2 full executions through the noop sink on
+the tuned session (bench.py discipline: tracked persists released
+between passes).
+
+Families and why they carry quadratic risk:
+- set-similarity (jaccard_pairs / containment_join /
+  minhash_lsh_pairs / simhash_pairs): candidate generation could
+  degenerate toward n² if prefixes/bands/blocks stop pruning;
+- dedup_clusters (converged label propagation): rounds × join cost,
+  rounds could grow with n;
+- ANN (kmeans_train / ivf_trained_topk): train is per-iteration
+  O(n·k); probe-batch search should be ~O(n/cells · probes);
+- embedding near-dup blocking (cosine_near_dup_pairs): within-block
+  pairs ARE quadratic when block count is fixed — measured both ways
+  (blocks fixed → the documented hazard; blocks ∝ n → the documented
+  remedy) so the remedy is proven, not asserted;
+- keyed stateful streams (A6 delta / A7 daily-UV): drain vs key
+  cardinality — per-key state machinery is the floor (measured in
+  streaming/stateful.py's docstring).
+
+Writes SCALING.json (machine-readable) and prints a markdown table;
+SCALING.md at the repo root is the committed interpretation.
+
+Usage: python scripts/scaling_sweep.py [out_json] [--quick]
+  --quick: smallest two sizes only (development smoke).
+"""
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+STAGE_ROOT = os.path.join(tempfile.gettempdir(), "rdw_scaling_corpora")
+
+
+def main() -> int:
+    out_json = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") \
+        else os.path.join(REPO, "SCALING.json")
+    quick = "--quick" in sys.argv
+
+    from pyspark.sql import functions as F
+
+    from realtime_data_warehouse_spark.cache import unpersist_all
+    from realtime_data_warehouse_spark.operators import curation as C
+    from realtime_data_warehouse_spark.operators import dedup as D
+    from realtime_data_warehouse_spark.operators import similarity as S
+    from realtime_data_warehouse_spark.session import get_spark, tune_for_scale
+    from realtime_data_warehouse_spark.sources import synthetic as G
+    from realtime_data_warehouse_spark.streaming.runner import (
+        run_available_now,
+        staged_files_dir,
+    )
+    from realtime_data_warehouse_spark.streaming.stateful import (
+        daily_first_event_stream,
+        delta_correct,
+    )
+
+    spark = get_spark("rdw-scaling")
+    tune_for_scale(spark)
+    os.makedirs(STAGE_ROOT, exist_ok=True)
+
+    def staged(name: str, build_df) -> str:
+        """Stage a corpus to parquet once per (name); timed runs scan
+        the files like any other table."""
+        d = os.path.join(STAGE_ROOT, name)
+        if not os.path.exists(os.path.join(d, "_SUCCESS")):
+            build_df().write.mode("overwrite").parquet(d)
+        return d
+
+    def timed(make_df, passes: int = 2) -> tuple[float, int]:
+        """Min-of-N (seconds, output rows) through the noop sink."""
+        best, rows = float("inf"), -1
+        for _ in range(passes):
+            t0 = time.perf_counter()
+            df = make_df()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+            unpersist_all()
+        rows = make_df().count()
+        unpersist_all()
+        return round(best, 3), rows
+
+    results: dict[str, dict] = {}
+
+    def record(family: str, size: int, sec: float, rows: int) -> None:
+        results.setdefault(family, {"points": []})["points"].append(
+            {"n": size, "sec": sec, "rows": rows})
+        print(f"  {family} n={size}: {sec}s rows={rows}", flush=True)
+
+    # ---- documents: set-similarity + clustering ------------------------
+    doc_sizes = [5_000, 15_000] if quick else [5_000, 15_000, 50_000, 150_000]
+    for n in doc_sizes:
+        d = staged(f"zipf_docs_{n}", lambda n=n: G.zipf_documents(
+            spark, n_docs=n, doc_len=100, vocab=50_000, dup_frac=0.1))
+        docs = spark.read.parquet(d).select("doc_id", "text")
+
+        record("jaccard_pairs", n, *timed(
+            lambda: D.jaccard_pairs(docs, threshold=0.8)))
+        record("containment_join", n, *timed(
+            lambda: D.containment_join(docs, t_num=9, t_den=10,
+                                       postings=D.gram_postings(docs))))
+        record("minhash_lsh_pairs", n, *timed(
+            lambda: D.minhash_lsh_pairs(docs)))
+        record("simhash_pairs", n, *timed(
+            lambda: D.simhash_pairs(docs)))
+        record("clusters_converged", n, *timed(
+            lambda: C.min_label_propagation(
+                D.jaccard_pairs(docs, threshold=0.8), rounds="converge"),
+            passes=1))
+
+    # ---- embeddings: ANN + blocked near-dup ----------------------------
+    emb_sizes = [2_000, 6_000] if quick else [2_000, 6_000, 20_000, 60_000]
+    for n in emb_sizes:
+        # fixed block/cell count (the hazard) ...
+        d_fix = staged(f"emb_fix_{n}", lambda n=n: G.synthetic_embeddings(
+            spark, n_vecs=n, n_labels=10))
+        # ... and blocks ∝ n (the remedy: constant expected block size)
+        d_prop = staged(f"emb_prop_{n}", lambda n=n: G.synthetic_embeddings(
+            spark, n_vecs=n, n_labels=max(10, n // 200)))
+        emb_fix = spark.read.parquet(d_fix)
+        emb_prop = spark.read.parquet(d_prop)
+
+        t0 = time.perf_counter()
+        centroids = S.kmeans_train(emb_fix, k=16, iters=3, quantize=6)
+        record("kmeans_train", n, round(time.perf_counter() - t0, 3), 16)
+
+        probes = emb_fix.filter(F.col("vec_id") < 10)
+        record("ivf_trained_search", n, *timed(
+            lambda: S.ivf_trained_topk(emb_fix, probes, centroids,
+                                       k=5, n_probe=3)))
+        record("cosine_neardup_blocks_fixed", n, *timed(
+            lambda: S.cosine_near_dup_pairs(emb_fix, threshold=0.8)))
+        record("cosine_neardup_blocks_prop", n, *timed(
+            lambda: S.cosine_near_dup_pairs(emb_prop, threshold=0.8)))
+
+    # ---- keyed stateful streams: drain vs key cardinality --------------
+    key_sizes = [30_000, 100_000] if quick else [30_000, 100_000, 300_000]
+    for n in key_sizes:
+        up_dir = staged(f"upserts_{n}", lambda n=n: G.synthetic_upserts(
+            spark, n_keys=n, versions=2))
+        ev_dir = staged(f"uevents_{n}", lambda n=n: G.synthetic_user_events(
+            spark, n_events=3 * n, n_users=n))
+
+        def drain_a6(up_dir=up_dir, n=n) -> tuple[float, int]:
+            base = tempfile.mkdtemp(prefix=f"scal_a6_{n}_")
+            in_dir = staged_files_dir(
+                spark.read.parquet(up_dir), base, n_files=3, order_col="ts")
+            sdf = (spark.readStream.schema(
+                "id string, ts long, amt double, fee double")
+                .option("maxFilesPerTrigger", "1").parquet(in_dir))
+            t0 = time.perf_counter()
+            run_available_now(
+                delta_correct(sdf, "id", "ts", ["amt", "fee"]),
+                os.path.join(base, "out"), os.path.join(base, "ck"))
+            sec = time.perf_counter() - t0
+            shutil.rmtree(base, ignore_errors=True)
+            return sec, 2 * n
+
+        def drain_a7(ev_dir=ev_dir, n=n) -> tuple[float, int]:
+            base = tempfile.mkdtemp(prefix=f"scal_a7_{n}_")
+            in_dir = staged_files_dir(
+                spark.read.parquet(ev_dir), base, n_files=3, order_col="ts_s")
+            sdf = (spark.readStream.schema("uid string, ts_s long")
+                   .option("maxFilesPerTrigger", "1").parquet(in_dir))
+            t0 = time.perf_counter()
+            run_available_now(
+                daily_first_event_stream(sdf, "uid", "ts_s"),
+                os.path.join(base, "out"), os.path.join(base, "ck"))
+            sec = time.perf_counter() - t0
+            shutil.rmtree(base, ignore_errors=True)
+            return sec, 3 * n
+
+        for fam, fn in (("stream_a6_delta", drain_a6),
+                        ("stream_a7_daily_uv", drain_a7)):
+            fn()  # warm (stages input, forks workers)
+            sec, rows = min((fn() for _ in range(2)), key=lambda t: t[0])
+            record(fam, n, round(sec, 3), rows)
+
+    # ---- fit exponents -------------------------------------------------
+    for fam, data in results.items():
+        pts = data["points"]
+        xs = [math.log(p["n"]) for p in pts]
+        ys = [math.log(max(p["sec"], 1e-3)) for p in pts]
+        nx = len(xs)
+        mx, my = sum(xs) / nx, sum(ys) / nx
+        denom = sum((x - mx) ** 2 for x in xs)
+        slope = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / denom
+        data["exponent"] = round(slope, 2)
+
+    with open(out_json, "w") as f:
+        json.dump(results, f, indent=1, sort_keys=True)
+
+    print("\n| family | " + " | ".join(
+        f"n={p['n']}" for p in next(iter(results.values()))["points"][:0]))
+    print(json.dumps({f: d["exponent"] for f, d in results.items()},
+                     indent=1, sort_keys=True))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -25,6 +25,7 @@ ALL_PAIRS_BY_DESIGN = {
     "ann_brute_topk",     # labeled brute-force ANN ground truth
     "ann_recall_report",  # composes the brute retriever as truth
     "ann_rrf_fusion",     # fuses the brute retriever (exact list)
+    "ann_lsh_recall",     # composes the brute retriever as truth
 }
 
 

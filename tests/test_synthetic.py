@@ -105,3 +105,46 @@ def test_jaccard_pairs_branches_agree_on_zipf(spark):
     m = {(r.doc_a, r.doc_b, round(r.jaccard, 4)) for r in msk.collect()}
     assert t == m
     assert len(t) > 0  # clones guarantee true positives
+
+
+def test_synthetic_embeddings_geometry_and_determinism(spark):
+    """Round-6 generator contract: (1) deterministic — two builds are
+    byte-identical regardless of partitioning; (2) planted geometry —
+    exactly one ≥0.9-cosine pair per clone (the 10% planted dups) and
+    NO non-planted pair reaches the 0.8 dedup threshold (base noise is
+    sized to keep same-cluster non-dups ≈ 0.5)."""
+    from realtime_data_warehouse_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+    )
+    from realtime_data_warehouse_spark.sources.synthetic import (
+        synthetic_embeddings,
+    )
+
+    a = synthetic_embeddings(spark, 500).collect()
+    b = synthetic_embeddings(spark, 500).repartition(7).collect()
+    assert sorted((r.vec_id, r.embedding) for r in a) == \
+           sorted((r.vec_id, r.embedding) for r in b)
+    emb = synthetic_embeddings(spark, 500)
+    pairs = cosine_near_dup_pairs(emb, threshold=0.8).collect()
+    n_base = 450  # 10% dup_frac
+    assert len(pairs) == 500 - n_base
+    # every pair links a clone (id >= n_base) to its base (id < n_base)
+    assert all(min(p.id_a, p.id_b) < n_base <= max(p.id_a, p.id_b)
+               for p in pairs)
+
+
+def test_synthetic_upserts_and_events_shapes(spark):
+    from realtime_data_warehouse_spark.sources.synthetic import (
+        synthetic_upserts,
+        synthetic_user_events,
+    )
+
+    up = synthetic_upserts(spark, n_keys=100, versions=2)
+    assert up.count() == 200
+    assert up.select("id").distinct().count() == 100
+    assert up.groupBy("id").count().filter("count != 2").count() == 0
+    ev = synthetic_user_events(spark, n_events=300, n_users=50, days=10)
+    assert ev.count() == 300
+    assert ev.select("uid").distinct().count() == 50
+    days = ev.selectExpr("cast(ts_s / 86400 as long) d").distinct().count()
+    assert days == 10
