@@ -268,6 +268,10 @@ def main() -> None:
     ]
     ds2_timings = run_family(DS2, sf_dir)
 
+    # Round-6 additions — own section, same discipline.
+    ROUND6 = ["ann_lsh_recall"]
+    round6_timings = run_family(ROUND6, sf_dir)
+
     # Set-similarity verify-branch bench (round 5, judge top item).
     # The driver corpus has a tiny (~931-gram) shingle vocabulary, so
     # every gate/bench run of jaccard_pairs/containment_join takes the
@@ -341,6 +345,9 @@ def main() -> None:
         "stream_a6_delta_sum": ("orders", 1.05),  # v1 all + v2 for 5%
         "stream_daily_uv_window": ("events", 1.0),
         "stream_incremental_agg_refresh": ("lineitem", 1.0),
+        # round 6: 4 inputs x 3 aligned micro-batches, 3 chained
+        # stateful joins; input_rows = the detail stream (lineitem)
+        "stream_order_wide_join": ("lineitem", 1.0),
     }
 
     def stream_bench(passes: int = 2) -> dict[str, object]:
@@ -387,6 +394,33 @@ def main() -> None:
 
     stream_timings = stream_bench()
 
+    # Streaming ingest/serving (round 6 batch 2): foreachBatch jobs
+    # whose state is parquet (the seen-index / result log), not the
+    # state store — no RocksDB column (nothing would change). Same
+    # discipline: pass 1 untimed (stages the replay input), timed
+    # passes re-run the full drain with a fresh seen index.
+    INGEST = {
+        "stream_neardup_gate": ("documents", 0.1),   # doc_id % 10 == 0
+        "stream_ann_route": ("embeddings", 0.0),     # 30 probe vectors
+    }
+    for name, (table, factor) in INGEST.items():
+        gc_hint()
+        n_in = int(
+            spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+            .count() * factor) or 30
+        QUERIES[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite").save()
+        unpersist_all()
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+            unpersist_all()
+        stream_timings[name] = {"sec": round(best, 3), "input_rows": n_in,
+                                "rows_per_sec": int(n_in / best)}
+
     print(json.dumps({
         "metric": "headline_queries_total_runtime",
         "value": round(sum(timings_raw.values()), 3),
@@ -427,6 +461,9 @@ def main() -> None:
                                   "shapes, rollups/reshape, sampling, "
                                   "corpus stats) on the as-served "
                                   "layout, min of 3; own section"),
+        "round6_queries": round6_timings,
+        "round6_note": ("round-6 family (LSH recall calibration) on the "
+                        "as-served layout, min of 3; own section"),
         "set_similarity_branches": branch_timings,
         "set_similarity_note": (
             "both verify branches FORCED on the driver corpus "

@@ -49,7 +49,19 @@ def main() -> int:
     import __spark_entry__ as entry_mod
     from realtime_data_warehouse_spark.oracle import compare
 
+    # Query SEMANTICS stay vanilla (no SQL conf the engine could lean
+    # on) — but the sweep HARNESS needs headroom the 50-query driver
+    # gate never does: 190 queries in one 1 GiB-default driver JVM
+    # OOM'd around query ~186 even with periodic GC, because the live
+    # SQL UI status store retains up to 1000 executions' plan strings
+    # (this repo's LSH/band plans are huge). Cap the UI retention and
+    # raise the heap — harness capacity, not query tuning.
     spark = (SparkSession.builder.master("local[8]")
+             .config("spark.driver.memory", "6g")
+             .config("spark.ui.enabled", "false")
+             .config("spark.sql.ui.retainedExecutions", "8")
+             .config("spark.ui.retainedJobs", "100")
+             .config("spark.ui.retainedStages", "100")
              .appName("parity-sweep").getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -71,10 +83,28 @@ def main() -> int:
         else:
             only = set(sel.split(","))
             queries = {k: v for k, v in queries.items() if k in only}
+    def gc_hint() -> None:
+        """Heap hygiene every few queries. A full sweep runs 188
+        queries in one driver JVM; Spark's ContextCleaner only frees
+        dead broadcast/plan pieces when a GC runs (periodic GC default
+        30 min — longer than the sweep), and the accumulated garbage
+        OOM'd the round-6 sweep at query ~186 (dedup_keep_best_quality,
+        green in a fresh session). Same discipline as bench.py's
+        between-section gc_hint."""
+        import gc  # noqa: PLC0415
+
+        gc.collect()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:  # noqa: BLE001  (Spark Connect: no _jvm)
+            pass
+
     results: dict[str, dict] = {}
     t0 = time.time()
     n_fail = 0
-    for name, fn in queries.items():
+    for i, (name, fn) in enumerate(queries.items()):
+        if i % 10 == 0:
+            gc_hint()
         rec = {"rows_match": None, "schema_match": None,
                "hash_match": None, "spark_rows": None,
                "oracle_rows": None, "err": None}

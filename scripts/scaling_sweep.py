@@ -34,8 +34,11 @@ Families and why they carry quadratic risk:
 Writes SCALING.json (machine-readable) and prints a markdown table;
 SCALING.md at the repo root is the committed interpretation.
 
-Usage: python scripts/scaling_sweep.py [out_json] [--quick]
+Usage: python scripts/scaling_sweep.py [out_json] [--quick] [--only=f1,f2]
   --quick: smallest two sizes only (development smoke).
+  --only: run just the named families and MERGE their points into an
+  existing out_json (the other families' committed points are kept) —
+  adding one family doesn't cost a full re-sweep.
 """
 from __future__ import annotations
 
@@ -57,6 +60,13 @@ def main() -> int:
     out_json = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") \
         else os.path.join(REPO, "SCALING.json")
     quick = "--quick" in sys.argv
+    only: set[str] | None = None
+    for a in sys.argv:
+        if a.startswith("--only="):
+            only = set(a.split("=", 1)[1].split(","))
+
+    def want(fam: str) -> bool:
+        return only is None or fam in only
 
     from pyspark.sql import functions as F
 
@@ -114,22 +124,57 @@ def main() -> int:
             spark, n_docs=n, doc_len=100, vocab=50_000, dup_frac=0.1))
         docs = spark.read.parquet(d).select("doc_id", "text")
 
-        record("jaccard_pairs", n, *timed(
-            lambda: D.jaccard_pairs(docs, threshold=0.8)))
-        record("containment_join", n, *timed(
-            lambda: D.containment_join(docs, t_num=9, t_den=10,
-                                       postings=D.gram_postings(docs))))
-        record("minhash_lsh_pairs", n, *timed(
-            lambda: D.minhash_lsh_pairs(docs)))
-        record("simhash_pairs", n, *timed(
-            lambda: D.simhash_pairs(docs)))
-        record("clusters_converged", n, *timed(
-            lambda: C.min_label_propagation(
-                D.jaccard_pairs(docs, threshold=0.8), rounds="converge"),
-            passes=1))
+        if want("jaccard_pairs"):
+            record("jaccard_pairs", n, *timed(
+                lambda: D.jaccard_pairs(docs, threshold=0.8)))
+        if want("containment_join"):
+            record("containment_join", n, *timed(
+                lambda: D.containment_join(docs, t_num=9, t_den=10,
+                                           postings=D.gram_postings(docs))))
+        if want("minhash_lsh_pairs"):
+            record("minhash_lsh_pairs", n, *timed(
+                lambda: D.minhash_lsh_pairs(docs)))
+        if want("simhash_pairs"):
+            record("simhash_pairs", n, *timed(
+                lambda: D.simhash_pairs(docs)))
+        if want("clusters_converged"):
+            record("clusters_converged", n, *timed(
+                lambda: C.min_label_propagation(
+                    D.jaccard_pairs(docs, threshold=0.8), rounds="converge"),
+                passes=1))
+        if want("stream_neardup_gate"):
+            # the round-6 streaming ingest gate on the same corpus: 90%
+            # becomes the stored band index, 10% arrives as a
+            # 3-micro-batch stream and is gated against index + earlier
+            # arrivals. A shim dir aliases the staged corpus under the
+            # table name the registry entry reads.
+            from realtime_data_warehouse_spark.plans.round6b import (
+                stream_neardup_gate,
+            )
+            shim = os.path.join(STAGE_ROOT, f"shim_docs_{n}")
+            os.makedirs(shim, exist_ok=True)
+            link = os.path.join(shim, "documents.parquet")
+            if not os.path.exists(link):
+                os.symlink(d, link)
+
+            def drain_gate(shim=shim) -> float:
+                t0 = time.perf_counter()
+                stream_neardup_gate(spark, shim).write.format("noop").mode(
+                    "overwrite").save()
+                sec = time.perf_counter() - t0
+                unpersist_all()
+                return sec
+
+            drain_gate()  # untimed: stages corpus index + replay input
+            record("stream_neardup_gate", n,
+                   round(min(drain_gate() for _ in range(2)), 3), n // 10)
 
     # ---- embeddings: ANN + blocked near-dup ----------------------------
     emb_sizes = [2_000, 6_000] if quick else [2_000, 6_000, 20_000, 60_000]
+    if not any(want(f) for f in (
+            "kmeans_train", "ivf_trained_search",
+            "cosine_neardup_blocks_fixed", "cosine_neardup_blocks_prop")):
+        emb_sizes = []
     for n in emb_sizes:
         # fixed block/cell count (the hazard) ...
         d_fix = staged(f"emb_fix_{n}", lambda n=n: G.synthetic_embeddings(
@@ -140,21 +185,28 @@ def main() -> int:
         emb_fix = spark.read.parquet(d_fix)
         emb_prop = spark.read.parquet(d_prop)
 
-        t0 = time.perf_counter()
-        centroids = S.kmeans_train(emb_fix, k=16, iters=3, quantize=6)
-        record("kmeans_train", n, round(time.perf_counter() - t0, 3), 16)
-
-        probes = emb_fix.filter(F.col("vec_id") < 10)
-        record("ivf_trained_search", n, *timed(
-            lambda: S.ivf_trained_topk(emb_fix, probes, centroids,
-                                       k=5, n_probe=3)))
-        record("cosine_neardup_blocks_fixed", n, *timed(
-            lambda: S.cosine_near_dup_pairs(emb_fix, threshold=0.8)))
-        record("cosine_neardup_blocks_prop", n, *timed(
-            lambda: S.cosine_near_dup_pairs(emb_prop, threshold=0.8)))
+        if want("kmeans_train") or want("ivf_trained_search"):
+            t0 = time.perf_counter()
+            centroids = S.kmeans_train(emb_fix, k=16, iters=3, quantize=6)
+            if want("kmeans_train"):
+                record("kmeans_train", n,
+                       round(time.perf_counter() - t0, 3), 16)
+            if want("ivf_trained_search"):
+                probes = emb_fix.filter(F.col("vec_id") < 10)
+                record("ivf_trained_search", n, *timed(
+                    lambda: S.ivf_trained_topk(emb_fix, probes, centroids,
+                                               k=5, n_probe=3)))
+        if want("cosine_neardup_blocks_fixed"):
+            record("cosine_neardup_blocks_fixed", n, *timed(
+                lambda: S.cosine_near_dup_pairs(emb_fix, threshold=0.8)))
+        if want("cosine_neardup_blocks_prop"):
+            record("cosine_neardup_blocks_prop", n, *timed(
+                lambda: S.cosine_near_dup_pairs(emb_prop, threshold=0.8)))
 
     # ---- keyed stateful streams: drain vs key cardinality --------------
     key_sizes = [30_000, 100_000] if quick else [30_000, 100_000, 300_000]
+    if not (want("stream_a6_delta") or want("stream_a7_daily_uv")):
+        key_sizes = []
     for n in key_sizes:
         up_dir = staged(f"upserts_{n}", lambda n=n: G.synthetic_upserts(
             spark, n_keys=n, versions=2))
@@ -192,6 +244,8 @@ def main() -> int:
 
         for fam, fn in (("stream_a6_delta", drain_a6),
                         ("stream_a7_daily_uv", drain_a7)):
+            if not want(fam):
+                continue
             fn()  # warm (stages input, forks workers)
             sec, rows = min((fn() for _ in range(2)), key=lambda t: t[0])
             record(fam, n, round(sec, 3), rows)
@@ -207,6 +261,11 @@ def main() -> int:
         slope = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / denom
         data["exponent"] = round(slope, 2)
 
+    if only is not None and os.path.exists(out_json):
+        with open(out_json) as f:
+            merged = json.load(f)
+        merged.update(results)
+        results = merged
     with open(out_json, "w") as f:
         json.dump(results, f, indent=1, sort_keys=True)
 

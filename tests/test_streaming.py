@@ -747,3 +747,37 @@ def test_rocksdb_state_store_same_output(spark, sf_small, tmp_path):
     finally:
         use_rocksdb_state(spark, False)
     assert rocks_rows == default_rows
+
+
+def test_neardup_gate_rejects_across_batches(spark, tmp_path):
+    """stream_neardup_gate's seen-index must grow across micro-batches:
+    doc 30 arrives in the LAST batch and duplicates doc 20 (an earlier
+    batch's arrival, itself accepted) — only the appended seen index
+    can reject it. Also pins the verdict taxonomy: corpus match beats
+    earlier-arrival match; an unshingleable doc is accepted."""
+    from realtime_data_warehouse_spark.plans.round6b import stream_neardup_gate
+
+    a = "the quick brown fox jumps over the lazy dog again and again"
+    c = "completely different words about spark streaming state stores"
+    rows = [
+        (1, a),        # corpus
+        (2, "unrelated corpus text mentioning nothing shared at all"),
+        (0, "short"),  # incoming batch 0: < 2 tokens -> unshingleable
+        (10, a),       # incoming batch 0/1: dup of corpus doc 1
+        (20, c),       # incoming: unique -> accepted
+        (30, c),       # incoming LAST batch: dup of arrival 20 only
+    ]
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        os.path.join(sf, "documents.parquet"))
+    got = {
+        r["doc_id"]: (r["accepted"], r["reject_reason"])
+        for r in stream_neardup_gate(spark, sf).collect()
+    }
+    assert got == {
+        0: (True, None),
+        10: (False, "corpus"),
+        20: (True, None),
+        30: (False, "earlier"),
+    }
