@@ -35,10 +35,22 @@ Writes SCALING.json (machine-readable) and prints a markdown table;
 SCALING.md at the repo root is the committed interpretation.
 
 Usage: python scripts/scaling_sweep.py [out_json] [--quick] [--only=f1,f2]
+                                       [--xl]
   --quick: smallest two sizes only (development smoke).
   --only: run just the named families and MERGE their points into an
   existing out_json (the other families' committed points are kept) —
   adding one family doesn't cost a full re-sweep.
+  --xl: extend each corpus one size further — 500k docs (100x the
+  served sf0.1 documents table), 200k embeddings (100x), 1M stream
+  keys — and at the two largest key sizes also drain the A6/A7
+  streams under the RocksDB state-store provider
+  (stream_*_rocksdb families), so "RocksDB extends the same curve
+  past heap" is a measured pair of points, not prose. The
+  fixed-block cosine hazard is NOT run at the xl size: its
+  quadratic regime is already established at 60k (86 s, tail 2.19)
+  and the 200k point would be ~20 min of pure n²/blocks by
+  construction. Combine with --only for the families whose tail
+  exponent needs the extra decade.
 """
 from __future__ import annotations
 
@@ -60,6 +72,7 @@ def main() -> int:
     out_json = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") \
         else os.path.join(REPO, "SCALING.json")
     quick = "--quick" in sys.argv
+    xl = "--xl" in sys.argv and not quick
     only: set[str] | None = None
     for a in sys.argv:
         if a.startswith("--only="):
@@ -119,6 +132,8 @@ def main() -> int:
 
     # ---- documents: set-similarity + clustering ------------------------
     doc_sizes = [5_000, 15_000] if quick else [5_000, 15_000, 50_000, 150_000]
+    if xl:
+        doc_sizes.append(500_000)
     for n in doc_sizes:
         d = staged(f"zipf_docs_{n}", lambda n=n: G.zipf_documents(
             spark, n_docs=n, doc_len=100, vocab=50_000, dup_frac=0.1))
@@ -171,6 +186,8 @@ def main() -> int:
 
     # ---- embeddings: ANN + blocked near-dup ----------------------------
     emb_sizes = [2_000, 6_000] if quick else [2_000, 6_000, 20_000, 60_000]
+    if xl:
+        emb_sizes.append(200_000)
     if not any(want(f) for f in (
             "kmeans_train", "ivf_trained_search",
             "cosine_neardup_blocks_fixed", "cosine_neardup_blocks_prop")):
@@ -196,7 +213,9 @@ def main() -> int:
                 record("ivf_trained_search", n, *timed(
                     lambda: S.ivf_trained_topk(emb_fix, probes, centroids,
                                                k=5, n_probe=3)))
-        if want("cosine_neardup_blocks_fixed"):
+        if want("cosine_neardup_blocks_fixed") and n <= 60_000:
+            # not at the xl size: quadratic regime already established
+            # at 60k (86 s, tail 2.19); 200k is ~11x that by the law
             record("cosine_neardup_blocks_fixed", n, *timed(
                 lambda: S.cosine_near_dup_pairs(emb_fix, threshold=0.8)))
         if want("cosine_neardup_blocks_prop"):
@@ -205,7 +224,14 @@ def main() -> int:
 
     # ---- keyed stateful streams: drain vs key cardinality --------------
     key_sizes = [30_000, 100_000] if quick else [30_000, 100_000, 300_000]
-    if not (want("stream_a6_delta") or want("stream_a7_daily_uv")):
+    if xl:
+        key_sizes.append(1_000_000)
+    # RocksDB twins only at the two largest sizes: the provider's
+    # value is state headroom, and two points fit the tail exponent.
+    rocks_sizes = {300_000, 1_000_000} if xl else set()
+    stream_fams = ("stream_a6_delta", "stream_a7_daily_uv",
+                   "stream_a6_delta_rocksdb", "stream_a7_daily_uv_rocksdb")
+    if not any(want(f) for f in stream_fams):
         key_sizes = []
     for n in key_sizes:
         up_dir = staged(f"upserts_{n}", lambda n=n: G.synthetic_upserts(
@@ -242,13 +268,24 @@ def main() -> int:
             shutil.rmtree(base, ignore_errors=True)
             return sec, 3 * n
 
+        from realtime_data_warehouse_spark.session import use_rocksdb_state
+
         for fam, fn in (("stream_a6_delta", drain_a6),
                         ("stream_a7_daily_uv", drain_a7)):
-            if not want(fam):
-                continue
-            fn()  # warm (stages input, forks workers)
-            sec, rows = min((fn() for _ in range(2)), key=lambda t: t[0])
-            record(fam, n, round(sec, 3), rows)
+            if want(fam):
+                fn()  # warm (stages input, forks workers)
+                sec, rows = min((fn() for _ in range(2)), key=lambda t: t[0])
+                record(fam, n, round(sec, 3), rows)
+            rfam = fam + "_rocksdb"
+            if n in rocks_sizes and want(rfam):
+                use_rocksdb_state(spark, True)
+                try:
+                    fn()  # warm under the provider too
+                    sec, rows = min((fn() for _ in range(2)),
+                                    key=lambda t: t[0])
+                finally:
+                    use_rocksdb_state(spark, False)
+                record(rfam, n, round(sec, 3), rows)
 
     # ---- fit exponents -------------------------------------------------
     for fam, data in results.items():
