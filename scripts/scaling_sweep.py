@@ -102,6 +102,16 @@ def main() -> int:
     tune_for_scale(spark)
     os.makedirs(STAGE_ROOT, exist_ok=True)
 
+    # Session warm-up: first-job JIT + Python-worker fork otherwise
+    # lands in whichever family happens to run first (observed: a
+    # kmeans_train 2k point reading 9.6 s instead of ~1.2 s when it
+    # opened the session).
+    spark.range(2_000_000).selectExpr("sum(id)").collect()
+    _warm = F.pandas_udf("double")(lambda s: s * 1.0)
+    spark.range(100_000).select(
+        _warm(F.col("id").cast("double"))
+    ).write.format("noop").mode("overwrite").save()
+
     def staged(name: str, build_df) -> str:
         """Stage a corpus to parquet once per (name); timed runs scan
         the files like any other table."""

@@ -39,6 +39,38 @@ def test_minhash_lsh_equals_exact_jaccard(spark, sf_small):
     assert exact == lsh
 
 
+def test_minhash_signature_matches_expression_variant(spark):
+    """The numpy minhash kernel must be bit-identical to the
+    independent pure-expression implementation (same coefficient
+    family, same int64 math) on every non-empty shingle set. Empty
+    sets are out of contract (both production paths shingle with
+    drop_empty=True): the kernel emits the all-sentinel signature,
+    the expression variant NULLs (array_min over an empty array) —
+    pin both so a drift is caught."""
+    rows = [
+        (1, ["alpha beta", "beta gamma", "gamma delta"]),
+        (2, []),  # empty → all-sentinel (kernel) / NULLs (expr)
+        (4, ["alpha beta"]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, shingles array<string>")
+    got = {
+        r.doc_id: list(r.sig)
+        for r in df.select(
+            "doc_id", D.minhash_signature(F.col("shingles")).alias("sig")
+        ).collect()
+    }
+    want = {
+        r.doc_id: list(r.sig)
+        for r in df.select(
+            "doc_id",
+            D.minhash_signature_expr(F.col("shingles")).alias("sig"),
+        ).collect()
+    }
+    assert got[1] == want[1] and got[4] == want[4]
+    assert got[2] == [2147483647] * 128
+    assert want[2] == [None] * 128
+
+
 def test_exact_dedup_keeps_lowest_id(spark):
     df = spark.createDataFrame(
         [(3, "Same  Doc"), (1, "same doc"), (2, "other")],
