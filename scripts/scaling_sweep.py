@@ -199,7 +199,7 @@ def main() -> int:
     if xl:
         emb_sizes.append(200_000)
     if not any(want(f) for f in (
-            "kmeans_train", "ivf_trained_search",
+            "kmeans_train", "ivf_trained_search", "lsh_search",
             "cosine_neardup_blocks_fixed", "cosine_neardup_blocks_prop")):
         emb_sizes = []
     for n in emb_sizes:
@@ -212,6 +212,14 @@ def main() -> int:
         emb_fix = spark.read.parquet(d_fix)
         emb_prop = spark.read.parquet(d_prop)
 
+        if want("lsh_search"):
+            # sign-LSH bucketed top-k on the clustered (near-dup
+            # regime) corpus — the geometry where bucket pruning
+            # actually bites (isotropic corpora are candidate-fraction
+            # bound by the (1−θ/π)^bits law; see ann_lsh_recall)
+            probes_l = emb_fix.filter(F.col("vec_id") < 10)
+            record("lsh_search", n, *timed(
+                lambda: S.lsh_topk(emb_fix, probes_l, k=5, n_tables=2)))
         if want("kmeans_train") or want("ivf_trained_search"):
             t0 = time.perf_counter()
             centroids = S.kmeans_train(emb_fix, k=16, iters=3, quantize=6)

@@ -57,6 +57,20 @@ def test_dim_joins_are_broadcast(spark, sf_small):
         )
 
 
+def test_order_wide_join_shuffles_nothing(spark, sf_small):
+    """The 4-way order-wide join chain must plan every hop as a
+    broadcast hash join with ZERO shuffle exchanges — the measured
+    SHUFFLE.md fact (1.95M rows scanned, 0 shuffled at sf0.1). A
+    broadcast threshold regression or a new non-broadcastable hop
+    would reintroduce a fact-table shuffle silently; pin it here."""
+    for name in ("dwd_trade_order_detail", "dwd_trade_pay_suc_interval"):
+        plan = physical_plan(QUERIES[name](spark, sf_small))
+        assert "BroadcastHashJoin" in plan, f"{name}: join did not broadcast"
+        assert "Exchange hashpartitioning" not in plan, (
+            f"{name}: a join hop degraded to a shuffle exchange"
+        )
+
+
 def test_asof_join_is_not_a_range_join(spark, sf_small):
     """The as-of plan must be the union-scan (Window over one exchange),
     never an inequality join (nested-loop) between the two sides."""
