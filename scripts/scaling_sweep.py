@@ -3,8 +3,9 @@
 VERDICT r5 top item): every "100 TB-safe" claim through round 5 was
 validated at 17 MB — argued from plan shape (bucketed candidates,
 bounded state, plan pins), never from a measured curve. This sweep
-runs each family on deterministic synthetic corpora at ~1×/3×/10× the
-sf0.1 size and fits the empirical cost exponent
+runs each family on deterministic synthetic corpora at ~1×/3×/10×/30×
+the sf0.1 size (plus a 100× point per corpus under --xl) and fits the
+empirical cost exponent
 
     t(n) ∝ n^e  ⇒  e = slope of least-squares fit on (log n, log t)
 
