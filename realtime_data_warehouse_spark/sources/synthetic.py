@@ -193,3 +193,33 @@ def synthetic_user_events(spark: SparkSession, n_events: int = 100_000,
         uid.cast("string").alias("uid"),
         (base + day.cast("long") * 86_400 + sec).cast("long").alias("ts_s"),
     )
+
+
+def synthetic_order_payments(spark: SparkSession,
+                             n_orders: int = 100_000) -> DataFrame:
+    """(side string, order_id string, ts_s long, amount double) — the
+    stream-stream interval-join input shape (J2) at a chosen order
+    cardinality: one 'o' row per order spread evenly over one day,
+    plus one 'p' row whose timestamp lands hash-scattered 0–840 s
+    after its order for 90% of ids (inside a 15-minute join window)
+    and 2–3 h after for the other 10% (outside it, so the
+    state-expiry path sees genuinely unmatched rows). Deterministic
+    expected match count = |{id : id % 10 != 9}|. Expression-only:
+    one range scan, no shuffle, no RNG."""
+    rows = spark.range(n_orders * 2)
+    oid = (F.col("id") % n_orders).cast("long")
+    is_pay = F.col("id") >= n_orders
+    base = F.lit(1_704_067_200)  # 2024-01-01 UTC
+    o_ts = base + (oid * 86_400 / n_orders).cast("long")
+    delta = F.when(
+        oid % 10 == 9,
+        F.lit(7_200) + F.pmod(F.xxhash64(oid, F.lit("far")), F.lit(3_600)),
+    ).otherwise(F.pmod(F.xxhash64(oid, F.lit("near")), F.lit(840)))
+    return rows.select(
+        F.when(is_pay, F.lit("p")).otherwise(F.lit("o")).alias("side"),
+        oid.cast("string").alias("order_id"),
+        F.when(is_pay, o_ts + delta).otherwise(o_ts)
+        .cast("long").alias("ts_s"),
+        (F.pmod(F.xxhash64(oid, F.lit("amount")), F.lit(100_000))
+         .cast("double") / 100.0).alias("amount"),
+    )

@@ -306,6 +306,83 @@ def main() -> int:
                     use_rocksdb_state(spark, False)
                 record(rfam, n, round(sec, 3), rows)
 
+    # ---- stream-stream interval join: drain vs order cardinality -------
+    # T9's scale claim — join state bounded by (watermark delay +
+    # interval width) × rate, so drain cost should be linear in rows
+    # while matches span micro-batch boundaries from state.
+    sj_sizes = [30_000, 100_000] if quick else [30_000, 100_000, 300_000]
+    if xl:
+        sj_sizes.append(1_000_000)
+    if not want("stream_interval_join"):
+        sj_sizes = []
+    for n in sj_sizes:
+        op_dir = staged(f"orderpay_{n}", lambda n=n: G.synthetic_order_payments(
+            spark, n_orders=n))
+        # ONE shared time-boundary set for both sides (round-6 lesson:
+        # per-stream repartitionByRange cuts at each side's own
+        # quantiles, stranding rows behind the min-policy watermark).
+        # Split dirs staged once per size; mtimes stamped so file k
+        # replays as micro-batch k on both inputs simultaneously.
+        sj_base = os.path.join(STAGE_ROOT, f"orderpay_split_{n}")
+        if not os.path.exists(os.path.join(sj_base, "done")):
+            df = spark.read.parquet(op_dir)
+            c1, c2 = df.select(
+                F.expr("percentile(ts_s, 0.3333)"),
+                F.expr("percentile(ts_s, 0.6667)"),
+            ).collect()[0]
+            for side in ("o", "p"):
+                d = os.path.join(sj_base, side, "in")
+                sdf = df.filter(F.col("side") == side).drop("side")
+                ts = F.col("ts_s")
+                for part in (sdf.filter(ts < c1),
+                             sdf.filter((ts >= c1) & (ts < c2)),
+                             sdf.filter(ts >= c2)):
+                    part.coalesce(1).write.mode("append").parquet(d)
+                files = sorted(
+                    (os.path.getmtime(os.path.join(d, f)), f)
+                    for f in os.listdir(d)
+                    if f.startswith("part-") and f.endswith(".parquet"))
+                t0 = int(time.time()) - len(files) - 10
+                for i, (_, f) in enumerate(files):
+                    os.utime(os.path.join(d, f), (t0 + i, t0 + i))
+            open(os.path.join(sj_base, "done"), "w").close()
+
+        def drain_join(sj_base=sj_base, n=n) -> tuple[float, int]:
+            from realtime_data_warehouse_spark.streaming.joins import (
+                interval_join,
+            )
+            base = tempfile.mkdtemp(prefix=f"scal_sj_{n}_")
+            t0 = time.perf_counter()
+            o = (spark.readStream
+                 .schema("order_id string, ts_s long, amount double")
+                 .option("maxFilesPerTrigger", "1")
+                 .parquet(os.path.join(sj_base, "o", "in"))
+                 .select(F.col("order_id"),
+                         F.col("ts_s").cast("timestamp").alias("ts_o"),
+                         F.col("amount").alias("o_amount"))
+                 .withWatermark("ts_o", "30 minutes"))
+            p = (spark.readStream
+                 .schema("order_id string, ts_s long, amount double")
+                 .option("maxFilesPerTrigger", "1")
+                 .parquet(os.path.join(sj_base, "p", "in"))
+                 .select(F.col("order_id").alias("p_order_id"),
+                         F.col("ts_s").cast("timestamp").alias("ts_p"))
+                 .withWatermark("ts_p", "30 minutes"))
+            joined = interval_join(
+                o, p, F.col("order_id") == F.col("p_order_id"),
+                "ts_o", "ts_p", "0 seconds", "15 minutes")
+            run_available_now(joined, os.path.join(base, "out"),
+                              os.path.join(base, "ck"))
+            sec = time.perf_counter() - t0
+            rows = spark.read.parquet(os.path.join(base, "out")).count()
+            shutil.rmtree(base, ignore_errors=True)
+            return sec, rows
+
+        drain_join()  # warm
+        sec, rows = min((drain_join() for _ in range(2)),
+                        key=lambda t: t[0])
+        record("stream_interval_join", n, round(sec, 3), rows)
+
     # ---- fit exponents -------------------------------------------------
     for fam, data in results.items():
         pts = data["points"]

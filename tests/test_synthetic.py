@@ -148,3 +148,28 @@ def test_synthetic_upserts_and_events_shapes(spark):
     assert ev.select("uid").distinct().count() == 50
     days = ev.selectExpr("cast(ts_s / 86400 as long) d").distinct().count()
     assert days == 10
+
+
+def test_synthetic_order_payments_window_split(spark):
+    """One order + one payment per id; exactly ids with id % 10 != 9
+    pay inside the 15-minute join window (0-840 s after the order),
+    the rest 2-3 h after — the deterministic match count the
+    stream_interval_join scaling family asserts against."""
+    from realtime_data_warehouse_spark.sources.synthetic import (
+        synthetic_order_payments,
+    )
+
+    df = synthetic_order_payments(spark, n_orders=200)
+    assert df.count() == 400
+    assert df.filter("side = 'o'").count() == 200
+    gaps = (
+        df.groupBy("order_id")
+        .pivot("side", ["o", "p"]).sum("ts_s")
+        .selectExpr("cast(order_id as long) oid", "p - o AS gap")
+        .collect()
+    )
+    for r in gaps:
+        if r.oid % 10 == 9:
+            assert r.gap > 900, f"id {r.oid}: far payment inside window"
+        else:
+            assert 0 <= r.gap <= 840, f"id {r.oid}: near payment outside"
