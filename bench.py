@@ -421,7 +421,7 @@ def main() -> None:
         stream_timings[name] = {"sec": round(best, 3), "input_rows": n_in,
                                 "rows_per_sec": int(n_in / best)}
 
-    print(json.dumps({
+    result = {
         "metric": "headline_queries_total_runtime",
         "value": round(sum(timings_raw.values()), 3),
         "unit": "sec",
@@ -486,7 +486,16 @@ def main() -> None:
             "production config, session.use_rocksdb_state) — the "
             "delta vs the default in-memory store is the store "
             "swap's cost at toy state sizes"),
-    }))
+    }
+    # the driver keeps only a 2000-char stdout tail in BENCH_r{N}.json,
+    # which truncates every per-query number; persist the full dict so
+    # round-over-round headline diffs survive from committed artifacts
+    full = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_FULL.json")
+    with open(full, "w") as fh:
+        json.dump(result, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -105,17 +105,29 @@ _LSH_RECALL_ORACLE = f"""
             ORDER BY cos6 DESC, neighbor_id
         ) <= 5
     ),
+    -- every config comes from this static list, LEFT-joined to its
+    -- candidates: a (bits, n_tables) whose bucket join finds NOTHING
+    -- (possible on a small or skewed corpus) must still yield a row
+    -- with n_candidates = 0, matching the Spark side's unconditional
+    -- six-row output — driving rec/ncand off cand alone would drop it
+    configs AS (
+        SELECT * FROM (VALUES (2, 1), (4, 1), (6, 1), (8, 1),
+                              (8, 2), (8, 4)) AS t(bits, n_tables)
+    ),
     ncand AS (
-        SELECT bits, n_tables, CAST(count(*) AS BIGINT) AS n_candidates
-        FROM cand GROUP BY 1, 2
+        SELECT g.bits, g.n_tables,
+               CAST(count(c.query_id) AS BIGINT) AS n_candidates
+        FROM configs g
+        LEFT JOIN cand c ON c.bits = g.bits AND c.n_tables = g.n_tables
+        GROUP BY 1, 2
     ),
     rec AS (
-        SELECT n.bits, n.n_tables,
+        SELECT g.bits, g.n_tables,
                CAST(count(*) AS BIGINT)             AS k_total,
                CAST(count(l.neighbor_id) AS BIGINT) AS n_matched
-        FROM ncand n
+        FROM configs g
         CROSS JOIN brute t
-        LEFT JOIN lsh l ON l.bits = n.bits AND l.n_tables = n.n_tables
+        LEFT JOIN lsh l ON l.bits = g.bits AND l.n_tables = g.n_tables
                        AND l.query_id = t.query_id
                        AND l.neighbor_id = t.neighbor_id
         GROUP BY 1, 2
@@ -345,17 +357,26 @@ def stream_order_wide_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 df.filter(ep >= c2),
                 spark.createDataFrame([sentinel], df.schema),
             ]
-            for i, p in enumerate(parts):
-                p.coalesce(1).write.mode("append").parquet(d)
             # FileStreamSource orders by mtime: stamp part files in
-            # write order so file i replays as micro-batch i
-            files = sorted(
-                (os.path.getmtime(os.path.join(d, f)), f)
-                for f in os.listdir(d)
-                if f.startswith("part-") and f.endswith(".parquet")
-            )
+            # write order so file i replays as micro-batch i. Write
+            # order is RECORDED by diffing the directory listing after
+            # each append — inferring it from mtimes afterwards breaks
+            # on coarse-mtime filesystems, where ties fall back to the
+            # random UUID filename and can re-stamp batches out of
+            # time order (rows then drop behind the min watermark).
+            def _parts() -> set[str]:
+                return {f for f in os.listdir(d)
+                        if f.startswith("part-") and f.endswith(".parquet")}
+
+            files, seen = [], set()
+            for p in parts:
+                p.coalesce(1).write.mode("append").parquet(d)
+                new = _parts() - seen
+                assert len(new) == 1, f"expected 1 new part file, got {new}"
+                files.extend(new)
+                seen |= new
             t0 = int(_time.time()) - len(files) - 10
-            for i, (_, f) in enumerate(files):
+            for i, f in enumerate(files):
                 os.utime(os.path.join(d, f), (t0 + i, t0 + i))
             dirs[name] = d
         return dirs
