@@ -155,17 +155,40 @@ def synthetic_embeddings(spark: SparkSession, n_vecs: int = 2000,
         gen, schema="vec_id long, embedding array<float>, label int")
 
 
+def _zipf_key(seed_col, n_keys: int) -> F.Column:
+    """Deterministic Zipf(s≈1) key in [0, n_keys): inverse-CDF of the
+    continuous Zipf law, k = ⌊(n+1)^u⌋ − 1 for hash-uniform u, so
+    P(key = k) ∝ 1/(k+1) — key 0 receives ~1/ln(n) of ALL rows (the
+    hot key the skew family stresses) while the tail stays long.
+    Expression-only, no RNG."""
+    u = _uniform(seed_col, F.lit("zipfkey"))
+    return F.least(
+        F.lit(n_keys - 1),
+        (F.floor(F.pow(F.lit(float(n_keys + 1)), u)) - 1).cast("long"),
+    )
+
+
 def synthetic_upserts(spark: SparkSession, n_keys: int = 100_000,
-                      versions: int = 2) -> DataFrame:
+                      versions: int = 2, zipf: bool = False) -> DataFrame:
     """(id string, ts long, amt double, fee double) upsert changelog:
     `versions` rows per key with increasing ts — the input shape the
     A6 delta-correction stream consumes. Amounts are hash-derived
     (deterministic); later versions revise earlier ones, so the
     delta kernel's prev-state path is exercised for every key.
-    Expression-only: one range scan, no shuffle."""
+    Expression-only: one range scan, no shuffle.
+
+    ``zipf=True`` keeps the row count (n_keys × versions) and the key
+    DOMAIN [0, n_keys) but draws each row's key from the Zipf(1) law
+    (_zipf_key) with a globally increasing ts — same events, same
+    nominal cardinality, hot-key mass ~1/ln(n) on key 0 — the
+    uniform-vs-skewed pair the round-7 skew scaling family measures."""
     rows = spark.range(n_keys * versions)
-    key = (F.col("id") % n_keys).cast("long")
-    ver = (F.col("id") / n_keys).cast("long")
+    if zipf:
+        key = _zipf_key(F.col("id"), n_keys)
+        ver = F.col("id")  # globally increasing: latest-per-key stays total-ordered
+    else:
+        key = (F.col("id") % n_keys).cast("long")
+        ver = (F.col("id") / n_keys).cast("long")
     return rows.select(
         key.cast("string").alias("id"),
         ver.alias("ts"),
@@ -178,14 +201,16 @@ def synthetic_upserts(spark: SparkSession, n_keys: int = 100_000,
 
 def synthetic_user_events(spark: SparkSession, n_events: int = 100_000,
                           n_users: int = 10_000,
-                          days: int = 30) -> DataFrame:
+                          days: int = 30, zipf: bool = False) -> DataFrame:
     """(uid string, ts_s long) event stream over `days` days — the A7
     daily-UV input shape at a chosen key cardinality. Timestamps
     interleave users across the whole span (hash-scattered within the
     day), so per-(user, day) dedup state sees realistic revisit
-    patterns. Expression-only."""
+    patterns. Expression-only. ``zipf=True`` draws uid from the
+    Zipf(1) law over the same domain (see synthetic_upserts)."""
     rows = spark.range(n_events)
-    uid = (F.col("id") % n_users).cast("long")
+    uid = _zipf_key(F.col("id"), n_users) if zipf \
+        else (F.col("id") % n_users).cast("long")
     day = (F.col("id") * F.lit(days)) / F.lit(n_events)
     sec = F.pmod(F.xxhash64("id", F.lit("sec")), F.lit(86_400))
     base = F.lit(1_704_067_200)  # 2024-01-01 UTC
@@ -223,3 +248,60 @@ def synthetic_order_payments(spark: SparkSession,
         (F.pmod(F.xxhash64(oid, F.lit("amount")), F.lit(100_000))
          .cast("double") / 100.0).alias("amount"),
     )
+
+
+#: epoch base shared by the order-wide sides (2024-01-01 UTC)
+_OW_BASE = 1_704_067_200
+
+
+def synthetic_order_wide(spark: SparkSession, n_orders: int,
+                         side: str) -> DataFrame:
+    """One side of the 4-way order-wide chain (J1,
+    DwdTradeOrderDetail.java:68-92 shape) at a chosen order
+    cardinality — the input family for the round-7 scaling row on
+    plans/round6.stream_order_wide_join, which until now was the one
+    stream measured only at sf0.1.
+
+    One detail row per order (id = order_id = oid), orders spread
+    evenly over one day; the order side shares the detail timestamp
+    (hop 1 is an inner join that must match ALL rows), activity rows
+    exist for oid % 7 == 0 and coupon rows for oid % 11 == 0, each
+    hash-scattered 0–1800 s after the detail (inside the ±1 h join
+    window). Expected output of the chained inner→left→left stream is
+    therefore EXACT at every size: n_orders rows total, with
+    ⌈n/7⌉ non-null activity_id and ⌈n/11⌉ non-null coupon_id.
+    Expression-only: one range scan per side, no shuffle, no RNG.
+
+    sides: 'detail' (id, order_id, sku_id, sku_num, amount, ts_s),
+    'order' (o_order_id, user_id, ts_s), 'activity' (a_detail_id,
+    activity_id, ts_s), 'coupon' (c_detail_id, coupon_id, ts_s)."""
+    oid = F.col("id")
+    d_ts = (F.lit(_OW_BASE)
+            + (oid * F.lit(86_400) / F.lit(n_orders)).cast("long"))
+    if side == "detail":
+        return spark.range(n_orders).select(
+            oid.alias("id"), oid.alias("order_id"),
+            (oid % 1000).alias("sku_id"), (1 + oid % 5).alias("sku_num"),
+            (F.pmod(F.xxhash64(oid, F.lit("amt")), F.lit(100_000))
+             .cast("double") / 100.0).alias("amount"),
+            d_ts.alias("ts_s"),
+        )
+    if side == "order":
+        return spark.range(n_orders).select(
+            oid.alias("o_order_id"),
+            (oid % F.lit(max(1, n_orders // 10))).alias("user_id"),
+            d_ts.alias("ts_s"),
+        )
+    if side == "activity":
+        return spark.range(n_orders).filter(oid % 7 == 0).select(
+            oid.alias("a_detail_id"), (oid % 5).alias("activity_id"),
+            (d_ts + F.pmod(F.xxhash64(oid, F.lit("act")), F.lit(1_800)))
+            .alias("ts_s"),
+        )
+    if side == "coupon":
+        return spark.range(n_orders).filter(oid % 11 == 0).select(
+            oid.alias("c_detail_id"), (oid % 3).alias("coupon_id"),
+            (d_ts + F.pmod(F.xxhash64(oid, F.lit("cpn")), F.lit(1_800)))
+            .alias("ts_s"),
+        )
+    raise ValueError(f"unknown side {side!r}")

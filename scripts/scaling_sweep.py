@@ -113,6 +113,27 @@ def main() -> int:
         _warm(F.col("id").cast("double"))
     ).write.format("noop").mode("overwrite").save()
 
+    def _stamp_write_order(d: str, parts) -> None:
+        """Append each part DataFrame as one file under `d` and stamp
+        strictly increasing mtimes IN RECORDED WRITE ORDER (directory
+        diff after each write — mtime inference breaks on coarse-mtime
+        filesystems where ties fall back to random UUID filenames), so
+        FileStreamSource replays file k as micro-batch k."""
+        def listing() -> set[str]:
+            return {f for f in os.listdir(d)
+                    if f.startswith("part-") and f.endswith(".parquet")}
+
+        files, seen = [], set()
+        for part in parts:
+            part.coalesce(1).write.mode("append").parquet(d)
+            new = listing() - seen
+            assert len(new) == 1, f"expected 1 new part file, got {new}"
+            files.extend(new)
+            seen |= new
+        t0 = int(time.time()) - len(files) - 10
+        for i, f in enumerate(files):
+            os.utime(os.path.join(d, f), (t0 + i, t0 + i))
+
     def staged(name: str, build_df) -> str:
         """Stage a corpus to parquet once per (name); timed runs scan
         the files like any other table."""
@@ -249,7 +270,9 @@ def main() -> int:
     # value is state headroom, and two points fit the tail exponent.
     rocks_sizes = {300_000, 1_000_000} if xl else set()
     stream_fams = ("stream_a6_delta", "stream_a7_daily_uv",
-                   "stream_a6_delta_rocksdb", "stream_a7_daily_uv_rocksdb")
+                   "stream_a6_delta_rocksdb", "stream_a7_daily_uv_rocksdb",
+                   "stream_a6_delta_zipf", "stream_a7_daily_uv_zipf",
+                   "stream_keyed_window", "stream_keyed_window_zipf")
     if not any(want(f) for f in stream_fams):
         key_sizes = []
     for n in key_sizes:
@@ -257,6 +280,13 @@ def main() -> int:
             spark, n_keys=n, versions=2))
         ev_dir = staged(f"uevents_{n}", lambda n=n: G.synthetic_user_events(
             spark, n_events=3 * n, n_users=n))
+        # skew twins: SAME row count and key domain, keys drawn Zipf(1)
+        # (synthetic._zipf_key — key 0 carries ~1/ln(n) of all rows)
+        upz_dir = staged(f"upserts_zipf_{n}", lambda n=n: G.synthetic_upserts(
+            spark, n_keys=n, versions=2, zipf=True))
+        evz_dir = staged(f"uevents_zipf_{n}",
+                         lambda n=n: G.synthetic_user_events(
+                             spark, n_events=3 * n, n_users=n, zipf=True))
 
         def drain_a6(up_dir=up_dir, n=n) -> tuple[float, int]:
             base = tempfile.mkdtemp(prefix=f"scal_a6_{n}_")
@@ -287,16 +317,53 @@ def main() -> int:
             shutil.rmtree(base, ignore_errors=True)
             return sec, 3 * n
 
+        def drain_window(ev_dir, n=n) -> tuple[float, int]:
+            # keyed tumbling window (A1 shape) at scale: per-(uid, day)
+            # streaming agg state — the skew question is whether the
+            # hot key's update traffic bends the drain (map-side
+            # partial agg should absorb most of it before the state
+            # store sees rows)
+            base = tempfile.mkdtemp(prefix=f"scal_win_{n}_")
+            in_dir = staged_files_dir(
+                spark.read.parquet(ev_dir), base, n_files=3,
+                order_col="ts_s")
+            sdf = (spark.readStream.schema("uid string, ts_s long")
+                   .option("maxFilesPerTrigger", "1").parquet(in_dir)
+                   .select("uid", F.col("ts_s").cast("timestamp")
+                           .alias("ts"))
+                   .withWatermark("ts", "1 hour"))
+            agg = sdf.groupBy(F.window("ts", "1 day"), "uid").agg(
+                F.count(F.lit(1)).alias("n_events"))
+            t0 = time.perf_counter()
+            run_available_now(agg, os.path.join(base, "out"),
+                              os.path.join(base, "ck"))
+            sec = time.perf_counter() - t0
+            shutil.rmtree(base, ignore_errors=True)
+            return sec, 3 * n
+
         from realtime_data_warehouse_spark.session import use_rocksdb_state
 
+        def drain_a6z(upz_dir=upz_dir, n=n):
+            return drain_a6(up_dir=upz_dir, n=n)
+
+        def drain_a7z(evz_dir=evz_dir, n=n):
+            return drain_a7(ev_dir=evz_dir, n=n)
+
         for fam, fn in (("stream_a6_delta", drain_a6),
-                        ("stream_a7_daily_uv", drain_a7)):
+                        ("stream_a7_daily_uv", drain_a7),
+                        ("stream_a6_delta_zipf", drain_a6z),
+                        ("stream_a7_daily_uv_zipf", drain_a7z),
+                        ("stream_keyed_window",
+                         lambda ev_dir=ev_dir, n=n: drain_window(ev_dir, n)),
+                        ("stream_keyed_window_zipf",
+                         lambda evz_dir=evz_dir, n=n: drain_window(evz_dir, n))):
             if want(fam):
                 fn()  # warm (stages input, forks workers)
                 sec, rows = min((fn() for _ in range(2)), key=lambda t: t[0])
                 record(fam, n, round(sec, 3), rows)
             rfam = fam + "_rocksdb"
-            if n in rocks_sizes and want(rfam):
+            if n in rocks_sizes and want(rfam) \
+                    and fam in ("stream_a6_delta", "stream_a7_daily_uv"):
                 use_rocksdb_state(spark, True)
                 try:
                     fn()  # warm under the provider too
@@ -334,17 +401,9 @@ def main() -> int:
                 d = os.path.join(sj_base, side, "in")
                 sdf = df.filter(F.col("side") == side).drop("side")
                 ts = F.col("ts_s")
-                for part in (sdf.filter(ts < c1),
-                             sdf.filter((ts >= c1) & (ts < c2)),
-                             sdf.filter(ts >= c2)):
-                    part.coalesce(1).write.mode("append").parquet(d)
-                files = sorted(
-                    (os.path.getmtime(os.path.join(d, f)), f)
-                    for f in os.listdir(d)
-                    if f.startswith("part-") and f.endswith(".parquet"))
-                t0 = int(time.time()) - len(files) - 10
-                for i, (_, f) in enumerate(files):
-                    os.utime(os.path.join(d, f), (t0 + i, t0 + i))
+                _stamp_write_order(d, [sdf.filter(ts < c1),
+                                       sdf.filter((ts >= c1) & (ts < c2)),
+                                       sdf.filter(ts >= c2)])
             open(os.path.join(sj_base, "done"), "w").close()
 
         def drain_join(sj_base=sj_base, n=n) -> tuple[float, int]:
@@ -382,6 +441,106 @@ def main() -> int:
         sec, rows = min((drain_join() for _ in range(2)),
                         key=lambda t: t[0])
         record("stream_interval_join", n, round(sec, 3), rows)
+
+    # ---- 4-way chained stream-stream join: drain vs order cardinality --
+    # The round-6 verdict's top item: stream_order_wide_join (J1 as a
+    # stream — 3 stateful hops, 2 outer) was the one stream family
+    # without a measured curve. Same chain shape as the registry entry
+    # (plans/round6.py), inputs from synthetic_order_wide so the
+    # expected output is EXACT at every size: n rows, ⌈n/7⌉ activity
+    # matches, ⌈n/11⌉ coupon matches — asserted per drain.
+    ow_sizes = [30_000, 100_000] if quick else [30_000, 100_000, 300_000]
+    if xl:
+        ow_sizes.append(1_000_000)
+    if not want("stream_order_wide"):
+        ow_sizes = []
+    for n in ow_sizes:
+        ow_base = os.path.join(STAGE_ROOT, f"orderwide_{n}")
+        if not os.path.exists(os.path.join(ow_base, "done")):
+            # ONE shared boundary set for all four streams (round-6
+            # lesson); timestamps are oid-derived over one day, so the
+            # terciles are known constants — plus a far-future sentinel
+            # file per side to push the final watermark past every
+            # real window (outer-join nulls only emit once the
+            # watermark proves no match can arrive)
+            base_ts = 1_704_067_200
+            c1, c2 = base_ts + 28_800, base_ts + 57_600
+            far = base_ts + 40 * 86_400
+            sentinels = {
+                "detail": (-2, -2, -2, 0, 0.0, far),
+                "order": (-1, -1, far),
+                "activity": (-3, -3, far),
+                "coupon": (-4, -4, far),
+            }
+            for side in ("detail", "order", "activity", "coupon"):
+                df = G.synthetic_order_wide(spark, n, side)
+                d = os.path.join(ow_base, side, "in")
+                ts = F.col("ts_s")
+                _stamp_write_order(d, [
+                    df.filter(ts < c1),
+                    df.filter((ts >= c1) & (ts < c2)),
+                    df.filter(ts >= c2),
+                    spark.createDataFrame([sentinels[side]], df.schema),
+                ])
+            open(os.path.join(ow_base, "done"), "w").close()
+
+        def drain_wide(ow_base=ow_base, n=n) -> tuple[float, int]:
+            from realtime_data_warehouse_spark.streaming.joins import (
+                windowed_equi_join,
+            )
+            from realtime_data_warehouse_spark.streaming.runner import (
+                read_back,
+            )
+
+            def src(side: str, schema: str, ts_out: str):
+                return (spark.readStream.schema(schema)
+                        .option("maxFilesPerTrigger", "1")
+                        .parquet(os.path.join(ow_base, side, "in"))
+                        .withColumn(ts_out, F.col("ts_s").cast("timestamp"))
+                        .drop("ts_s")
+                        .withWatermark(ts_out, "1 hour"))
+
+            base = tempfile.mkdtemp(prefix=f"scal_ow_{n}_")
+            t0 = time.perf_counter()
+            s_d = src("detail", "id long, order_id long, sku_id long, "
+                      "sku_num long, amount double, ts_s long", "d_ts")
+            s_o = src("order", "o_order_id long, user_id long, ts_s long",
+                      "o_ts")
+            s_a = src("activity", "a_detail_id long, activity_id long, "
+                      "ts_s long", "a_ts")
+            s_c = src("coupon", "c_detail_id long, coupon_id long, "
+                      "ts_s long", "c_ts")
+            # each hop carries exactly ONE event-time column forward
+            hop1 = windowed_equi_join(
+                s_d, s_o, F.col("order_id") == F.col("o_order_id"),
+                "d_ts", "o_ts", "1 hour", "inner").drop("o_order_id", "o_ts")
+            hop2 = windowed_equi_join(
+                hop1, s_a, F.col("id") == F.col("a_detail_id"),
+                "d_ts", "a_ts", "1 hour", "left").drop("a_detail_id", "a_ts")
+            wide = windowed_equi_join(
+                hop2, s_c, F.col("id") == F.col("c_detail_id"),
+                "d_ts", "c_ts", "1 hour", "left").drop("c_detail_id", "c_ts")
+            run_available_now(wide, os.path.join(base, "out"),
+                              os.path.join(base, "ck"))
+            sec = time.perf_counter() - t0
+            out = read_back(spark, os.path.join(base, "out")).filter(
+                F.col("order_id") >= 0)
+            rows = out.count()
+            n_act = out.filter(F.col("activity_id").isNotNull()).count()
+            n_cpn = out.filter(F.col("coupon_id").isNotNull()).count()
+            exp_act = (n + 6) // 7
+            exp_cpn = (n + 10) // 11
+            assert rows == n and n_act == exp_act and n_cpn == exp_cpn, (
+                f"order-wide chain lost rows at n={n}: rows={rows} "
+                f"(want {n}), act={n_act} (want {exp_act}), "
+                f"cpn={n_cpn} (want {exp_cpn})")
+            shutil.rmtree(base, ignore_errors=True)
+            return sec, rows
+
+        drain_wide()  # warm
+        sec, rows = min((drain_wide() for _ in range(2)),
+                        key=lambda t: t[0])
+        record("stream_order_wide", n, round(sec, 3), rows)
 
     # ---- fit exponents -------------------------------------------------
     for fam, data in results.items():
