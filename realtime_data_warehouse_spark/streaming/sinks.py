@@ -56,20 +56,29 @@ def _recover_table(table_dir: str) -> None:
             os.replace(old, table_dir)
 
 
-def _swap_in(tmp: str, table_dir: str) -> None:
+def _swap_in(tmp: str, table_dir: str, fault=None) -> None:
     """Rename-aside swap: move the live table out of the way, rename
     the fully-written tmp dir in, then delete the old copy. At no point
     is the only copy of prior state inside a directory being deleted —
     a crash at any step is repaired by _recover_table on the next
     batch (before old→live: retry rebuilds tmp; after live aside but
     before tmp in: old is restored; after tmp in: leftover old is
-    dropped)."""
+    dropped).
+
+    `fault` is the crash-injection hook the recovery tests use
+    (tests/test_streaming.py round-7 kill-point suite): called with a
+    stage label at each point a real crash could land; a test raises
+    from it to simulate dying there, then restarts the stream and
+    asserts exactly-once state. Production callers pass nothing."""
+    fault = fault or (lambda _stage: None)
     old = _old_dir(table_dir)
     if os.path.exists(old):
         shutil.rmtree(old)
     if os.path.exists(table_dir):
         os.replace(table_dir, old)
+        fault("after_live_aside")  # live gone, old + tmp intact
     os.replace(tmp, table_dir)
+    fault("after_tmp_in")  # swap done, stale old still on disk
     if os.path.exists(old):
         shutil.rmtree(old)
 
@@ -137,7 +146,7 @@ def dim_upsert_batch(warehouse_dir: str, key_expr: str = "rowkey",
 
 def additive_merge_batch(table_dir: str, keys: Sequence[str],
                          sum_cols: Sequence[str], prepare=None,
-                         merge_aggs: dict | None = None):
+                         merge_aggs: dict | None = None, fault=None):
     """Continuous-aggregate maintenance sink: each micro-batch's rows
     are reduced to PARTIAL aggregates (`prepare`, e.g. a per-day
     tumble) and merged into the stored aggregate table by summation —
@@ -160,7 +169,17 @@ def additive_merge_batch(table_dir: str, keys: Sequence[str],
     (data + ledger) copy of the pre-batch table exists on disk, so a
     crash at any point either retries cleanly against the restored old
     state or skips cleanly against the new one. The O(table) rewrite
-    carries the same Delta MERGE scale note as the header."""
+    carries the same Delta MERGE scale note as the header.
+
+    That replay-exactness claim is TESTED through every kill point,
+    not just between batches: `fault` (test-only hook, see _swap_in)
+    fires at after_data_write / after_ledger_write and inside the
+    swap; the round-7 recovery suite kills the query at each point on
+    both state-store providers, restarts from the same checkpoint,
+    and asserts the merged table equals the batch recompute — no
+    double-apply, no lost batch (tests/test_streaming.py)."""
+    fault = fault or (lambda _stage: None)
+
     def _ledger(d: str) -> str:
         return os.path.join(d, "_applied_batches")
 
@@ -171,6 +190,16 @@ def additive_merge_batch(table_dir: str, keys: Sequence[str],
             with open(_ledger(table_dir)) as fh:
                 applied = set(fh.read().split())
         if str(batch_id) in applied:
+            # Replayed batch already in the ledger: skip the MERGE but
+            # still EXECUTE the batch plan (noop sink). A stateful
+            # upstream (e.g. an applyInPandasWithState delta stage)
+            # only commits its state-store version when the plan runs;
+            # returning without an action leaves that version missing
+            # and the restarted query dies in the state store (found
+            # by the after_tmp_in kill-point test: crash after the
+            # swap lands the batch in the ledger but not in the
+            # checkpoint's offset log, so the replay takes this path).
+            batch.write.format("noop").mode("overwrite").save()
             return
         spark = batch.sparkSession
         partial = prepare(batch) if prepare is not None else batch
@@ -188,9 +217,11 @@ def additive_merge_batch(table_dir: str, keys: Sequence[str],
         )
         tmp = table_dir.rstrip("/") + ".__new__"
         merged.write.mode("overwrite").parquet(tmp)
+        fault("after_data_write")  # tmp has data, no ledger, live intact
         with open(_ledger(tmp), "w") as fh:
             fh.write("\n".join(sorted({*applied, str(batch_id)})) + "\n")
-        _swap_in(tmp, table_dir)
+        fault("after_ledger_write")  # tmp complete, swap not started
+        _swap_in(tmp, table_dir, fault)
 
     return fn
 

@@ -378,6 +378,32 @@ def pack_stream(sdf: DataFrame, group_cols: Sequence[str],
 # Continuous gap filling — streaming LOCF across micro-batches
 # ---------------------------------------------------------------------------
 
+def gapfill_walk_ref(buckets, vals, last_b, last_vals,
+                     step_seconds: int, emit_late: bool):
+    """The gapfill transition, REFERENCE implementation (the scalar
+    walk the vectorized kernel below must match — pinned by the
+    property test in tests/test_streaming.py): over bucket-sorted
+    (b, vals) rows, a row at or below the running high-water mark is
+    late (emitted with its own values, state untouched); an advancing
+    row first emits every missing bucket carrying the carried-forward
+    values, then itself. Returns (rows, last_b, last_vals) where each
+    row is (bucket, is_gapfilled, is_late, *vals)."""
+    out = []
+    for b, v in zip(buckets, vals):
+        b = int(b)
+        v = [float(x) for x in v]
+        if last_b is not None:
+            if b <= last_b:
+                if emit_late:
+                    out.append((b, 0, 1, *v))
+                continue
+            for g in range(last_b + step_seconds, b, step_seconds):
+                out.append((g, 1, 0, *last_vals))
+        out.append((b, 0, 0, *v))
+        last_b, last_vals = b, v
+    return out, last_b, last_vals
+
+
 def gapfill_locf_stream(sdf: DataFrame, key_col: str, bucket_col: str,
                         val_cols: Sequence[str],
                         step_seconds: int = 3600,
@@ -400,7 +426,19 @@ def gapfill_locf_stream(sdf: DataFrame, key_col: str, bucket_col: str,
     retracted in append mode, so the flag is the correction signal a
     downstream MERGE consumes); emit_late=False restores drop
     behavior for consumers that require a strictly dense series.
-    In-order rows carry `is_late=0`."""
+    In-order rows carry `is_late=0`.
+
+    Kernel (round 7 — the last itertuples walk in streaming/): fully
+    vectorized. On the bucket-sorted array the running high-water mark
+    collapses to two masks — late = (b ≤ stored last) OR (b equals its
+    predecessor; sorted order makes any other repeat impossible) —
+    and gap emission to one np.repeat: per accepted row the gap count
+    is (b − prev_b − 1) // step, gap buckets are prev_b + step·(1..g)
+    via a cumsum-ranked arange, gap values are the previous accepted
+    row's values gathered by np.repeat. Output equals the scalar walk
+    (gapfill_walk_ref) row-for-row as a SET — emission order within
+    the batch differs (late/gap/accepted blocks are concatenated),
+    which the append sink never promised anyway."""
     out_schema = T.StructType(
         [T.StructField(key_col, T.StringType()),
          T.StructField(bucket_col, T.LongType()),
@@ -412,37 +450,62 @@ def gapfill_locf_stream(sdf: DataFrame, key_col: str, bucket_col: str,
         [T.StructField("last_b", T.LongType())]
         + [T.StructField(f"v_{c}", T.DoubleType()) for c in val_cols]
     )
+    out_cols = [key_col, bucket_col, "is_gapfilled", "is_late", *val_cols]
+    step = int(step_seconds)
+
+    def _frame(key, b, gapfilled, late, V):
+        f = pd.DataFrame({key_col: key, bucket_col: b,
+                          "is_gapfilled": gapfilled, "is_late": late})
+        for j, c in enumerate(val_cols):
+            f[c] = V[:, j]
+        return f[out_cols]
 
     def fn(key, chunks: Iterator[pd.DataFrame], state: GroupState):
         pdf = _concat(chunks)
         if pdf.empty:
             return
-        pdf = pdf.sort_values(bucket_col, kind="stable")
+        order = _np.argsort(pdf[bucket_col].to_numpy("int64"),
+                            kind="stable")
+        b = pdf[bucket_col].to_numpy("int64")[order]
+        V = pdf[list(val_cols)].to_numpy("float64")[order]
         if state.exists:
-            last_b, *last_vals = state.get
+            last_b, *lv = state.get
+            last_vals = _np.asarray(lv, dtype="float64")
         else:
             last_b, last_vals = None, None
-        out = []
-        for row in pdf.itertuples(index=False):
-            rd = row._asdict()
-            b = int(rd[bucket_col])
-            vals = [float(rd[c]) for c in val_cols]
+        floor = last_b if last_b is not None else _np.iinfo(_np.int64).min
+        prev = _np.concatenate(([floor], b[:-1]))
+        late = (b <= floor) | (b == prev)
+        acc = ~late
+        frames = []
+        if emit_late and late.any():
+            frames.append(_frame(key[0], b[late], 0, 1, V[late]))
+        if acc.any():
+            ab, aV = b[acc], V[acc]
             if last_b is not None:
-                if b <= last_b:
-                    if emit_late:
-                        out.append([key[0], b, 0, 1, *vals])
-                    continue
-                for g in range(last_b + step_seconds, b, step_seconds):
-                    out.append([key[0], g, 1, 0, *last_vals])
-            out.append([key[0], b, 0, 0, *vals])
-            last_b, last_vals = b, vals
-        state.update((last_b, *last_vals))
-        if out:
-            yield pd.DataFrame(
-                out,
-                columns=[key_col, bucket_col, "is_gapfilled", "is_late",
-                         *val_cols],
-            )
+                pb = _np.concatenate(([last_b], ab[:-1]))
+                pV = _np.vstack([last_vals[None, :], aV[:-1]])
+                g = (ab - pb - 1) // step
+            else:
+                pb = _np.concatenate(([ab[0]], ab[:-1]))
+                pV = _np.vstack([aV[:1], aV[:-1]])
+                g = (ab - pb - 1) // step
+                g[0] = 0  # nothing precedes the first-ever bucket
+            tot = int(g.sum())
+            if tot:
+                reps = _np.repeat(_np.arange(ab.size), g)
+                intra = _np.arange(tot) - _np.repeat(_np.cumsum(g) - g, g)
+                gap_b = pb[reps] + step * (intra + 1)
+                frames.append(_frame(key[0], gap_b, 1, 0, pV[reps]))
+            frames.append(_frame(key[0], ab, 0, 0, aV))
+            state.update((int(ab[-1]), *(float(x) for x in aV[-1])))
+        else:
+            # all-late batch: re-assert unchanged state (matches the
+            # scalar walk, which always calls update)
+            if last_b is not None:
+                state.update((int(last_b), *(float(x) for x in last_vals)))
+        if frames:
+            yield pd.concat(frames, ignore_index=True)
 
     return sdf.groupBy(key_col).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout

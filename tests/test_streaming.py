@@ -781,3 +781,158 @@ def test_neardup_gate_rejects_across_batches(spark, tmp_path):
         20: (True, None),
         30: (False, "earlier"),
     }
+
+
+def test_gapfill_stream_matches_scalar_walk(spark, tmp_path):
+    """Round-7 vectorization pin: the numpy gapfill kernel must equal
+    the scalar reference walk (gapfill_walk_ref) row-for-row as a SET
+    on a seeded randomized multi-key replay with cross-batch gaps,
+    cross-batch late rows and cross-batch duplicate buckets. (Within a
+    batch, buckets are unique per key: equal-bucket ties resolve by
+    Spark's nondeterministic chunk order in BOTH kernels, so they are
+    not a testable contract.)"""
+    import random
+
+    from realtime_data_warehouse_spark.streaming.stateful import (
+        gapfill_locf_stream,
+        gapfill_walk_ref,
+    )
+
+    rng = random.Random(20260815)
+    step = 3600
+    keys = ["a", "b", "c", "d"]
+    batches = []
+    for _ in range(3):
+        rows = []
+        for k in keys:
+            buckets = rng.sample(range(0, 40), rng.randint(3, 8))
+            for b in buckets:
+                rows.append((k, b * step,
+                             float(rng.randint(0, 99)),
+                             float(rng.randint(0, 9))))
+        rng.shuffle(rows)
+        batches.append(rows)
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    now = int(__import__("time").time())
+    for i, rows in enumerate(batches):
+        p = os.path.join(in_dir, f"part-{i}.parquet")
+        pd.DataFrame(rows, columns=["k", "bucket", "v", "w"]).to_parquet(p)
+        os.utime(p, (now - 10 + i, now - 10 + i))
+
+    sdf = (
+        spark.readStream.schema("k string, bucket long, v double, w double")
+        .option("maxFilesPerTrigger", "1").parquet(in_dir)
+    )
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    run_available_now(
+        gapfill_locf_stream(sdf, "k", "bucket", ["v", "w"],
+                            step_seconds=step),
+        out, ck,
+    )
+    got = sorted(
+        (r.k, r.bucket, r.is_gapfilled, r.is_late, r.v, r.w)
+        for r in read_back(spark, out).collect()
+    )
+
+    expected = []
+    state = {}
+    for rows in batches:
+        per_key = {}
+        for k, b, v, w in rows:
+            per_key.setdefault(k, []).append((b, (v, w)))
+        for k, kvrows in per_key.items():
+            kvrows.sort(key=lambda t: t[0])
+            last_b, last_vals = state.get(k, (None, None))
+            out_rows, last_b, last_vals = gapfill_walk_ref(
+                [b for b, _ in kvrows], [vs for _, vs in kvrows],
+                last_b, last_vals, step, emit_late=True)
+            state[k] = (last_b, last_vals)
+            expected.extend((k, b, gf, lt, v, w)
+                            for b, gf, lt, v, w in out_rows)
+    assert got == sorted(expected)
+
+
+class _KillPoint(Exception):
+    """Injected crash for the exactly-once recovery suite."""
+
+
+@pytest.mark.parametrize("provider", ["memory", "rocksdb"])
+@pytest.mark.parametrize("kill_point", [
+    "after_data_write", "after_ledger_write",
+    "after_live_aside", "after_tmp_in",
+])
+def test_additive_merge_survives_mid_commit_kill(
+        spark, tmp_path, kill_point, provider):
+    """T10, the sharp version (round 7): kill the additive-merge sink
+    at every point a real crash could land INSIDE a batch commit —
+    after the data write, after the ledger write, and at both rename
+    points inside the swap — then restart from the same checkpoint and
+    require the maintained table to equal the lossless recompute: the
+    replayed batch must apply EXACTLY once (ledger skip when the
+    ledger survived the crash, clean re-merge against restored state
+    when it didn't). Runs on both state-store providers because the
+    upstream applyInPandasWithState delta state must also roll back to
+    the last committed version for the replay to be exact."""
+    from realtime_data_warehouse_spark.session import use_rocksdb_state
+    from realtime_data_warehouse_spark.streaming.runner import (
+        run_foreach_batch,
+    )
+    from realtime_data_warehouse_spark.streaming.sinks import (
+        additive_merge_batch,
+    )
+    from realtime_data_warehouse_spark.streaming.stateful import (
+        delta_correct,
+    )
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    now = int(__import__("time").time())
+    for i in range(3):  # version i of every key -> batch i
+        pdf = pd.DataFrame({
+            "id": [f"k{j}" for j in range(6)],
+            "ts": [i] * 6,
+            "amt": [float(i * 10 + j) for j in range(6)],
+        })
+        p = os.path.join(in_dir, f"part-{i}.parquet")
+        pdf.to_parquet(p)
+        os.utime(p, (now - 10 + i, now - 10 + i))
+
+    table, ck = str(tmp_path / "table"), str(tmp_path / "ck")
+    ctx = {"bid": -1, "armed": True}
+
+    def fault(stage: str) -> None:
+        if ctx["armed"] and ctx["bid"] == 1 and stage == kill_point:
+            ctx["armed"] = False
+            raise _KillPoint(stage)
+
+    def run(with_fault: bool) -> None:
+        sdf = (spark.readStream.schema("id string, ts long, amt double")
+               .option("maxFilesPerTrigger", "1").parquet(in_dir))
+        deltas = delta_correct(sdf, "id", "ts", ["amt"])
+        sink = additive_merge_batch(
+            table, keys=["id"], sum_cols=["amt"],
+            prepare=lambda b: b.groupBy("id").agg(F.sum("amt").alias("amt")),
+            fault=fault if with_fault else None)
+
+        def wrapped(batch, bid):
+            ctx["bid"] = bid
+            sink(batch, bid)
+
+        run_foreach_batch(deltas, wrapped, ck, output_mode="append")
+
+    use_rocksdb_state(spark, provider == "rocksdb")
+    try:
+        with pytest.raises(Exception):
+            run(with_fault=True)
+        # the injected kill fired (disarmed), i.e. the query died at
+        # OUR point, not on an unrelated error
+        assert not ctx["armed"]
+        run(with_fault=False)  # restart: same checkpoint, no fault
+    finally:
+        use_rocksdb_state(spark, False)
+
+    got = {r.id: r.amt for r in spark.read.parquet(table).collect()}
+    # sum of per-batch deltas == the latest version's amount, per key
+    assert got == {f"k{j}": float(20 + j) for j in range(6)}
