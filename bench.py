@@ -272,6 +272,10 @@ def main() -> None:
     ROUND6 = ["ann_lsh_recall"]
     round6_timings = run_family(ROUND6, sf_dir)
 
+    # Round-7 additions — sketch-error acceptance gates.
+    ROUND7 = ["sketch_quantile_error", "hll_error_report"]
+    round7_timings = run_family(ROUND7, sf_dir)
+
     # Set-similarity verify-branch bench (round 5, judge top item).
     # The driver corpus has a tiny (~931-gram) shingle vocabulary, so
     # every gate/bench run of jaccard_pairs/containment_join takes the
@@ -463,6 +467,10 @@ def main() -> None:
                                   "layout, min of 3; own section"),
         "round6_queries": round6_timings,
         "round6_note": ("round-6 family (LSH recall calibration) on the "
+                        "as-served layout, min of 3; own section"),
+        "round7_queries": round7_timings,
+        "round7_note": ("round-7 family (quantile/HLL sketch-error "
+                        "acceptance gates vs exact arithmetic) on the "
                         "as-served layout, min of 3; own section"),
         "set_similarity_branches": branch_timings,
         "set_similarity_note": (

@@ -45,6 +45,13 @@ kernel-attributable time: A7 9.0→7.7 s end-to-end (kernel share
 (~1.5k keys) is machinery-bound and moves little — the win appears
 exactly where the VERDICT's scale concern lives, at high key
 cardinality.
+
+Round-7 skew measurement (SCALING.md §7): BECAUSE the kernels are
+vectorized, Zipf(1) key skew does not bend these drains — a hot key
+holding 5% of a 3M-row stream costs milliseconds inside one numpy
+call, and drain time tracks DISTINCT KEYS TOUCHED (the machinery
+floor) plus resident state, so the skewed twin is measured FASTER
+than uniform at every size. Per-row Python walks would invert that.
 """
 
 from __future__ import annotations
