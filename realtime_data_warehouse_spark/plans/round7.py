@@ -220,3 +220,80 @@ def hll_error_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return side("l_orderkey", "xo", "ao").unionByName(
         side("l_partkey", "xp", "ap"))
+
+
+_HH_K = 64  # summary capacity; certification threshold = n/(k+1)
+
+_HH_ORACLE = f"""
+    WITH toks AS (
+        SELECT unnest(list_filter(
+            string_split_regex(lower(text), '[^a-z0-9]+'),
+            t -> t <> '')) AS token
+        FROM documents
+    ), tot AS (SELECT count(*) AS n FROM toks)
+    SELECT token, CAST(count(*) AS BIGINT) AS cnt
+    FROM toks, tot
+    GROUP BY token, n
+    HAVING count(*) > n / {_HH_K + 1}.0
+"""
+
+
+@register("heavy_hitters_exact", oracle=_HH_ORACLE)
+def heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-items (heavy hitters) via the classic two-pass
+    bounded-memory plan — the third member of the round-7 sketch
+    family, and the one whose OUTPUT is exact despite the sketch:
+
+    Pass 1 runs a Misra-Gries summary (capacity k=64, merged per
+    Arrow batch with the Agarwal-et-al. mergeable-summaries rule:
+    add exact batch counts, then subtract the (k+1)-th largest and
+    drop non-positive) inside ONE mapInPandas scan per partition —
+    O(k) state, no shuffle. The union of per-partition candidates
+    provably contains every token with global count > n/(k+1): a
+    token absent from every partition's summary has per-partition
+    count ≤ n_p/(k+1), which sums to ≤ n/(k+1). Pass 2 exact-counts
+    ONLY the candidate tokens (≤ k·partitions strings broadcast —
+    model-parameter-sized) and keeps those above the threshold, so
+    the emitted set IS the true heavy-hitter set with exact counts —
+    hash-matched by the oracle directly, no acceptance-boolean
+    needed (contrast sketch_quantile_error / hll_error_report, whose
+    estimates stay approximate).
+
+    At 100 TB this is the canonical frequent-tokens job: one scan
+    with k counters per partition, one filtered re-count — versus
+    the full token groupBy whose shuffle carries the entire
+    vocabulary. Reference anchor: none (SURVEY §2.6 — the reference
+    has no frequency-analysis surface); part of the training-data
+    curation family (stopword/boilerplate discovery)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.tokenize import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokenize("text")).alias("token"))
+    n = toks.count()
+
+    def mg_partials(batches):
+        acc = pd.Series(dtype="int64")
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vc = pdf["token"].value_counts()
+            acc = acc.add(vc, fill_value=0).astype("int64")
+            if len(acc) > _HH_K:
+                thr = int(acc.nlargest(_HH_K + 1).iloc[-1])
+                acc = acc - thr
+                acc = acc[acc > 0]
+        yield pd.DataFrame({"token": acc.index.to_numpy(dtype=object),
+                            "cnt": acc.to_numpy(dtype=np.int64)})
+
+    cand = [r["token"] for r in
+            toks.mapInPandas(mg_partials, schema="token string, cnt long")
+            .select("token").distinct().collect()]
+    thresh = n / float(_HH_K + 1)
+    return (
+        toks.filter(F.col("token").isin(cand))
+        .groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > F.lit(thresh))
+    )

@@ -253,3 +253,30 @@ def test_pq_adc_exact_when_codebook_holds_vectors(spark):
         assert abs(adc - exact) < 1e-5, (qi, ni, adc, exact)
     # every query sees its 3 cell-mates
     assert len(got) == 4 * 3
+
+
+@pytest.mark.slow
+def test_heavy_hitters_exact_equals_full_groupby(spark, sf_small):
+    """The two-pass Misra-Gries plan's containment guarantee, pinned
+    end-to-end: its output must equal the full-vocabulary groupBy
+    filtered at the same n/(k+1) threshold — i.e. the per-partition
+    summaries may not lose ANY true heavy hitter, whatever the
+    partitioning hands them."""
+    from pyspark.sql import functions as F
+
+    from realtime_data_warehouse_spark.functions.tokenize import tokenize
+    from realtime_data_warehouse_spark.plans.round7 import (
+        _HH_K,
+        heavy_hitters_exact,
+    )
+    from realtime_data_warehouse_spark.sources.batch import load_table
+
+    got = {(r.token, r.cnt)
+           for r in heavy_hitters_exact(spark, sf_small).collect()}
+    toks = load_table(spark, sf_small, "documents").select(
+        F.explode(tokenize("text")).alias("token"))
+    n = toks.count()
+    exact = {(r.token, r["cnt"]) for r in
+             toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+             .filter(F.col("cnt") > n / float(_HH_K + 1)).collect()}
+    assert got == exact and len(exact) > 0
