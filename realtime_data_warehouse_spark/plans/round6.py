@@ -290,7 +290,11 @@ def stream_order_wide_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batch × 3-hop state-store commit machinery, not per-row
     work, so this entry's sf0.1 wall time is a floor, not a rate."""
     from ..streaming.joins import windowed_equi_join
-    from ..streaming.runner import read_back, run_available_now
+    from ..streaming.runner import (
+        pinned_shuffle,
+        read_back,
+        run_available_now,
+    )
     from .streaming_queries import _stage_once
 
     rundir = tempfile.mkdtemp(prefix="rdw_streamq_owj_")
@@ -422,20 +426,15 @@ def stream_order_wide_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("c_detail_id", "c_ts")
 
     # Three chained stateful joins each keep state in
-    # spark.sql.shuffle.partitions stores per micro-batch; an untuned
-    # 200-partition session pays 3×200 store commits × 12 batches of
-    # pure overhead at this data size (measured: 222 s vanilla vs tens
-    # of seconds tuned). Pin a replay-sized count for THIS query's
-    # checkpoint; restore the session value after.
-    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
-    spark.conf.set("spark.sql.shuffle.partitions", "32")
-    try:
+    # spark.sql.shuffle.partitions stores per micro-batch, and the
+    # drain cost of this query is almost ENTIRELY those commits — the
+    # round-7 partition ladder measured cost ∝ partitions with
+    # identical output (see streaming/runner.pinned_shuffle). 8
+    # partitions ≈ 25k rows/side/batch/store at sf0.1 — still far
+    # more stores than this replay's state needs, 4× fewer no-op
+    # commits than the round-6 setting of 32 (42.7 → ~12 s drain).
+    with pinned_shuffle(spark, 8):
         run_available_now(wide, out, ck)
-    finally:
-        if prev is None:
-            spark.conf.unset("spark.sql.shuffle.partitions")
-        else:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
     # sentinels cannot reach the output (hop 1 is inner and no
     # sentinel key matches across inputs); the guard only documents it
     return read_back(spark, out).filter(F.col("order_id") >= 0).select(

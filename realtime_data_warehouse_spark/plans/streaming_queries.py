@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from ..sources.batch import load_table
 from ..streaming.runner import (
+    pinned_shuffle,
     read_back,
     run_available_now,
     run_foreach_batch,
@@ -351,7 +352,10 @@ def stream_interval_join_pay_detail(spark: SparkSession, sf_dir: str) -> DataFra
         left_ts="pay_ts", right_ts="ship_ts",
         lower="0 seconds", upper="30 days",
     )
-    run_available_now(joined, out, ck)
+    # stream-stream join drains are state-store-commit bound at replay
+    # batch sizes (cost ∝ partitions, measured — see pinned_shuffle)
+    with pinned_shuffle(spark, 8):
+        run_available_now(joined, out, ck)
     return read_back(spark, out).select(
         "order_id", "detail_id",
         F.col("amount").cast("double").alias("amount"),
@@ -864,7 +868,9 @@ def stream_left_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_ts="pay_ts", right_ts="ship_ts",
         lower="0 seconds", upper="30 days", how="left",
     )
-    run_available_now(joined, out, ck)
+    # same commit-bound drain as the inner form — see pinned_shuffle
+    with pinned_shuffle(spark, 8):
+        run_available_now(joined, out, ck)
     return read_back(spark, out).filter(F.col("order_id") != -1).select(
         "order_id", "detail_id",
         F.date_format("pay_ts", "yyyy-MM-dd").alias("pay_date"),

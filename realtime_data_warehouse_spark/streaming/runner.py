@@ -18,8 +18,34 @@ from __future__ import annotations
 
 import os
 import time
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+@contextmanager
+def pinned_shuffle(spark: SparkSession, n: int):
+    """Pin spark.sql.shuffle.partitions for one streaming drain and
+    restore the session value after. Stream-stream joins commit one
+    state-store delta per partition per stateful op per micro-batch,
+    and for replay-sized batches those commits ARE the drain cost —
+    measured on the 4-way chain (round 7, 100k-order corpus,
+    identical output at every setting): 42.2 / 20.3 / 11.3 / 8.3 s at
+    32 / 16 / 8 / 4 partitions, and 222 s on an untuned 200-partition
+    session. Size the pin to per-batch data volume (each partition's
+    per-batch state delta meaningfully sized), not to core count; the
+    count is baked into the query's checkpoint, so callers use a
+    fresh checkpoint per invocation (they do — out/ck are
+    per-invocation tmpdirs)."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+        else:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def run_available_now(sdf: DataFrame, out_dir: str, checkpoint_dir: str,
