@@ -171,21 +171,21 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv"),
     ).withColumn("cn", norm2(F.col("cv")))
-    if n_tables > 1:
-        # table t reads coordinates {i*stride + t}, i < bits; a vector
-        # shorter than the highest read makes element_at return NULL
-        # (non-ANSI), every sign test falls to 0, and the "disjoint"
-        # tables silently degenerate toward identical buckets — fail
-        # loudly instead (one LIMIT-1 probe of the corpus, plan-cheap)
-        need = (bits - 1) * stride + (n_tables - 1) + 1
-        row = corpus.select(F.size(as_double(vec_col)).alias("d")).first()
-        if row is not None and row["d"] < need:
-            raise ValueError(
-                f"lsh_topk(n_tables={n_tables}, bits={bits}, "
-                f"stride={stride}) reads coordinate {need - 1}; corpus "
-                f"embeddings have dim {row['d']} — OR-amplification "
-                f"would silently collapse. Lower bits/stride/n_tables."
-            )
+    # table t reads coordinates {i*stride + t}, i < bits; a vector
+    # shorter than the highest read makes element_at return NULL
+    # (non-ANSI), every sign test falls to 0, and the high bucket bits
+    # silently degrade toward constants — fail loudly instead (one
+    # LIMIT-1 probe of the corpus, plan-cheap). Applies at n_tables==1
+    # too: need reduces to (bits-1)*stride + 1 there.
+    need = (bits - 1) * stride + (n_tables - 1) + 1
+    row = corpus.select(F.size(as_double(vec_col)).alias("d")).first()
+    if row is not None and row["d"] < need:
+        raise ValueError(
+            f"lsh_topk(n_tables={n_tables}, bits={bits}, "
+            f"stride={stride}) reads coordinate {need - 1}; corpus "
+            f"embeddings have dim {row['d']} — bucket bits beyond the "
+            f"vector would silently collapse. Lower bits/stride/n_tables."
+        )
     if n_tables == 1:
         qb = q.withColumn("bucket", lsh_sign_bucket(F.col("qv"), bits, stride))
         cb = c.withColumn("bucket", lsh_sign_bucket(F.col("cv"), bits, stride))

@@ -120,22 +120,27 @@ def sketch_quantile_error(spark: SparkSession, sf_dir: str) -> DataFrame:
               for r in stats for i, q in enumerate(_QS)}
 
     # pass 2 — exact conditional counts around each estimate (one
-    # scan, 6 aggregates; per-flag estimates ride in as a CASE expr)
-    def est_expr(q: float) -> F.Column:
-        e = F.lit(None).cast("double")
-        for flag in n_of:
-            e = F.when(F.col("l_returnflag") == flag,
-                       F.lit(est_of[(flag, q)])).otherwise(e)
-        return e
-
+    # scan, 6 aggregates). The per-group estimates ride in as a
+    # BROADCAST-joined frame, not a chained CASE expression: expression
+    # depth stays O(1) in the number of groups, so the same gate is
+    # reusable on a high-cardinality key without blowing up the plan
+    # (round-7 verdict item: the CASE chain was O(groups) deep).
+    ests_df = spark.createDataFrame(
+        [(flag,) + tuple(est_of[(flag, q)] for q in _QS)
+         for flag in sorted(n_of)],
+        "l_returnflag string, " + ", ".join(
+            f"e{int(q * 100)} double" for q in _QS),
+    )
     aggs = []
     for q in _QS:
-        aggs.append(F.sum((v < est_expr(q)).cast("long"))
+        e = F.col(f"e{int(q * 100)}")
+        aggs.append(F.sum((v < e).cast("long"))
                     .alias(f"lt_{int(q * 100)}"))
-        aggs.append(F.sum((v <= est_expr(q)).cast("long"))
+        aggs.append(F.sum((v <= e).cast("long"))
                     .alias(f"le_{int(q * 100)}"))
     counts = {r["l_returnflag"]: r
-              for r in li.groupBy("l_returnflag").agg(*aggs).collect()}
+              for r in li.join(F.broadcast(ests_df), "l_returnflag")
+              .groupBy("l_returnflag").agg(*aggs).collect()}
 
     # pass 3 — the exact quantile (two_pass: histogram + bracket)
     exact_of = {}
@@ -165,7 +170,7 @@ _HLL_ERR_ORACLE = f"""
     SELECT l_returnflag, 'l_orderkey' AS key_col,
            CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_distinct,
            CAST({_RSD} AS DOUBLE) AS rsd_bound,
-           TRUE AS within_3rsd
+           TRUE AS within_5rsd
     FROM lineitem GROUP BY 1
     UNION ALL
     SELECT l_returnflag, 'l_partkey',
@@ -181,14 +186,21 @@ def hll_error_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-7 sketch-error pair (see sketch_quantile_error): Spark's
     approx_count_distinct (HyperLogLog++, default rsd = 0.05)
     measured against the exact distinct count per (l_returnflag,
-    key column), gated at 3·rsd. Unlike the GK quantile sketch, the
+    key column), gated at 5·rsd. The gate is deliberately WIDER than
+    the 3σ band: 3·rsd is a probabilistic (~99.7%) bound for HLL++,
+    not a hard guarantee, so a legitimate ~0.3%-per-cell tail
+    exceedance on a new scale factor or key column would turn the
+    parity entry red with no code defect (round-7 advice); 5·rsd
+    (~5σ, false-red ≈ 6e-7/cell) keeps the acceptance boolean in the
+    hash-matched contract while making a red entry mean a real
+    defect. Unlike the GK quantile sketch, the
     HLL estimate is ORDER-INDEPENDENT (register-wise max merges), so
     the measured error is a property of (data, rsd) alone and is
     reproducible across partitionings — but still engine-specific
     (seed/hash), so the oracle pins the exact counts and asserts the
     acceptance boolean TRUE, same contract as the quantile gate.
 
-    MEASURED (this box, both driver SFs, rsd = 0.05 ⇒ 3σ gate 15%):
+    MEASURED (this box, both driver SFs, rsd = 0.05 ⇒ 5σ gate 25%):
     worst observed relative error 8.6% (sf0.01 flag N, l_orderkey)
     and 6.4% (sf0.1 flag R) — ~1.7σ, inside the gate but far from
     free: the A3 exact-distinct window (`dws_province_order_window`)
@@ -215,7 +227,7 @@ def hll_error_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col(exact).cast("long").alias("exact_distinct"),
             F.lit(_RSD).cast("double").alias("rsd_bound"),
             (F.abs(F.col(approx) - F.col(exact))
-             <= 3 * _RSD * F.col(exact)).alias("within_3rsd"),
+             <= 5 * _RSD * F.col(exact)).alias("within_5rsd"),
         )
 
     return side("l_orderkey", "xo", "ao").unionByName(
@@ -272,25 +284,37 @@ def heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(tokenize("text")).alias("token"))
-    n = toks.count()
 
+    # pass 1 emits BOTH the MG summary and the partition's exact row
+    # count (is_total row), so the global n comes from the same scan
+    # as the candidates — two full scans total, matching the
+    # docstring's contract (round-7 advice: the separate toks.count()
+    # was a third full tokenize+explode scan).
     def mg_partials(batches):
         acc = pd.Series(dtype="int64")
+        total = 0
         for pdf in batches:
             if not len(pdf):
                 continue
+            total += len(pdf)
             vc = pdf["token"].value_counts()
             acc = acc.add(vc, fill_value=0).astype("int64")
             if len(acc) > _HH_K:
                 thr = int(acc.nlargest(_HH_K + 1).iloc[-1])
                 acc = acc - thr
                 acc = acc[acc > 0]
-        yield pd.DataFrame({"token": acc.index.to_numpy(dtype=object),
-                            "cnt": acc.to_numpy(dtype=np.int64)})
+        yield pd.DataFrame({
+            "token": np.append(acc.index.to_numpy(dtype=object), [None]),
+            "cnt": np.append(acc.to_numpy(dtype=np.int64),
+                             np.int64(total)),
+            "is_total": np.append(np.zeros(len(acc), dtype=bool), [True]),
+        })
 
-    cand = [r["token"] for r in
-            toks.mapInPandas(mg_partials, schema="token string, cnt long")
-            .select("token").distinct().collect()]
+    partials = toks.mapInPandas(
+        mg_partials, schema="token string, cnt long, is_total boolean"
+    ).collect()  # ≤ (k+1)·partitions rows — model-parameter-sized
+    n = sum(r["cnt"] for r in partials if r["is_total"])
+    cand = sorted({r["token"] for r in partials if not r["is_total"]})
     thresh = n / float(_HH_K + 1)
     return (
         toks.filter(F.col("token").isin(cand))

@@ -5,9 +5,9 @@ in natural order; this artifact covers the rest).
 
 Runs each registry query at sf0.01 on a deliberately VANILLA
 SparkSession (no repo tuning — catches hidden dependence on session
-config, same discipline as .claude/skills/verify) and compares to the
-committed ``oracle_sql()`` via DuckDB: row count + schema + the same
-order-insensitive value-hash the driver uses.
+config) and compares to the committed ``oracle_sql()`` via DuckDB:
+row count + schema + the same order-insensitive value-hash the
+driver uses.
 
 Writes PARITY_SF001.json at the repo root:
   {query: {rows_match, schema_match, hash_match, spark_rows,
