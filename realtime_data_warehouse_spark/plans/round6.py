@@ -294,6 +294,8 @@ def stream_order_wide_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         pinned_shuffle,
         read_back,
         run_available_now,
+        shuffle_for_volume,
+        staged_batch_rows,
     )
     from .streaming_queries import _stage_once
 
@@ -429,11 +431,14 @@ def stream_order_wide_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spark.sql.shuffle.partitions stores per micro-batch, and the
     # drain cost of this query is almost ENTIRELY those commits — the
     # round-7 partition ladder measured cost ∝ partitions with
-    # identical output (see streaming/runner.pinned_shuffle). 8
-    # partitions ≈ 25k rows/side/batch/store at sf0.1 — still far
-    # more stores than this replay's state needs, 4× fewer no-op
-    # commits than the round-6 setting of 32 (42.7 → ~12 s drain).
-    with pinned_shuffle(spark, 8):
+    # identical output (see streaming/runner.pinned_shuffle). The pin
+    # is DERIVED from this replay's actual per-batch volume (largest
+    # staged part file, footer metadata only — all four sides replay
+    # maxFilesPerTrigger=1), not hand-tuned: at sf0.1 (~200k-row
+    # detail terciles) this computes the ladder-optimal 8 and carries
+    # to 100× the volume without retuning.
+    rows_per_batch = max(staged_batch_rows(d) for d in dirs.values())
+    with pinned_shuffle(spark, shuffle_for_volume(rows_per_batch)):
         run_available_now(wide, out, ck)
     # sentinels cannot reach the output (hop 1 is inner and no
     # sentinel key matches across inputs); the guard only documents it

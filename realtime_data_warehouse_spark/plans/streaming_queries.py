@@ -35,6 +35,8 @@ from ..streaming.runner import (
     read_back,
     run_available_now,
     run_foreach_batch,
+    shuffle_for_volume,
+    staged_batch_rows,
     staged_files_dir,
 )
 from ..streaming.stateful import delta_correct
@@ -353,8 +355,12 @@ def stream_interval_join_pay_detail(spark: SparkSession, sf_dir: str) -> DataFra
         lower="0 seconds", upper="30 days",
     )
     # stream-stream join drains are state-store-commit bound at replay
-    # batch sizes (cost ∝ partitions, measured — see pinned_shuffle)
-    with pinned_shuffle(spark, 8):
+    # batch sizes (cost ∝ partitions, measured — see pinned_shuffle);
+    # pin derived from per-batch volume: pay arrives whole in batch 1,
+    # detail one staged file per batch
+    rows_per_batch = max(staged_batch_rows(pay_dir, one_file_per_batch=False),
+                         staged_batch_rows(detail_dir))
+    with pinned_shuffle(spark, shuffle_for_volume(rows_per_batch)):
         run_available_now(joined, out, ck)
     return read_back(spark, out).select(
         "order_id", "detail_id",
@@ -868,8 +874,11 @@ def stream_left_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_ts="pay_ts", right_ts="ship_ts",
         lower="0 seconds", upper="30 days", how="left",
     )
-    # same commit-bound drain as the inner form — see pinned_shuffle
-    with pinned_shuffle(spark, 8):
+    # same commit-bound drain as the inner form — see pinned_shuffle;
+    # pin derived from per-batch volume, same rule as the inner form
+    rows_per_batch = max(staged_batch_rows(pay_dir, one_file_per_batch=False),
+                         staged_batch_rows(detail_dir))
+    with pinned_shuffle(spark, shuffle_for_volume(rows_per_batch)):
         run_available_now(joined, out, ck)
     return read_back(spark, out).filter(F.col("order_id") != -1).select(
         "order_id", "detail_id",
