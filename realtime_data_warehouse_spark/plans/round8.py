@@ -1,0 +1,129 @@
+"""Round 8 — error certification for the last rows-only family, plus
+the streaming heavy-hitters twin.
+
+`dedup_simhash_fast` (xxhash64 token hashes — the family you'd run at
+100 TB, ~3× cheaper per token than md5) was the registry's last entry
+with only a rows-only check: xxhash64 has no DuckDB twin, so its pair
+set can never hash-match a foreign engine. Round 7 established the
+pattern for exactly this situation (sketch_quantile_error /
+hll_error_report): measure the approximate operator against
+SQL-pinnable ground truth IN-ENGINE, and let the oracle assert the
+acceptance verdict — a red entry then means a real defect, not an
+engine-specific hash.
+
+Reference anchor: the reference has no dedup surface at all (SURVEY
+§2 — its 20 apps are warehouse ETL/agg); this family is part of the
+training-data-pipeline layer the task brief adds on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.batch import fan_out, load_table
+from .datapipe import _SHINGLES
+from .registry import register
+
+#: (truth Jaccard threshold, asserted recall floor). The floors are
+#: set from theory + measurement, NOT at the measured value: simhash
+#: recall on a true near-dup pair is probabilistic (hamming ≤ 8/64
+#: needs ≥ 87.5% bit agreement), so a per-pair TRUE assertion — or a
+#: floor at the observed recall — would turn the entry red on a new
+#: corpus with no code defect (the same trap the round-7 HLL gate's
+#: 3·rsd bound had; see hll_error_report). Measured on the driver
+#: corpus: recall 1.0/1.0 at sf0.01 (24 and 25 truth pairs),
+#: 221/222 = 0.995 and 246/256 = 0.961 at sf0.1.
+_RECALL_GATES = ((0.95, 0.90), (0.80, 0.85))
+
+_SIMHASH_GATE_ORACLE = f"""
+    WITH sh AS ({_SHINGLES}),
+    inv AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    j AS (
+        SELECT p.common / (sa.n + sb.n - p.common) AS jac
+        FROM pairs p
+        JOIN (SELECT doc_id, len(sh) AS n FROM sh) sa ON p.doc_a = sa.doc_id
+        JOIN (SELECT doc_id, len(sh) AS n FROM sh) sb ON p.doc_b = sb.doc_id
+    )
+    SELECT CAST(0.95 AS DOUBLE) AS tau,
+           CAST(count(*) FILTER (WHERE jac >= 0.95) AS BIGINT) AS n_truth,
+           CAST(0.90 AS DOUBLE) AS recall_floor,
+           TRUE AS recall_ok
+    FROM j
+    UNION ALL
+    SELECT CAST(0.80 AS DOUBLE),
+           CAST(count(*) FILTER (WHERE jac >= 0.80) AS BIGINT),
+           CAST(0.85 AS DOUBLE), TRUE
+    FROM j
+"""
+
+
+@register("simhash_fast_recall_gate", oracle=_SIMHASH_GATE_ORACLE)
+def simhash_fast_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acceptance gate for `dedup_simhash_fast` — the xxhash64 simhash
+    family measured against EXACT word-bigram Jaccard ground truth
+    (dedup_ngram_jaccard's PPJoin path, whose output hash-matches
+    DuckDB), per truth threshold τ ∈ {0.95, 0.80}: the oracle pins the
+    exact truth-pair counts and asserts recall ≥ the declared floor.
+    With this entry every approximate family in the registry carries
+    an oracle-gated error certificate; `dedup_simhash_fast` itself
+    stays rows-only only because xxhash64 cannot hash-match a foreign
+    engine — its QUALITY is now gated here.
+
+    Why recall-vs-truth and not set arithmetic vs the md5 twin
+    (`dedup_simhash`): measured at sf0.01, the two families' pair sets
+    are 964 (xxhash64) and 814 (md5) pairs with only 77 common — the
+    overwhelming majority of emitted pairs sit AT the hamming-8
+    boundary, where membership is a property of the hash family, not
+    of the documents (at sf0.1: 91,845 fast pairs vs 222 true
+    ≥0.95-Jaccard pairs — simhash is a candidate generator, and its
+    borderline band is noise by design). Match/missed/spurious counts
+    against the twin would therefore gate hash-family noise;
+    what a 100 TB deployment actually needs certified is that the
+    cheap family still CATCHES true near-duplicates — recall against
+    exact Jaccard, the same ground truth the MinHash-LSH family is
+    verified against. Both families' borderline bands are filtered by
+    the downstream exact-verify step in any case (the
+    dedup_minhash_lsh pattern: candidates → exact Jaccard → keep).
+
+    Scale: the truth side is the PPJoin prefix-filtered join (never
+    pair-quadratic, SCALING.md tail e 0.84); the fast side is the
+    pigeonhole block join (linear, tail 0.97); the comparison join is
+    truth-pair-sized (hundreds of rows). Driver state: two scalars per
+    τ."""
+    from ..operators import dedup as D
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    fast = (
+        D.simhash_pairs(docs, max_hamming=8)
+        .select("doc_a", "doc_b")
+        .withColumn("hit", F.lit(1))
+    )
+
+    out = None
+    for tau, floor in _RECALL_GATES:
+        # exact jac >= tau applied INSIDE jaccard_pairs (unrounded
+        # ratio), matching the oracle's filter — the rounded output
+        # column would disagree with the oracle at ratio boundaries
+        truth = D.jaccard_pairs(docs, threshold=tau).select("doc_a", "doc_b")
+        got = truth.join(fast, ["doc_a", "doc_b"], "left").agg(
+            F.count(F.lit(1)).alias("n_truth"),
+            F.count("hit").alias("n_found"),
+        )
+        row = got.select(
+            F.lit(tau).cast("double").alias("tau"),
+            F.col("n_truth").cast("long"),
+            F.lit(floor).cast("double").alias("recall_floor"),
+            # exact integer arithmetic: recall >= floor without float
+            # division (floors are exact hundredths)
+            (F.col("n_found") * 100
+             >= F.lit(int(round(floor * 100))) * F.col("n_truth"))
+            .alias("recall_ok"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
