@@ -18,6 +18,9 @@ training-data-pipeline layer the task brief adds on top.
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -127,3 +130,72 @@ def simhash_fast_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Streaming heavy hitters — Misra-Gries summary as cross-batch state
+# ---------------------------------------------------------------------------
+
+
+from .round7 import _HH_ORACLE  # noqa: E402  (same contract as the batch twin)
+
+
+@register("stream_heavy_hitters", oracle=_HH_ORACLE)
+def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `heavy_hitters_exact` (VERDICT r7 item 6):
+    the documents table arrives as a 3-micro-batch token stream and a
+    capacity-64 Misra-Gries summary persists ACROSS micro-batches via
+    `streaming.sinks.mg_merge_batch` — per-batch partials (one
+    mapInPandas scan, O(k) state per partition) merge into a stored
+    k-row summary with the mergeable-summaries rule, under the same
+    applied-batch-id ledger + rename-aside-swap exactly-once
+    discipline as additive_merge_batch (kill-point-tested at all four
+    in-commit crash stages, tests/test_streaming.py). The merge
+    theorem makes the stored summary a provable candidate superset of
+    every token with global count > n/(k+1) no matter how the stream
+    was batched; at drain the ≤ k candidates are exact-re-counted over
+    the corpus and thresholded — so the OUTPUT is exact and
+    hash-matches the same oracle as the batch twin.
+
+    This is the 24/7 form of the 100 TB frequent-tokens job: state is
+    k counters + one exact row count regardless of stream length, the
+    re-count is a filtered scan, and a restart resumes from the last
+    committed summary instead of rescanning history. Reference anchor:
+    none (extends the curation family — SURVEY §2.6 has no frequency
+    surface)."""
+    from ..functions.tokenize import tokenize
+    from ..streaming.runner import run_foreach_batch, staged_files_dir
+    from ..streaming.sinks import mg_merge_batch
+    from .round7 import _HH_K
+    from .streaming_queries import _stage_once
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def build(base: str) -> str:
+        return staged_files_dir(docs.select("doc_id", "text"), base,
+                                n_files=3, order_col="doc_id")
+
+    in_dir = _stage_once(sf_dir, "hh_docs", build)
+    rundir = tempfile.mkdtemp(prefix="rdw_hh_stream_")
+    state, ck = os.path.join(rundir, "state"), os.path.join(rundir, "ck")
+
+    s_toks = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1").parquet(in_dir)
+        .select(F.explode(tokenize("text")).alias("token"))
+    )
+    run_foreach_batch(s_toks, mg_merge_batch(state, k=_HH_K), ck,
+                      output_mode="append")
+
+    import pandas as pd
+
+    st = pd.read_parquet(state)
+    n = int(st.loc[st["is_total"], "cnt"].sum())
+    cand = sorted(st.loc[~st["is_total"], "token"].tolist())
+    thresh = n / float(_HH_K + 1)
+    toks = docs.select(F.explode(tokenize("text")).alias("token"))
+    return (
+        toks.filter(F.col("token").isin(cand))
+        .groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > F.lit(thresh))
+    )

@@ -226,6 +226,122 @@ def additive_merge_batch(table_dir: str, keys: Sequence[str],
     return fn
 
 
+def mg_merge_batch(state_dir: str, k: int, token_col: str = "token",
+                   fault=None):
+    """Streaming Misra-Gries maintenance sink — the keyed-state form of
+    plans/round7.heavy_hitters_exact's pass 1: each micro-batch is
+    reduced to per-partition capacity-k MG summaries (one mapInPandas
+    scan, O(k) state per partition) plus an exact per-partition row
+    count, and the collected partials (≤ (k+1)·partitions rows —
+    model-parameter-sized) merge into a persisted capacity-k summary
+    with the Agarwal-et-al. mergeable-summaries rule: add counts, then
+    subtract the (k+1)-th largest and drop non-positive. The merge
+    theorem carries the batch guarantee across batches: after ANY
+    sequence of merges over n total rows, every token with global
+    count > n/(k+1) survives in the stored summary, so the summary is
+    always a provable candidate superset for the exact re-count at
+    drain.
+
+    MG merge is NOT idempotent (a replayed batch would re-subtract and
+    re-add), so the sink reuses additive_merge_batch's exactly-once
+    discipline verbatim: applied-batch-id ledger written inside the
+    new state dir BEFORE the rename-aside swap, crash recovery on
+    entry, ledger-skip path still EXECUTING the batch plan through a
+    noop sink (the round-7 lesson: a stateful upstream only commits
+    its state-store version when the plan runs), and the same `fault`
+    kill-point hook so the recovery suite can kill it mid-commit.
+
+    Stored state layout: one parquet dir with rows
+    (token string NULL-for-total, cnt long, is_total boolean) — the
+    summary plus the exact running row count n; state is O(k)
+    regardless of stream length, read/written driver-side because it
+    IS model-parameter-sized (contrast the O(table) merge sinks
+    above)."""
+    import numpy as np
+    import pandas as pd
+
+    fault = fault or (lambda _stage: None)
+
+    def _ledger(d: str) -> str:
+        return os.path.join(d, "_applied_batches")
+
+    def _mg_trim(acc: "pd.Series", cap: int) -> "pd.Series":
+        if len(acc) > cap:
+            thr = int(acc.nlargest(cap + 1).iloc[-1])
+            acc = acc - thr
+            acc = acc[acc > 0]
+        return acc
+
+    def fn(batch: DataFrame, batch_id: int) -> None:
+        _recover_table(state_dir)
+        applied: set[str] = set()
+        if os.path.exists(_ledger(state_dir)):
+            with open(_ledger(state_dir)) as fh:
+                applied = set(fh.read().split())
+        if str(batch_id) in applied:
+            batch.write.format("noop").mode("overwrite").save()
+            return
+
+        def partials(batches):
+            acc = pd.Series(dtype="int64")
+            total = 0
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                total += len(pdf)
+                vc = pdf[token_col].value_counts()
+                acc = _mg_trim(acc.add(vc, fill_value=0).astype("int64"), k)
+            yield pd.DataFrame({
+                "token": np.append(acc.index.to_numpy(dtype=object), [None]),
+                "cnt": np.append(acc.to_numpy(dtype=np.int64),
+                                 np.int64(total)),
+                "is_total": np.append(np.zeros(len(acc), dtype=bool),
+                                      [True]),
+            })
+
+        part = (
+            batch.select(F.col(token_col).alias(token_col))
+            .mapInPandas(partials,
+                         schema=f"{token_col} string, cnt long, "
+                                "is_total boolean")
+            .toPandas()
+        )
+        acc = pd.Series(dtype="int64")
+        n = 0
+        if os.path.exists(state_dir):
+            cur = pd.read_parquet(state_dir)
+            n = int(cur.loc[cur["is_total"], "cnt"].sum())
+            summ = cur[~cur["is_total"]]
+            acc = pd.Series(summ["cnt"].to_numpy(dtype="int64"),
+                            index=summ[token_col].to_numpy(dtype=object))
+        n += int(part.loc[part["is_total"], "cnt"].sum())
+        # add ALL partials, then one trim: the trim subtracts its
+        # threshold from every entry and at least k+1 entries carry it,
+        # so each decrement D removes ≥ (k+1)·D counted mass — the same
+        # potential argument as pairwise merging, giving total
+        # undercount ≤ n/(k+1) across the whole batch history
+        batch_counts = (part[~part["is_total"]]
+                        .groupby(token_col)["cnt"].sum())
+        acc = _mg_trim(
+            acc.add(batch_counts, fill_value=0).astype("int64"), k)
+
+        tmp = state_dir.rstrip("/") + ".__new__"
+        os.makedirs(tmp, exist_ok=True)
+        out = pd.DataFrame({
+            token_col: np.append(acc.index.to_numpy(dtype=object), [None]),
+            "cnt": np.append(acc.to_numpy(dtype=np.int64), np.int64(n)),
+            "is_total": np.append(np.zeros(len(acc), dtype=bool), [True]),
+        })
+        out.to_parquet(os.path.join(tmp, "part-0.parquet"))
+        fault("after_data_write")
+        with open(_ledger(tmp), "w") as fh:
+            fh.write("\n".join(sorted({*applied, str(batch_id)})) + "\n")
+        fault("after_ledger_write")
+        _swap_in(tmp, state_dir, fault)
+
+    return fn
+
+
 def route_by_column(out_dir: str, table_col: str = "sink_table"):
     """K2 — dynamic destination per record: a single partitioned write
     fans the batch out to out_dir/<sink_table>=<v>/ directories. At

@@ -936,3 +936,79 @@ def test_additive_merge_survives_mid_commit_kill(
     got = {r.id: r.amt for r in spark.read.parquet(table).collect()}
     # sum of per-batch deltas == the latest version's amount, per key
     assert got == {f"k{j}": float(20 + j) for j in range(6)}
+
+
+@pytest.mark.parametrize("kill_point", [
+    "after_data_write", "after_ledger_write",
+    "after_live_aside", "after_tmp_in",
+])
+def test_mg_merge_survives_mid_commit_kill(spark, tmp_path, kill_point):
+    """Round-8 recovery suite for the streaming Misra-Gries sink: MG
+    merge is non-idempotent (a replayed batch re-adds counts AND
+    re-subtracts a trim threshold), so a crash at any in-commit stage
+    must neither double-apply nor lose the batch. Kill at each of the
+    four stages during batch 1, restart from the same checkpoint, and
+    require (a) the stored exact row count n to equal the true stream
+    length (any double-apply inflates it), and (b) the drained
+    candidates + exact re-count to produce the true heavy-hitter set."""
+    from collections import Counter
+
+    from realtime_data_warehouse_spark.streaming.runner import (
+        run_foreach_batch,
+    )
+    from realtime_data_warehouse_spark.streaming.sinks import mg_merge_batch
+
+    k = 4
+    batches = [
+        ["a"] * 10 + ["b"] * 5 + ["d", "e"],
+        ["a"] * 10 + ["b"] * 10 + ["f", "g", "h"],
+        ["a"] * 10 + ["b"] * 5 + ["c"] * 6 + ["i", "j", "k", "l", "m"],
+    ]
+    all_toks = [t for b in batches for t in b]
+    n_true = len(all_toks)
+    true_counts = Counter(all_toks)
+    expected = {t: c for t, c in true_counts.items()
+                if c > n_true / (k + 1)}
+    assert expected == {"a": 30, "b": 20}  # test-corpus sanity
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    now = int(__import__("time").time())
+    for i, toks in enumerate(batches):
+        p = os.path.join(in_dir, f"part-{i}.parquet")
+        pd.DataFrame({"token": toks}).to_parquet(p)
+        os.utime(p, (now - 10 + i, now - 10 + i))
+
+    state, ck = str(tmp_path / "state"), str(tmp_path / "ck")
+    ctx = {"bid": -1, "armed": True}
+
+    def fault(stage: str) -> None:
+        if ctx["armed"] and ctx["bid"] == 1 and stage == kill_point:
+            ctx["armed"] = False
+            raise RuntimeError(f"injected kill at {stage}")
+
+    def run(with_fault: bool) -> None:
+        sdf = (spark.readStream.schema("token string")
+               .option("maxFilesPerTrigger", "1").parquet(in_dir))
+        sink = mg_merge_batch(state, k=k,
+                              fault=fault if with_fault else None)
+
+        def wrapped(batch, bid):
+            ctx["bid"] = bid
+            sink(batch, bid)
+
+        run_foreach_batch(sdf, wrapped, ck, output_mode="append")
+
+    with pytest.raises(Exception):
+        run(with_fault=True)
+    assert not ctx["armed"]  # died at OUR kill point
+    run(with_fault=False)
+
+    st = pd.read_parquet(state)
+    n = int(st.loc[st["is_total"], "cnt"].sum())
+    assert n == n_true  # exactly-once: no double-counted batch
+    cand = set(st.loc[~st["is_total"], "token"])
+    assert set(expected) <= cand  # MG superset guarantee held
+    got = {t: c for t, c in true_counts.items()
+           if t in cand and c > n / (k + 1)}
+    assert got == expected
