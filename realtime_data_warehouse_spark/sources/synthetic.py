@@ -220,6 +220,57 @@ def synthetic_user_events(spark: SparkSession, n_events: int = 100_000,
     )
 
 
+def synthetic_keyed_journey(spark: SparkSession, n_events: int,
+                            n_keys: int, zipf: bool = False) -> DataFrame:
+    """(gid, uid, rnk, ts_s, etype, value) — the shared input family
+    for the four round-8 stateful-stream scaling rows (gapfill /
+    funnel / attribution / pack): one global event stream whose
+    per-key semantics make every family's expected output EXACTLY
+    derivable from the staged input by a one-line aggregate, uniform
+    and Zipf(1) alike.
+
+    - gid: global row id; ts_s = 2024-01-01 + gid (strictly
+      increasing, so a gid-range replay delivers every key's events
+      in event-time order across micro-batches — the ordered-replay
+      contract the stateful kernels document).
+    - uid: key in [0, n_keys), uniform (gid % n) or Zipf(1)
+      (_zipf_key — hot key 0 carries ~1/ln(n) of all rows).
+    - rnk: the row's rank WITHIN its key (0-based, gid order) —
+      staged as a column (one window shuffle, staging-only) so
+      derived inputs are pure projections:
+        * funnel/attribution: etype = (view, click, purchase)[rnk%3]
+          ⇒ per key c: t1/t2/t3 complete iff c ≥ 1/2/3, every
+          conversion's (first, last) touch is (view, click);
+        * gapfill: bucket = base + 2·step·rnk ⇒ exactly one missing
+          bucket between consecutive observations — dense output
+          2c−1 rows per key, zero late;
+        * pack: one 64-token chunk per row, budget 256 ⇒ pack_offset
+          0 exactly at rnk % 4 == 0 — ⌈c/4⌉ packs per key.
+    - value: hash-derived double (attribution's conversion payload).
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    rows = spark.range(n_events)
+    uid = _zipf_key(F.col("id"), n_keys) if zipf \
+        else (F.col("id") % n_keys).cast("long")
+    base = F.lit(1_704_067_200)
+    df = rows.select(
+        F.col("id").alias("gid"),
+        uid.alias("uid"),
+        (base + F.col("id")).cast("long").alias("ts_s"),
+        (F.pmod(F.xxhash64("id", F.lit("val")), F.lit(10_000))
+         .cast("double") / 100.0).alias("value"),
+    )
+    rnk = F.row_number().over(
+        Window.partitionBy("uid").orderBy("gid")) - 1
+    etype = F.element_at(
+        F.array(F.lit("view"), F.lit("click"), F.lit("purchase")),
+        (F.col("rnk") % 3 + 1).cast("int"))
+    return (df.withColumn("rnk", rnk.cast("long"))
+            .withColumn("etype", etype)
+            .select("gid", "uid", "rnk", "ts_s", "etype", "value"))
+
+
 def synthetic_order_payments(spark: SparkSession,
                              n_orders: int = 100_000) -> DataFrame:
     """(side string, order_id string, ts_s long, amount double) — the

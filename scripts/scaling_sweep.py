@@ -276,17 +276,29 @@ def main() -> int:
     if not any(want(f) for f in stream_fams):
         key_sizes = []
     for n in key_sizes:
-        up_dir = staged(f"upserts_{n}", lambda n=n: G.synthetic_upserts(
-            spark, n_keys=n, versions=2))
-        ev_dir = staged(f"uevents_{n}", lambda n=n: G.synthetic_user_events(
-            spark, n_events=3 * n, n_users=n))
+        up_dir = ev_dir = upz_dir = evz_dir = None
+        if want("stream_a6_delta") or want("stream_a6_delta_rocksdb"):
+            up_dir = staged(f"upserts_{n}", lambda n=n: G.synthetic_upserts(
+                spark, n_keys=n, versions=2))
+        if (want("stream_a7_daily_uv") or want("stream_a7_daily_uv_rocksdb")
+                or want("stream_keyed_window")):
+            ev_dir = staged(f"uevents_{n}",
+                            lambda n=n: G.synthetic_user_events(
+                                spark, n_events=3 * n, n_users=n))
         # skew twins: SAME row count and key domain, keys drawn Zipf(1)
-        # (synthetic._zipf_key — key 0 carries ~1/ln(n) of all rows)
-        upz_dir = staged(f"upserts_zipf_{n}", lambda n=n: G.synthetic_upserts(
-            spark, n_keys=n, versions=2, zipf=True))
-        evz_dir = staged(f"uevents_zipf_{n}",
-                         lambda n=n: G.synthetic_user_events(
-                             spark, n_events=3 * n, n_users=n, zipf=True))
+        # (synthetic._zipf_key — key 0 carries ~1/ln(n) of all rows).
+        # Staged only when a zipf family is wanted (round-7 advice:
+        # unconditional staging added O(input) writes to targeted
+        # sweeps).
+        if want("stream_a6_delta_zipf"):
+            upz_dir = staged(f"upserts_zipf_{n}",
+                             lambda n=n: G.synthetic_upserts(
+                                 spark, n_keys=n, versions=2, zipf=True))
+        if want("stream_a7_daily_uv_zipf") or want("stream_keyed_window_zipf"):
+            evz_dir = staged(f"uevents_zipf_{n}",
+                             lambda n=n: G.synthetic_user_events(
+                                 spark, n_events=3 * n, n_users=n,
+                                 zipf=True))
 
         def drain_a6(up_dir=up_dir, n=n) -> tuple[float, int]:
             base = tempfile.mkdtemp(prefix=f"scal_a6_{n}_")
@@ -317,7 +329,8 @@ def main() -> int:
             shutil.rmtree(base, ignore_errors=True)
             return sec, 3 * n
 
-        def drain_window(ev_dir, n=n) -> tuple[float, int]:
+        def drain_window(ev_dir, n=n, exp_rows: int | None = None
+                         ) -> tuple[float, int]:
             # keyed tumbling window (A1 shape) at scale: per-(uid, day)
             # streaming agg state — the skew question is whether the
             # hot key's update traffic bends the drain (map-side
@@ -327,6 +340,20 @@ def main() -> int:
             in_dir = staged_files_dir(
                 spark.read.parquet(ev_dir), base, n_files=3,
                 order_col="ts_s")
+            # far-future sentinel as a LAST micro-batch so the final
+            # day's windows cross the 1 h watermark and flush — without
+            # it the recorded time silently excluded final-window
+            # emission and the output was unassertable (round-7 advice)
+            far = spark.read.parquet(ev_dir).agg(
+                F.max("ts_s")).collect()[0][0] + 40 * 86_400
+            sent = os.path.join(in_dir, "sentinel.parquet")
+            spark.createDataFrame([("-1", far)], "uid string, ts_s long") \
+                .coalesce(1).write.mode("overwrite").parquet(sent + ".d")
+            part = next(f for f in os.listdir(sent + ".d")
+                        if f.startswith("part-") and f.endswith(".parquet"))
+            os.replace(os.path.join(sent + ".d", part), sent)
+            shutil.rmtree(sent + ".d", ignore_errors=True)
+            os.utime(sent, (int(time.time()) + 5, int(time.time()) + 5))
             sdf = (spark.readStream.schema("uid string, ts_s long")
                    .option("maxFilesPerTrigger", "1").parquet(in_dir)
                    .select("uid", F.col("ts_s").cast("timestamp")
@@ -338,8 +365,14 @@ def main() -> int:
             run_available_now(agg, os.path.join(base, "out"),
                               os.path.join(base, "ck"))
             sec = time.perf_counter() - t0
+            rows = (spark.read.parquet(os.path.join(base, "out"))
+                    .filter(F.col("uid") != "-1").count())
+            if exp_rows is not None:
+                assert rows == exp_rows, (
+                    f"keyed window lost rows at n={n}: {rows} "
+                    f"(want {exp_rows})")
             shutil.rmtree(base, ignore_errors=True)
-            return sec, 3 * n
+            return sec, rows
 
         from realtime_data_warehouse_spark.session import use_rocksdb_state
 
@@ -349,14 +382,28 @@ def main() -> int:
         def drain_a7z(evz_dir=evz_dir, n=n):
             return drain_a7(ev_dir=evz_dir, n=n)
 
+        def _exp_win(d: str) -> int:
+            # exact expected output: distinct (uid, epoch-day) pairs —
+            # window('1 day') on UTC timestamps is epoch-aligned
+            return (spark.read.parquet(d)
+                    .select("uid", (F.col("ts_s") / 86_400).cast("long")
+                            .alias("day"))
+                    .distinct().count())
+
+        exp_win_u = _exp_win(ev_dir) if want("stream_keyed_window") else None
+        exp_win_z = _exp_win(evz_dir) \
+            if want("stream_keyed_window_zipf") else None
+
         for fam, fn in (("stream_a6_delta", drain_a6),
                         ("stream_a7_daily_uv", drain_a7),
                         ("stream_a6_delta_zipf", drain_a6z),
                         ("stream_a7_daily_uv_zipf", drain_a7z),
                         ("stream_keyed_window",
-                         lambda ev_dir=ev_dir, n=n: drain_window(ev_dir, n)),
+                         lambda ev_dir=ev_dir, n=n, e=exp_win_u:
+                         drain_window(ev_dir, n, exp_rows=e)),
                         ("stream_keyed_window_zipf",
-                         lambda evz_dir=evz_dir, n=n: drain_window(evz_dir, n))):
+                         lambda evz_dir=evz_dir, n=n, e=exp_win_z:
+                         drain_window(evz_dir, n, exp_rows=e))):
             if want(fam):
                 fn()  # warm (stages input, forks workers)
                 sec, rows = min((fn() for _ in range(2)), key=lambda t: t[0])
@@ -372,6 +419,154 @@ def main() -> int:
                 finally:
                     use_rocksdb_state(spark, False)
                 record(rfam, n, round(sec, 3), rows)
+
+    # ---- round-8 stateful families: gapfill / funnel / attribution / pack
+    # The four keyed applyInPandasWithState operators that had pytest
+    # pins but no measured exponent (VERDICT r7 item 1). One shared
+    # journey corpus (synthetic_keyed_journey) drives all four —
+    # per-key rank is staged as a column, so every family's expected
+    # output is EXACT from one input aggregate, uniform and Zipf(1)
+    # alike, and asserted at every size.
+    from realtime_data_warehouse_spark.streaming.stateful import (
+        attribution_stream,
+        funnel_stream,
+        gapfill_locf_stream,
+        pack_stream,
+    )
+
+    _J_SCHEMA = ("gid long, uid long, rnk long, ts_s long, "
+                 "etype string, value double")
+    _GF_BASE = 1_704_067_200
+
+    j_sizes = [30_000, 100_000] if quick else [30_000, 100_000, 300_000]
+    if xl:
+        j_sizes.append(1_000_000)
+    j_base_fams = ("stream_gapfill", "stream_funnel",
+                   "stream_attribution", "stream_pack")
+    if not any(want(f + s) for f in j_base_fams for s in ("", "_zipf")):
+        j_sizes = []
+    for n in j_sizes:
+        for suffix, zipf in (("", False), ("_zipf", True)):
+            fams = [f + suffix for f in j_base_fams]
+            if not any(want(f) for f in fams):
+                continue
+            jdir = staged(
+                f"journey{'_zipf' if zipf else ''}_{n}",
+                lambda n=n, zipf=zipf: G.synthetic_keyed_journey(
+                    spark, n_events=3 * n, n_keys=n, zipf=zipf))
+            # exact expectations, one aggregate over per-key counts:
+            # d keys, ge2/ge3 funnel completions, ⌈c/4⌉ packs,
+            # ⌊c/3⌋ conversions per key
+            c = F.col("count")
+            st = (spark.read.parquet(jdir).groupBy("uid").count().agg(
+                F.count(F.lit(1)).alias("d"),
+                F.sum((c >= 2).cast("long")).alias("ge2"),
+                F.sum((c >= 3).cast("long")).alias("ge3"),
+                F.sum(F.floor((c + 3) / 4)).alias("packs0"),
+                F.sum(F.floor(c / 3)).alias("n_conv"),
+                F.sum(c).alias("n_rows"),
+            ).collect()[0])
+
+            def drain_journey(make, check, jdir=jdir, n=n):
+                base = tempfile.mkdtemp(prefix=f"scal_j_{n}_")
+                in_dir = staged_files_dir(
+                    spark.read.parquet(jdir), base, n_files=3,
+                    order_col="gid")
+                sdf = (spark.readStream.schema(_J_SCHEMA)
+                       .option("maxFilesPerTrigger", "1").parquet(in_dir))
+                t0 = time.perf_counter()
+                run_available_now(make(sdf), os.path.join(base, "out"),
+                                  os.path.join(base, "ck"))
+                sec = time.perf_counter() - t0
+                rows = check(spark.read.parquet(os.path.join(base, "out")))
+                shutil.rmtree(base, ignore_errors=True)
+                return sec, rows
+
+            def mk_gapfill(s):
+                return gapfill_locf_stream(
+                    s.select(
+                        F.col("uid").cast("string").alias("id"),
+                        (F.lit(_GF_BASE) + F.col("rnk") * 7_200)
+                        .cast("long").alias("bucket"),
+                        F.col("value").alias("v"),
+                        (F.col("value") * 2).alias("w"),
+                    ), "id", "bucket", ["v", "w"], step_seconds=3_600)
+
+            def ck_gapfill(out, st=st, n=n):
+                r = out.agg(
+                    F.count(F.lit(1)).alias("rows"),
+                    F.sum("is_gapfilled").alias("gf"),
+                    F.sum("is_late").alias("late")).collect()[0]
+                exp = 2 * st["n_rows"] - st["d"]
+                assert (r["rows"], r["gf"], r["late"]) == \
+                    (exp, st["n_rows"] - st["d"], 0), (
+                    f"gapfill wrong at n={n}: {tuple(r)} want "
+                    f"({exp}, {st['n_rows'] - st['d']}, 0)")
+                return r["rows"]
+
+            def mk_funnel(s):
+                return funnel_stream(s, "uid", "ts_s", "etype")
+
+            def ck_funnel(out, st=st, n=n):
+                latest = out.groupBy("uid").agg(
+                    F.max_by(F.struct("t1", "t2", "t3"), "seq").alias("s"))
+                r = latest.agg(
+                    F.count(F.lit(1)).alias("users"),
+                    F.count("s.t1").alias("c1"),
+                    F.count("s.t2").alias("c2"),
+                    F.count("s.t3").alias("c3")).collect()[0]
+                exp = (st["d"], st["d"], st["ge2"], st["ge3"])
+                assert tuple(r) == exp, (
+                    f"funnel wrong at n={n}: {tuple(r)} want {exp}")
+                return r["users"]
+
+            def mk_attr(s):
+                return attribution_stream(s, "uid", "ts_s", "gid",
+                                          "etype", "value")
+
+            def ck_attr(out, st=st, n=n):
+                r = out.agg(
+                    F.count(F.lit(1)).alias("rows"),
+                    F.sum(((F.col("first_touch") == "view")
+                           & (F.col("last_touch") == "click"))
+                          .cast("long")).alias("vc")).collect()[0]
+                assert tuple(r) == (st["n_conv"], st["n_conv"]), (
+                    f"attribution wrong at n={n}: {tuple(r)} want "
+                    f"({st['n_conv']}, {st['n_conv']})")
+                return r["rows"]
+
+            def mk_pack(s):
+                return pack_stream(
+                    s.select(
+                        "uid",
+                        F.col("gid").alias("doc_id"),
+                        F.lit(0).cast("long").alias("chunk_idx"),
+                        F.lit(64).cast("long").alias("n_tokens"),
+                    ), ["uid"], ("doc_id", "chunk_idx"),
+                    tokens_col="n_tokens", budget=256)
+
+            def ck_pack(out, st=st, n=n):
+                r = out.agg(
+                    F.count(F.lit(1)).alias("rows"),
+                    F.sum((F.col("pack_offset") == 0).cast("long"))
+                    .alias("p0")).collect()[0]
+                assert tuple(r) == (st["n_rows"], st["packs0"]), (
+                    f"pack wrong at n={n}: {tuple(r)} want "
+                    f"({st['n_rows']}, {st['packs0']})")
+                return r["rows"]
+
+            for fam, make, check in (
+                    (f"stream_gapfill{suffix}", mk_gapfill, ck_gapfill),
+                    (f"stream_funnel{suffix}", mk_funnel, ck_funnel),
+                    (f"stream_attribution{suffix}", mk_attr, ck_attr),
+                    (f"stream_pack{suffix}", mk_pack, ck_pack)):
+                if not want(fam):
+                    continue
+                drain_journey(make, check)  # warm (stages replay input)
+                sec, rows = min(
+                    (drain_journey(make, check) for _ in range(2)),
+                    key=lambda t: t[0])
+                record(fam, n, round(sec, 3), rows)
 
     # ---- stream-stream interval join: drain vs order cardinality -------
     # T9's scale claim — join state bounded by (watermark delay +
