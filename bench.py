@@ -94,8 +94,16 @@ def main() -> None:
         except Exception:  # noqa: BLE001  (Spark Connect: no _jvm)
             pass
 
+    # every individual timed pass, keyed "<section>/<query>" — the
+    # round-7 drift lesson (stream_a6_delta_sum +48% between rounds,
+    # adjudicable only by a fresh A/B because the artifacts kept only
+    # best-of): with per-pass times committed, future drift can be
+    # read off the artifact (two tight passes = real shift; one spike
+    # + one normal = box weather)
+    pass_log: dict[str, list[float]] = {}
+
     def run_family(names: list[str], data_dir: str,
-                   passes: int = 3) -> dict[str, float]:
+                   passes: int = 3, section: str = "") -> dict[str, float]:
         """Min-of-N per query: single executions on this shared VM
         spike 4-15x from host noise/GC; min of consecutive runs is the
         steady-state number. Each timed execution is the full query
@@ -113,11 +121,14 @@ def main() -> None:
                 fn(spark, data_dir).write.format("noop").mode("overwrite").save()
                 elapsed = round(time.perf_counter() - t0, 3)
                 timings[name] = min(timings.get(name, elapsed), elapsed)
+                pass_log.setdefault(f"{section}/{name}" if section
+                                    else name, []).append(elapsed)
                 unpersist_all()
         return timings
 
-    def run_passes(data_dir: str, passes: int = 3) -> dict[str, float]:
-        return run_family(HEADLINE, data_dir, passes)
+    def run_passes(data_dir: str, passes: int = 3,
+                   section: str = "headline") -> dict[str, float]:
+        return run_family(HEADLINE, data_dir, passes, section=section)
 
     # Pass 1 — the driver's own layout, untouched (one row group per
     # table): what the grader's environment actually serves.
@@ -152,7 +163,7 @@ def main() -> None:
     # self-chosen re-layout), the compacted series is the clearly
     # labeled secondary metric, and compaction cost stays its own
     # field, never folded into either.
-    timings_compacted = run_passes(compacted)
+    timings_compacted = run_passes(compacted, section="headline_compacted")
 
     # Skew stress — the testdata keys are uniform, so the headline
     # numbers never pressure the skew machinery; this section does.
@@ -226,7 +237,7 @@ def main() -> None:
         "ohlc_daily_bars", "corr_qty_price", "revenue_histogram",
         "scd2_point_in_time_join", "fuzzy_join_parts",
     ]
-    analytics_timings = run_family(ANALYTICS, sf_dir)
+    analytics_timings = run_family(ANALYTICS, sf_dir, section="analytics")
 
     # Round-5 governance/statistics family — same discipline: its own
     # section, never part of the headline value.
@@ -240,7 +251,7 @@ def main() -> None:
         "mixture_temperature_weights", "multimodal_dedup",
         "event_path_trigrams", "fulfillment_latency",
     ]
-    round5_timings = run_family(ROUND5, sf_dir)
+    round5_timings = run_family(ROUND5, sf_dir, section="round5")
 
     # Warehouse-classic join shapes (round 5 batch 3) — Q2/Q15/Q17/
     # Q18/Q19/Q21/Q22 patterns; own section, same discipline.
@@ -250,7 +261,7 @@ def main() -> None:
         "waiting_orders_by_supplier", "dormant_customers_audit",
         "top_supplier_quarter",
     ]
-    classics_timings = run_family(CLASSICS, sf_dir)
+    classics_timings = run_family(CLASSICS, sf_dir, section="classics")
 
     # Decision-support batch 2 (round 5 batch 4) — remaining TPC-H
     # shapes, rollup/reshape surface, corpus statistics; own section,
@@ -266,15 +277,15 @@ def main() -> None:
         "crosssource_neardup_matrix", "bigram_lm_score",
         "dedup_clusters_converged",
     ]
-    ds2_timings = run_family(DS2, sf_dir)
+    ds2_timings = run_family(DS2, sf_dir, section="decision_support")
 
     # Round-6 additions — own section, same discipline.
     ROUND6 = ["ann_lsh_recall"]
-    round6_timings = run_family(ROUND6, sf_dir)
+    round6_timings = run_family(ROUND6, sf_dir, section="round6")
 
     # Round-7 additions — sketch-error acceptance gates.
     ROUND7 = ["sketch_quantile_error", "hll_error_report"]
-    round7_timings = run_family(ROUND7, sf_dir)
+    round7_timings = run_family(ROUND7, sf_dir, section="round7")
 
     # Set-similarity verify-branch bench (round 5, judge top item).
     # The driver corpus has a tiny (~931-gram) shingle vocabulary, so
@@ -371,7 +382,10 @@ def main() -> None:
                 t0 = time.perf_counter()
                 QUERIES[name](spark, sf_dir).write.format("noop").mode(
                     "overwrite").save()
-                best = min(best, time.perf_counter() - t0)
+                el = time.perf_counter() - t0
+                pass_log.setdefault(f"streaming/{name}", []).append(
+                    round(el, 3))
+                best = min(best, el)
                 unpersist_all()
             out[name] = {"sec": round(best, 3), "input_rows": n_in,
                          "rows_per_sec": int(n_in / best)}
@@ -387,7 +401,10 @@ def main() -> None:
                     t0 = time.perf_counter()
                     QUERIES[name](spark, sf_dir).write.format("noop").mode(
                         "overwrite").save()
-                    best_r = min(best_r, time.perf_counter() - t0)
+                    el = time.perf_counter() - t0
+                    pass_log.setdefault(f"streaming/{name}_rocksdb",
+                                        []).append(round(el, 3))
+                    best_r = min(best_r, el)
                     unpersist_all()
                 out[f"{name}_rocksdb"] = {
                     "sec": round(best_r, 3), "input_rows": n_in,
@@ -420,7 +437,10 @@ def main() -> None:
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+            el = time.perf_counter() - t0
+            pass_log.setdefault(f"streaming/{name}", []).append(
+                round(el, 3))
+            best = min(best, el)
             unpersist_all()
         stream_timings[name] = {"sec": round(best, 3), "input_rows": n_in,
                                 "rows_per_sec": int(n_in / best)}
@@ -482,6 +502,13 @@ def main() -> None:
             "(O(V/64) per pair, verify-before-distinct), the "
             "prefix+token join wins on Zipf vocabularies where the "
             "prefix actually prunes; min of 2, own section"),
+        "pass_times": pass_log,
+        "pass_times_note": (
+            "every individual timed pass per section/query (the "
+            "dicts above keep best-of): two tight passes = real "
+            "level, one spike + one normal = box weather — the "
+            "round-7 a6 drift was only adjudicable with a fresh A/B "
+            "because these were not recorded"),
         "streaming_throughput": stream_timings,
         "streaming_note": (
             "stateful streams drained availableNow end-to-end with "
