@@ -216,6 +216,68 @@ def main() -> int:
             record("stream_neardup_gate", n,
                    round(min(drain_gate() for _ in range(2)), 3), n // 10)
 
+        if want("stream_heavy_hitters"):
+            # round-8 MG sink at scale: the documents corpus drains as
+            # a 3-micro-batch token stream through mg_merge_batch
+            # (capacity-64 summary + exact count as cross-batch state,
+            # exactly-once ledger), then the ≤ k stored candidates are
+            # exact-re-counted — the full stream_heavy_hitters shape.
+            # Output asserted EQUAL to the brute-force full-vocabulary
+            # groupBy heavy-hitter set at every size (computed untimed).
+            from realtime_data_warehouse_spark.functions.tokenize import (
+                tokenize,
+            )
+            from realtime_data_warehouse_spark.streaming.runner import (
+                run_foreach_batch,
+            )
+            from realtime_data_warehouse_spark.streaming.sinks import (
+                mg_merge_batch,
+            )
+
+            _HHK = 64
+
+            def drain_hh(d=d, n=n) -> tuple[float, int]:
+                import pandas as pd  # noqa: PLC0415
+
+                base = tempfile.mkdtemp(prefix=f"scal_hh_{n}_")
+                in_dir = staged_files_dir(
+                    spark.read.parquet(d).select("doc_id", "text"),
+                    base, n_files=3, order_col="doc_id")
+                state = os.path.join(base, "state")
+                t0 = time.perf_counter()
+                s = (spark.readStream.schema("doc_id long, text string")
+                     .option("maxFilesPerTrigger", "1").parquet(in_dir)
+                     .select(F.explode(tokenize("text")).alias("token")))
+                run_foreach_batch(s, mg_merge_batch(state, k=_HHK),
+                                  os.path.join(base, "ck"),
+                                  output_mode="append")
+                st = pd.read_parquet(state)
+                n_tot = int(st.loc[st["is_total"], "cnt"].sum())
+                cand = sorted(st.loc[~st["is_total"], "token"].tolist())
+                toks = (spark.read.parquet(d)
+                        .select(F.explode(tokenize("text")).alias("token")))
+                got = {r["token"]: r["cnt"] for r in
+                       toks.filter(F.col("token").isin(cand))
+                       .groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+                       .filter(F.col("cnt") > F.lit(n_tot / (_HHK + 1)))
+                       .collect()}
+                sec = time.perf_counter() - t0
+                brute = {r["token"]: r["cnt"] for r in
+                         toks.groupBy("token")
+                         .agg(F.count(F.lit(1)).alias("cnt"))
+                         .filter(F.col("cnt") > F.lit(n_tot / (_HHK + 1)))
+                         .collect()}
+                assert got == brute, (
+                    f"stream heavy hitters diverged at n={n}: "
+                    f"{len(got)} vs brute {len(brute)}")
+                shutil.rmtree(base, ignore_errors=True)
+                return sec, len(got)
+
+            drain_hh()  # warm
+            sec, rows = min((drain_hh() for _ in range(2)),
+                            key=lambda t: t[0])
+            record("stream_heavy_hitters", n, round(sec, 3), rows)
+
     # ---- embeddings: ANN + blocked near-dup ----------------------------
     emb_sizes = [2_000, 6_000] if quick else [2_000, 6_000, 20_000, 60_000]
     if xl:
