@@ -91,15 +91,33 @@ def pinned_shuffle(spark: SparkSession, n: int):
             spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+def _await_drained(q, timeout_s: int) -> None:
+    """awaitTermination(timeout) RETURNS (False) when the query is
+    still running — callers that then read the output dir see a
+    silently PARTIAL drain. Found the hard way (round 8): the 1M-key
+    gapfill scaling drain ran past the old default and its output
+    assertion read 3.08M of 5M rows mid-drain. A replay harness must
+    never hand back partial results, so expiry now stops the query
+    and raises instead of returning."""
+    if q.awaitTermination(timeout_s):
+        return
+    q.stop()
+    q.awaitTermination(30)
+    raise TimeoutError(
+        f"streaming drain still running after {timeout_s}s — raise "
+        f"timeout_s; a partial read here would be silent corruption")
+
+
 def run_available_now(sdf: DataFrame, out_dir: str, checkpoint_dir: str,
                       output_mode: str = "append",
-                      timeout_s: int = 300) -> None:
+                      timeout_s: int = 1800) -> None:
     """Write a streaming DataFrame to parquet until the source drains.
 
     Parquet sink is append-only (K1/K3 analogue: FlinkSinkUtil.java:22-33
     → files instead of Kafka/Doris). Checkpoint dir gives exactly-once
     file output across restarts — the 2PC role of BaseApp.java:28-41.
-    """
+    Raises TimeoutError (after stopping the query) if the drain
+    outlives timeout_s — never returns with a partial drain."""
     q = (
         sdf.writeStream.format("parquet")
         .outputMode(output_mode)
@@ -108,13 +126,14 @@ def run_available_now(sdf: DataFrame, out_dir: str, checkpoint_dir: str,
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    _await_drained(q, timeout_s)
 
 
 def run_foreach_batch(sdf: DataFrame, batch_fn, checkpoint_dir: str,
                       output_mode: str = "update",
-                      timeout_s: int = 300) -> None:
-    """Drive a stream through a foreachBatch sink until drained."""
+                      timeout_s: int = 1800) -> None:
+    """Drive a stream through a foreachBatch sink until drained.
+    Same no-partial-drain contract as run_available_now."""
     q = (
         sdf.writeStream.foreachBatch(batch_fn)
         .outputMode(output_mode)
@@ -122,7 +141,7 @@ def run_foreach_batch(sdf: DataFrame, batch_fn, checkpoint_dir: str,
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    _await_drained(q, timeout_s)
 
 
 def read_back(spark: SparkSession, out_dir: str) -> DataFrame:

@@ -75,9 +75,16 @@ def main() -> int:
     quick = "--quick" in sys.argv
     xl = "--xl" in sys.argv and not quick
     only: set[str] | None = None
+    sizes_override: list[int] | None = None
     for a in sys.argv:
         if a.startswith("--only="):
             only = set(a.split("=", 1)[1].split(","))
+        if a.startswith("--sizes="):
+            # key-count override for the stream-family blocks (keyed
+            # state / journey / interval / order-wide): with the
+            # point-level merge, a targeted size re-runs alone and
+            # slots into the committed curve
+            sizes_override = [int(x) for x in a.split("=", 1)[1].split(",")]
 
     def want(fam: str) -> bool:
         return only is None or fam in only
@@ -157,10 +164,45 @@ def main() -> int:
 
     results: dict[str, dict] = {}
 
+    def _fit_exponent(pts: list[dict]) -> float:
+        xs = [math.log(p["n"]) for p in pts]
+        ys = [math.log(max(p["sec"], 1e-3)) for p in pts]
+        nx = len(xs)
+        mx, my = sum(xs) / nx, sum(ys) / nx
+        denom = sum((x - mx) ** 2 for x in xs) or 1.0
+        return round(sum((x - mx) * (y - my)
+                         for x, y in zip(xs, ys)) / denom, 2)
+
+    def _merged() -> dict:
+        """Current results merged POINT-level into the existing
+        out_json: a targeted --only rerun of one size replaces just
+        that size's point instead of dropping the family's committed
+        curve; exponents refit over the merged points."""
+        merged: dict[str, dict] = {}
+        if os.path.exists(out_json):
+            with open(out_json) as f:
+                merged = json.load(f)
+        for fam, data in results.items():
+            old = {p["n"]: p for p in merged.get(fam, {}).get("points", [])}
+            for p in data["points"]:
+                old[p["n"]] = p
+            pts = [old[k] for k in sorted(old)]
+            merged[fam] = {"points": pts, "exponent": _fit_exponent(pts)}
+        return merged
+
+    def _flush() -> None:
+        # write after EVERY point — an 80-minute sweep must not lose
+        # its measurements to a late assertion (round-8 lesson: the
+        # 1M gapfill partial-drain assert fired after 10 recorded
+        # points, and the script only wrote at exit)
+        with open(out_json, "w") as f:
+            json.dump(_merged(), f, indent=1, sort_keys=True)
+
     def record(family: str, size: int, sec: float, rows: int) -> None:
         results.setdefault(family, {"points": []})["points"].append(
             {"n": size, "sec": sec, "rows": rows})
         print(f"  {family} n={size}: {sec}s rows={rows}", flush=True)
+        _flush()
 
     # ---- documents: set-similarity + clustering ------------------------
     doc_sizes = [5_000, 15_000] if quick else [5_000, 15_000, 50_000, 150_000]
@@ -328,6 +370,8 @@ def main() -> int:
     key_sizes = [30_000, 100_000] if quick else [30_000, 100_000, 300_000]
     if xl:
         key_sizes.append(1_000_000)
+    if sizes_override is not None:
+        key_sizes = list(sizes_override)
     # RocksDB twins only at the two largest sizes: the provider's
     # value is state headroom, and two points fit the tail exponent.
     rocks_sizes = {300_000, 1_000_000} if xl else set()
@@ -503,6 +547,8 @@ def main() -> int:
     j_sizes = [30_000, 100_000] if quick else [30_000, 100_000, 300_000]
     if xl:
         j_sizes.append(1_000_000)
+    if sizes_override is not None:
+        j_sizes = list(sizes_override)
     j_base_fams = ("stream_gapfill", "stream_funnel",
                    "stream_attribution", "stream_pack")
     if not any(want(f + s) for f in j_base_fams for s in ("", "_zipf")):
@@ -637,6 +683,8 @@ def main() -> int:
     sj_sizes = [30_000, 100_000] if quick else [30_000, 100_000, 300_000]
     if xl:
         sj_sizes.append(1_000_000)
+    if sizes_override is not None:
+        sj_sizes = list(sizes_override)
     if not want("stream_interval_join"):
         sj_sizes = []
     for n in sj_sizes:
@@ -709,6 +757,8 @@ def main() -> int:
     ow_sizes = [30_000, 100_000] if quick else [30_000, 100_000, 300_000]
     if xl:
         ow_sizes.append(1_000_000)
+    if sizes_override is not None:
+        ow_sizes = list(sizes_override)
     if not want("stream_order_wide"):
         ow_sizes = []
     for n in ow_sizes:
@@ -799,28 +849,10 @@ def main() -> int:
                         key=lambda t: t[0])
         record("stream_order_wide", n, round(sec, 3), rows)
 
-    # ---- fit exponents -------------------------------------------------
-    for fam, data in results.items():
-        pts = data["points"]
-        xs = [math.log(p["n"]) for p in pts]
-        ys = [math.log(max(p["sec"], 1e-3)) for p in pts]
-        nx = len(xs)
-        mx, my = sum(xs) / nx, sum(ys) / nx
-        denom = sum((x - mx) ** 2 for x in xs)
-        slope = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / denom
-        data["exponent"] = round(slope, 2)
-
-    if only is not None and os.path.exists(out_json):
-        with open(out_json) as f:
-            merged = json.load(f)
-        merged.update(results)
-        results = merged
-    with open(out_json, "w") as f:
-        json.dump(results, f, indent=1, sort_keys=True)
-
-    print("\n| family | " + " | ".join(
-        f"n={p['n']}" for p in next(iter(results.values()))["points"][:0]))
-    print(json.dumps({f: d["exponent"] for f, d in results.items()},
+    # ---- final write (incremental _flush already persisted points) -----
+    _flush()
+    final = _merged()
+    print(json.dumps({f: d["exponent"] for f, d in final.items()},
                      indent=1, sort_keys=True))
     return 0
 
