@@ -194,9 +194,16 @@ def main() -> int:
         # write after EVERY point — an 80-minute sweep must not lose
         # its measurements to a late assertion (round-8 lesson: the
         # 1M gapfill partial-drain assert fired after 10 recorded
-        # points, and the script only wrote at exit)
-        with open(out_json, "w") as f:
-            json.dump(_merged(), f, indent=1, sort_keys=True)
+        # points, and the script only wrote at exit). Merge BEFORE
+        # opening for write (open("w") truncates the very file
+        # _merged() reads — the first flush of a merge run wiped the
+        # committed curves and crashed on the empty JSON), and swap in
+        # atomically so a kill mid-dump can't leave a torn file.
+        merged = _merged()
+        tmp = out_json + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(merged, f, indent=1, sort_keys=True)
+        os.replace(tmp, out_json)
 
     def record(family: str, size: int, sec: float, rows: int) -> None:
         results.setdefault(family, {"points": []})["points"].append(
