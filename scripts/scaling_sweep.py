@@ -558,11 +558,19 @@ def main() -> int:
         j_sizes = list(sizes_override)
     j_base_fams = ("stream_gapfill", "stream_funnel",
                    "stream_attribution", "stream_pack")
-    if not any(want(f + s) for f in j_base_fams for s in ("", "_zipf")):
+    # RocksDB twins at the two largest sizes only (same rationale as
+    # the A6/A7 rocks rows): the uniform 1M drains bend with resident
+    # state exactly like A7 did, and the provider swap is the measured
+    # remedy — two points fit the tail exponent.
+    j_rocks_sizes = {300_000, 1_000_000} if xl else set()
+    if not any(want(f + s) for f in j_base_fams
+               for s in ("", "_zipf", "_rocksdb")):
         j_sizes = []
     for n in j_sizes:
         for suffix, zipf in (("", False), ("_zipf", True)):
             fams = [f + suffix for f in j_base_fams]
+            if not suffix:
+                fams += [f + "_rocksdb" for f in j_base_fams]
             if not any(want(f) for f in fams):
                 continue
             jdir = staged(
@@ -675,13 +683,26 @@ def main() -> int:
                     (f"stream_funnel{suffix}", mk_funnel, ck_funnel),
                     (f"stream_attribution{suffix}", mk_attr, ck_attr),
                     (f"stream_pack{suffix}", mk_pack, ck_pack)):
-                if not want(fam):
-                    continue
-                drain_journey(make, check)  # warm (stages replay input)
-                sec, rows = min(
-                    (drain_journey(make, check) for _ in range(2)),
-                    key=lambda t: t[0])
-                record(fam, n, round(sec, 3), rows)
+                if want(fam):
+                    drain_journey(make, check)  # warm (stages replay input)
+                    sec, rows = min(
+                        (drain_journey(make, check) for _ in range(2)),
+                        key=lambda t: t[0])
+                    record(fam, n, round(sec, 3), rows)
+                if (not suffix and n in j_rocks_sizes
+                        and want(fam + "_rocksdb")):
+                    from realtime_data_warehouse_spark.session import (
+                        use_rocksdb_state,
+                    )
+                    use_rocksdb_state(spark, True)
+                    try:
+                        drain_journey(make, check)  # warm under provider
+                        sec, rows = min(
+                            (drain_journey(make, check) for _ in range(2)),
+                            key=lambda t: t[0])
+                    finally:
+                        use_rocksdb_state(spark, False)
+                    record(fam + "_rocksdb", n, round(sec, 3), rows)
 
     # ---- stream-stream interval join: drain vs order cardinality -------
     # T9's scale claim — join state bounded by (watermark delay +

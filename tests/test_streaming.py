@@ -1012,3 +1012,64 @@ def test_mg_merge_survives_mid_commit_kill(spark, tmp_path, kill_point):
     got = {t: c for t, c in true_counts.items()
            if t in cand and c > n / (k + 1)}
     assert got == expected
+
+
+def test_pack_stream_state_survives_query_restart(spark, tmp_path):
+    """T10 × keyed state: the running token-offset ValueState must be
+    RESTORED from the checkpoint when a brand-new availableNow query
+    resumes on the same checkpoint over files that arrived after the
+    previous drain — chunks in the second run must continue the packs
+    the first run started, identical to a single-run drain over all
+    files. This pins the state-store restore path that the
+    applyInPandasWithState journey operators (pack/gapfill/funnel/
+    attribution) all share: the kill-point suite covers the sink-side
+    ledger, this covers the operator-side state recovery across query
+    restarts (e.g. a redeploy between ingest waves).
+
+    Detection power: with 100-token chunks and budget 256, a lost
+    offset restarts pack_id at 0 — the wave-2 rows' (pack_id,
+    pack_offset) would read (0,0),(0,100),(0,200) instead of the
+    continued (1,44),(1,144),(1,244)."""
+    from realtime_data_warehouse_spark.streaming.stateful import pack_stream
+
+    schema = "grp string, doc_id long, chunk_idx long, n_tokens long"
+    in_dir, out, ck = (str(tmp_path / d) for d in ("in", "out", "ck"))
+    os.makedirs(in_dir)
+
+    def arrive(docs, mtime):
+        """Append one part file of chunk rows and stamp its mtime so
+        FileStreamSource replays arrival order deterministically."""
+        before = set(os.listdir(in_dir))
+        df = spark.createDataFrame(
+            [("g", d, 0, 100) for d in docs], schema)
+        df.coalesce(1).write.mode("append").parquet(in_dir)
+        new = [f for f in os.listdir(in_dir)
+               if f.startswith("part-") and f not in before]
+        assert len(new) == 1
+        os.utime(os.path.join(in_dir, new[0]), (mtime, mtime))
+
+    def drain(to_out, to_ck):
+        sdf = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", "1").parquet(in_dir))
+        run_available_now(
+            pack_stream(sdf, ["grp"], ("doc_id", "chunk_idx"),
+                        tokens_col="n_tokens", budget=256),
+            to_out, to_ck)
+
+    base = 1_700_000_000
+    arrive([1, 2, 3], base)
+    drain(out, ck)                      # wave 1: offsets 0/100/200
+    arrive([4, 5, 6], base + 10)
+    drain(out, ck)                      # NEW query, same checkpoint
+
+    got = {(r.doc_id, r.pack_id, r.pack_offset)
+           for r in spark.read.parquet(out).collect()}
+
+    # single-run reference over the same six files, fresh checkpoint
+    out2, ck2 = str(tmp_path / "out2"), str(tmp_path / "ck2")
+    drain(out2, ck2)
+    ref = {(r.doc_id, r.pack_id, r.pack_offset)
+           for r in spark.read.parquet(out2).collect()}
+
+    assert got == ref
+    assert (4, 1, 44) in got  # the continued-offset smoking gun
