@@ -199,3 +199,96 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") > F.lit(thresh))
     )
+
+
+_ASOF_STREAM_ORACLE = """
+    WITH views AS (
+        SELECT user_id, ts, max(event_id) AS view_event_id,
+               max_by(value, event_id) AS view_value
+        FROM events WHERE event_type = 'view' GROUP BY 1, 2
+    ),
+    purchases AS (
+        SELECT user_id, ts, event_id FROM events
+        WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id AS purchase_id,
+           p.user_id  AS user_id,
+           v.view_event_id AS view_event_id,
+           CAST(date_diff('microsecond', v.ts, p.ts) AS BIGINT) AS gap_us,
+           v.view_value AS view_value
+    FROM purchases p
+    ASOF LEFT JOIN views v
+      ON p.user_id = v.user_id AND v.ts <= p.ts
+"""
+
+
+@register("stream_asof_enrich", oracle=_ASOF_STREAM_ORACLE)
+def stream_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time as-of join as a KEYED-STATE STREAM
+    (`streaming/stateful.asof_enrich_stream`): views (the reference
+    side) and purchases replay interleaved in one event-time-ordered
+    3-micro-batch stream, and each purchase is emitted enriched with
+    the user's latest view at-or-before it — across batch boundaries,
+    through a last-right-row ValueState (a view in batch 1 must match
+    a purchase in batch 3 via the state store). Left semantics:
+    never-viewed purchasers emit with null view columns.
+
+    The batch twin is `operators.joins.asof_join`
+    (union + one-shuffle ordered window scan — entry
+    `asof_last_error`); this is its 24/7 form, where history is never
+    re-sorted and state is one row per key. The oracle is DuckDB's
+    NATIVE `ASOF LEFT JOIN` — a third, independent formulation of the
+    same semantics (window scan / keyed state / merge asof) that all
+    three must agree on. Views are deduped to one row per (user, ts)
+    (max event_id, its value) because an as-of match among equal-ts
+    right rows is otherwise ill-defined — the same uniqueness contract
+    the batch operator documents. Reference anchor: extends J-family
+    (SURVEY §2.4); the reference has no as-of surface."""
+    from ..streaming.runner import (
+        read_back,
+        run_available_now,
+        staged_files_dir,
+    )
+    from ..streaming.stateful import asof_enrich_stream
+    from .streaming_queries import _dirs, _stage_once
+
+    ev = load_table(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("rid"),
+             F.expr("max_by(value, event_id)").alias("value"))
+        .select("user_id", F.unix_micros("ts").alias("ts_us"),
+                F.lit(0).alias("tag"), F.col("rid").alias("id"),
+                "rid", "value")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.unix_micros("ts").alias("ts_us"),
+                F.lit(1).alias("tag"), F.col("event_id").alias("id"),
+                F.lit(None).cast("long").alias("rid"),
+                F.lit(None).cast("double").alias("value"))
+    )
+    tagged = views.unionByName(purchases)
+    in_dir = _stage_once(
+        sf_dir, "asof_tagged",
+        lambda base: staged_files_dir(tagged, base, n_files=3,
+                                      order_col="ts_us"),
+    )
+    _, out, ck = _dirs()
+    sdf = (
+        spark.readStream.schema(tagged.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    enriched = asof_enrich_stream(
+        sdf, key_col="user_id", ts_col="ts_us", tag_col="tag",
+        id_col="id", payload_cols=("rid", "value"))
+    run_available_now(enriched, out, ck)
+    return read_back(spark, out).select(
+        F.col("id").alias("purchase_id"),
+        "user_id",
+        F.col("rid").alias("view_event_id"),
+        (F.col("ts_us") - F.col("matched_ts")).alias("gap_us"),
+        F.col("value").alias("view_value"),
+    )

@@ -713,3 +713,111 @@ def attribution_stream(sdf: DataFrame, user_col: str, ts_col: str,
     return sdf.groupBy(user_col).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming as-of enrichment — latest-right keyed state across batches
+# ---------------------------------------------------------------------------
+
+def asof_enrich_stream(sdf: DataFrame, key_col: str, ts_col: str,
+                       tag_col: str, id_col: str,
+                       payload_cols: Sequence[str]) -> DataFrame:
+    """Streaming twin of `operators.joins.asof_join` (backward,
+    inclusive): a single tagged stream carries reference rows
+    (``tag_col`` = 0, the right side) and rows to enrich (= 1, the
+    left side); every left row is emitted joined to the latest right
+    row of the same key with right ts <= left ts — across micro-batch
+    boundaries, because the ValueState holds the key's last-seen right
+    row (ts + payload scalars, O(1) per key like A6–A8).
+
+    Per batch the kernel sorts the key's rows by (ts, tag, id) — tag
+    breaking ties puts a right row BEFORE a left row at the same
+    timestamp, the inclusive bound — then forward-fills the
+    right-row payload down the frame (vectorized pandas ffill) and
+    seeds positions before the batch's first right row from state.
+    Same per-key event-time-order arrival contract as the other
+    journey operators (the staged range-split guarantees it); ties
+    among right rows at one (key, ts) resolve to the max id — callers
+    wanting cross-engine hash parity dedupe upstream, exactly as the
+    batch `asof_join` requires.
+
+    The 100 TB contrast with the batch form: batch re-sorts the full
+    union every run; here each row is seen once, state is one row per
+    key, and the per-batch cost is a sort of that batch's slice.
+    Reference anchor: extends J-family (SURVEY §2.4) — the reference
+    has lookup/interval joins but no event-time as-of surface."""
+    in_types = {f.name: f.dataType for f in sdf.schema.fields}
+    out_schema = T.StructType(
+        [T.StructField(key_col, in_types[key_col]),
+         T.StructField(id_col, in_types[id_col]),
+         T.StructField(ts_col, in_types[ts_col]),
+         T.StructField("matched_ts", in_types[ts_col])]
+        + [T.StructField(c, in_types[c]) for c in payload_cols]
+    )
+    state_schema = T.StructType(
+        [T.StructField("rts", in_types[ts_col])]
+        + [T.StructField(c, in_types[c]) for c in payload_cols]
+    )
+    int_like = {
+        c for c in (*payload_cols, "matched_ts")
+        if isinstance(in_types.get(c, in_types[ts_col]),
+                      (T.LongType, T.IntegerType))
+    }
+
+    def fn(key, chunks: Iterator[pd.DataFrame], state: GroupState):
+        pdf = _concat(chunks)
+        if pdf.empty:
+            return
+        pdf = pdf.sort_values([ts_col, tag_col, id_col],
+                              kind="stable").reset_index(drop=True)
+        rmask = pdf[tag_col].to_numpy() == 0
+        seed = state.get if state.exists else None
+        rs = pd.Series(rmask, dtype="bool")
+
+        def fill(series: pd.Series, seed_val):
+            v = series.where(rs).ffill()
+            if seed_val is not None:
+                v = v.fillna(seed_val)
+            return v
+
+        mts = fill(pdf[ts_col], seed[0] if seed else None)
+        filled = {
+            c: fill(pdf[c], seed[i + 1] if seed else None)
+            for i, c in enumerate(payload_cols)
+        }
+        if rmask.any():
+            # coerce to the state schema's python types: the payload
+            # columns arrive as float64 (nullable longs), and a numpy
+            # float written into a LongType state field is dropped to
+            # null by the state encoder — matches then survive within
+            # a batch but lose the column across batches
+            last = pdf[rmask].iloc[-1]
+
+            def as_state(c, v):
+                if pd.isna(v):
+                    return None
+                return int(v) if c in int_like else \
+                    float(v) if isinstance(in_types[c], T.FractionalType) \
+                    else v
+
+            state.update((int(last[ts_col]),
+                          *(as_state(c, last[c]) for c in payload_cols)))
+        left = ~rmask
+        if not left.any():
+            return
+        out = pd.DataFrame({
+            key_col: pdf[key_col][left].to_numpy(),
+            id_col: pdf[id_col][left].to_numpy(),
+            ts_col: pdf[ts_col][left].to_numpy(),
+            "matched_ts": mts[left],
+            **{c: filled[c][left] for c in payload_cols},
+        })
+        for c in int_like:
+            # ffill over a masked int column goes through float NaN;
+            # nullable Int64 round-trips cleanly to a LongType field
+            out[c] = out[c].astype("Int64")
+        yield out
+
+    return sdf.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

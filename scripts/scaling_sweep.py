@@ -541,6 +541,7 @@ def main() -> int:
     # output is EXACT from one input aggregate, uniform and Zipf(1)
     # alike, and asserted at every size.
     from realtime_data_warehouse_spark.streaming.stateful import (
+        asof_enrich_stream,
         attribution_stream,
         funnel_stream,
         gapfill_locf_stream,
@@ -557,7 +558,7 @@ def main() -> int:
     if sizes_override is not None:
         j_sizes = list(sizes_override)
     j_base_fams = ("stream_gapfill", "stream_funnel",
-                   "stream_attribution", "stream_pack")
+                   "stream_attribution", "stream_pack", "stream_asof")
     # RocksDB twins at the two largest sizes only (same rationale as
     # the A6/A7 rocks rows): the uniform 1M drains bend with resident
     # state exactly like A7 did, and the provider swap is the measured
@@ -587,6 +588,7 @@ def main() -> int:
                 F.sum((c >= 3).cast("long")).alias("ge3"),
                 F.sum(F.floor((c + 3) / 4)).alias("packs0"),
                 F.sum(F.floor(c / 3)).alias("n_conv"),
+                F.sum(F.floor((c + 2) / 3)).alias("n_views"),
                 F.sum(c).alias("n_rows"),
             ).collect()[0])
 
@@ -678,11 +680,36 @@ def main() -> int:
                     f"({st['n_rows']}, {st['packs0']})")
                 return r["rows"]
 
+            def mk_asof(s):
+                # view rows (rnk%3==0) are the reference side; every
+                # key's FIRST event is a view, so every click/purchase
+                # row must come out matched — exact expected counts
+                return asof_enrich_stream(
+                    s.select(
+                        "uid", F.col("ts_s").alias("ts"),
+                        F.when(F.col("etype") == "view", 0).otherwise(1)
+                        .cast("int").alias("tag"),
+                        F.col("gid").alias("id"),
+                        F.col("gid").alias("rid"),
+                        "value",
+                    ), key_col="uid", ts_col="ts", tag_col="tag",
+                    id_col="id", payload_cols=("rid", "value"))
+
+            def ck_asof(out, st=st, n=n):
+                r = out.agg(
+                    F.count(F.lit(1)).alias("rows"),
+                    F.count("matched_ts").alias("matched")).collect()[0]
+                exp = st["n_rows"] - st["n_views"]
+                assert tuple(r) == (exp, exp), (
+                    f"asof wrong at n={n}: {tuple(r)} want ({exp}, {exp})")
+                return r["rows"]
+
             for fam, make, check in (
                     (f"stream_gapfill{suffix}", mk_gapfill, ck_gapfill),
                     (f"stream_funnel{suffix}", mk_funnel, ck_funnel),
                     (f"stream_attribution{suffix}", mk_attr, ck_attr),
-                    (f"stream_pack{suffix}", mk_pack, ck_pack)):
+                    (f"stream_pack{suffix}", mk_pack, ck_pack),
+                    (f"stream_asof{suffix}", mk_asof, ck_asof)):
                 if want(fam):
                     drain_journey(make, check)  # warm (stages replay input)
                     sec, rows = min(

@@ -1073,3 +1073,49 @@ def test_pack_stream_state_survives_query_restart(spark, tmp_path):
 
     assert got == ref
     assert (4, 1, 44) in got  # the continued-offset smoking gun
+
+
+def test_asof_enrich_stream_matches_across_batches(spark, tmp_path):
+    """asof_enrich_stream: (a) a left row matches a right row from an
+    EARLIER micro-batch through the last-right ValueState — including
+    integer payload columns, which travel the batch as float64
+    (nullable-long) and must be coerced back before the state write;
+    (b) equal timestamps match (inclusive bound, right sorts first);
+    (c) a left row before any right row emits with null payload."""
+    from realtime_data_warehouse_spark.streaming.stateful import (
+        asof_enrich_stream,
+    )
+
+    # k=1: right@10 in batch 1, left@10 (tie) and left@30 in batch 2
+    #      (cross-batch via state), left@5 unmatched in batch 1
+    # k=2: rights@10,20 in batch 1; left@25 in batch 2 -> latest (20)
+    b1 = [(1, 5, 1, 100, None, None), (1, 10, 0, 900, 900, 1.5),
+          (2, 10, 0, 901, 901, 2.5), (2, 20, 0, 902, 902, 3.5)]
+    b2 = [(1, 10, 1, 101, None, None), (1, 30, 1, 102, None, None),
+          (2, 25, 1, 103, None, None)]
+    schema = ("k long, ts long, tag int, id long, rid long, v double")
+    in_dir = str(tmp_path / "in")
+    for i, rows in enumerate((b1, b2)):
+        df = spark.createDataFrame(rows, schema)
+        before = set(os.listdir(in_dir)) if os.path.exists(in_dir) else set()
+        df.coalesce(1).write.mode("append").parquet(in_dir)
+        new = [f for f in os.listdir(in_dir)
+               if f.startswith("part-") and f not in before]
+        os.utime(os.path.join(in_dir, new[0]),
+                 (1_700_000_000 + i, 1_700_000_000 + i))
+
+    sdf = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", "1").parquet(in_dir))
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    run_available_now(
+        asof_enrich_stream(sdf, key_col="k", ts_col="ts", tag_col="tag",
+                           id_col="id", payload_cols=("rid", "v")),
+        out, ck)
+    got = {r.id: (r.matched_ts, r.rid, r.v)
+           for r in spark.read.parquet(out).collect()}
+    assert got == {
+        100: (None, None, None),      # before any right row
+        101: (10, 900, 1.5),          # tie: inclusive, via state
+        102: (10, 900, 1.5),          # cross-batch match via state
+        103: (20, 902, 3.5),          # latest of two rights
+    }
