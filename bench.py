@@ -102,6 +102,24 @@ def main() -> None:
     # + one normal = box weather)
     pass_log: dict[str, list[float]] = {}
 
+    # round-9 bench-protocol fix (VERDICT r8 item 2): two consecutive
+    # committed sessions carried ~1.5-2x environmental inflation that
+    # was only provable with after-the-fact A/Bs. Record the box's
+    # 1-min/5-min load average at the start of every section so a
+    # contended session is visible IN the artifact: a section whose
+    # load1 >> bench's own core budget was not measured idle.
+    load_log: list[dict] = []
+
+    def load_sample(label: str) -> None:
+        try:
+            l1, l5, _ = os.getloadavg()
+        except OSError:
+            return
+        load_log.append({"section": label, "load1": round(l1, 2),
+                         "load5": round(l5, 2)})
+
+    load_sample("session_start")
+
     def run_family(names: list[str], data_dir: str,
                    passes: int = 3, section: str = "") -> dict[str, float]:
         """Min-of-N per query: single executions on this shared VM
@@ -113,6 +131,7 @@ def main() -> None:
         intermediates — no pass rides a previous pass's cached blocks,
         and cached blocks never pile up across the 60+-query session."""
         gc_hint()
+        load_sample(section or "family")
         timings: dict[str, float] = {}
         for _pass in range(passes):
             for name in names:
@@ -306,6 +325,7 @@ def main() -> None:
 
     def branch_bench(passes: int = 2) -> dict[str, object]:
         gc_hint()
+        load_sample("set_similarity")
         zdir = os.path.join(tempfile.gettempdir(), "rdw_bench_zipf")
         if not os.path.exists(os.path.join(zdir, "_SUCCESS")):
             n_docs = spark.read.parquet(
@@ -369,6 +389,7 @@ def main() -> None:
         from realtime_data_warehouse_spark.session import use_rocksdb_state  # noqa: E402,PLC0415
 
         out: dict[str, object] = {}
+        load_sample("streaming")
         for name, (table, factor) in STREAMS.items():
             gc_hint()
             n_in = int(
@@ -502,6 +523,13 @@ def main() -> None:
             "(O(V/64) per pair, verify-before-distinct), the "
             "prefix+token join wins on Zipf vocabularies where the "
             "prefix actually prunes; min of 2, own section"),
+        "session_load": {"cpus": os.cpu_count(), "samples": load_log},
+        "session_load_note": (
+            "1-min/5-min load averages sampled at the start of each "
+            "bench section (round-9 protocol fix): readings taken "
+            "while load1 greatly exceeds the bench's own concurrency "
+            "are box-weather-contaminated and must not anchor "
+            "round-over-round comparisons"),
         "pass_times": pass_log,
         "pass_times_note": (
             "every individual timed pass per section/query (the "

@@ -120,6 +120,48 @@ def use_rocksdb_state(spark: SparkSession, enabled: bool = True) -> None:
         )
 
 
+#: Measured in-memory→RocksDB crossover in RESIDENT STATE KEYS
+#: (SCALING.md Readings 5 & 8, round 8): the default HDFS-backed
+#: store's per-commit full-map snapshot bends keyed drains
+#: super-linear as resident keys approach 10⁶ (gapfill tail 1.22,
+#: funnel 1.30, A7 1.24 across the 300k→1M decade), while the
+#: identical RocksDB drains hold tails 1.02-1.05 and are absolutely
+#: faster AT 1M (gapfill 341.0 vs 380.4 s, funnel 258.7 vs 269.2, A7
+#: 122.5 vs 175.1). Below the crossover the in-memory store wins by a
+#: constant (no JNI/serde per access), so the switch point is the
+#: measured intersection, not zero.
+STATE_STORE_KEY_CROSSOVER = 1_000_000
+
+
+def auto_state_store(spark: SparkSession, resident_keys: int) -> bool:
+    """Choose the state-store provider from an estimated resident-key
+    count — the store analogue of runner.shuffle_for_volume (round-9
+    VERDICT item 3: the crossover was measured in round 8 but the
+    choice stayed a hand-set flag). Returns True when RocksDB was
+    selected. Same per-query-start semantics as use_rocksdb_state:
+    affects queries started AFTER the call."""
+    choose = resident_keys >= STATE_STORE_KEY_CROSSOVER
+    use_rocksdb_state(spark, choose)
+    return choose
+
+
+def estimate_resident_keys(df, key_cols) -> int:
+    """Estimated distinct keys of a stateful stream's key column(s),
+    from its staged/replayable input — one approx_count_distinct
+    aggregate (HLL, ±5% default rsd: provider choice only needs the
+    order of magnitude; the crossover spans one). At 100 TB the same
+    estimate comes from a sample or the ingest catalog's stats; the
+    point is that the DECISION is derived from data volume, not a
+    human remembering SCALING.md."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols]) \
+        if len(cols) > 1 else F.col(cols[0])
+    return int(df.agg(F.approx_count_distinct(key).alias("k"))
+               .collect()[0]["k"])
+
+
 def tune_for_scale(spark: SparkSession, target_partition_bytes: int = 128 * 1024 * 1024) -> None:
     """Knobs that matter when the same plans run against ~100 TB:
 

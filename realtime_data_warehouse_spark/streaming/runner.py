@@ -179,3 +179,54 @@ def staged_files_dir(df: DataFrame, base_dir: str, n_files: int = 1,
     for i, f in enumerate(parts):
         os.utime(os.path.join(in_dir, f), (base + i, base + i))
     return in_dir
+
+
+def staged_files_dir_keyed(df: DataFrame, base_dir: str, key_col: str,
+                           order_col: str, n_files: int = 3) -> str:
+    """Stage a replay with the KEYED-TOPIC arrival contract instead of
+    global event-time order: per-key event-time order is preserved
+    (each key's rows split into n_files contiguous rank ranges, range
+    k in micro-batch k), but CROSS-KEY alignment is scrambled — batch
+    k holds key A's k-th quantile of events next to key B's, whatever
+    their absolute timestamps, so the global interleaving is
+    arbitrary and batch boundaries no longer coincide with global
+    time. This is what a 100 TB Kafka replay actually delivers: a
+    keyed topic guarantees per-partition (hence per-key) order and
+    nothing across keys (reference T1's bounded out-of-orderness,
+    DwsTradeSkuOrderWindow.java:213-221, is the per-key slack on top).
+    The round-9 disorder-parity tests replay the journey operators
+    through BOTH stagings and assert identical output — the keyed
+    per-key-state kernels must not care about cross-key order.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    in_dir = os.path.join(base_dir, "in")
+    w = Window.partitionBy(key_col).orderBy(order_col)
+    ranked = (
+        df.withColumn("__r", F.row_number().over(w) - 1)
+        .withColumn("__c", F.count(F.lit(1)).over(
+            Window.partitionBy(key_col)))
+        .withColumn("__f", (F.col("__r") * n_files / F.col("__c"))
+                    .cast("int"))
+    )
+    splits = [
+        ranked.filter(F.col("__f") == k).drop("__r", "__c", "__f")
+        for k in range(n_files)
+    ]
+    first = True
+    for part in splits:
+        part.coalesce(1).write.mode(
+            "overwrite" if first else "append").parquet(in_dir)
+        first = False
+    # one file per split was just appended; stamp mtimes in append
+    # order so split k replays as micro-batch k
+    parts = sorted(
+        (os.path.getmtime(os.path.join(in_dir, f)), f)
+        for f in os.listdir(in_dir)
+        if f.startswith("part-") and f.endswith(".parquet")
+    )
+    base = int(time.time()) - len(parts) - 10
+    for i, (_, f) in enumerate(parts):
+        os.utime(os.path.join(in_dir, f), (base + i, base + i))
+    return in_dir

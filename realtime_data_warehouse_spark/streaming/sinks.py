@@ -17,11 +17,15 @@ runner.run_foreach_batch, plus the plain append sink in runner.py:
 - K7 console             → writeStream.format("console"), no helper
                            needed.
 
-Scale note — the local parquet "MERGE" (read + union + dedup +
-rewrite) is correct but O(table) per batch; its production form is a
-Delta/Iceberg MERGE INTO keyed on the same columns, which rewrites
-only matched files (data skipping on the key). The helpers isolate
-that swap behind one function so plans don't change.
+Scale note — since round 9 every MERGE sink here rides
+`merge_table.BucketedMergeTable`: stored rows are hash-bucketed by
+merge key into flat bucket-named parquet files and each micro-batch
+rewrites ONLY the buckets its keys touch, under a commit-marker
+roll-forward that preserves the round-7 exactly-once kill-point
+guarantees (see merge_table's module docstring for the layout, crash
+discipline, and the Delta/Iceberg production analogue). Per-batch cost
+is O(batch + table·touched/n_buckets) instead of O(table); plain
+``spark.read.parquet(table_dir)`` readers are unchanged.
 """
 
 from __future__ import annotations
@@ -34,6 +38,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.state import latest_per_key
+from .merge_table import DEFAULT_BUCKETS, BucketedMergeTable
 
 
 def _old_dir(table_dir: str) -> str:
@@ -92,19 +97,22 @@ def _atomic_overwrite(df: DataFrame, table_dir: str) -> None:
     _swap_in(tmp, table_dir)
 
 
-def upsert_batch(table_dir: str, keys: Sequence[str], order_col: str):
+def upsert_batch(table_dir: str, keys: Sequence[str], order_col: str,
+                 n_buckets: int = DEFAULT_BUCKETS):
     """K5 — upsert-sink foreachBatch: new batch rows overwrite older
     rows with the same key (latest `order_col` wins), exactly the
     consumer-visible semantics of the reference's upsert-kafka topics.
+    Bucketed: only the key-touched buckets rewrite; the merge is
+    idempotent (replays re-dedup to the same table), so no ledger.
     """
     def fn(batch: DataFrame, batch_id: int) -> None:
-        spark = batch.sparkSession
         _recover_table(table_dir)
-        merged = batch
-        if os.path.exists(table_dir):
-            merged = spark.read.parquet(table_dir).unionByName(batch)
-        merged = latest_per_key(merged, keys, order_col)
-        _atomic_overwrite(merged, table_dir)
+
+        def merge(cur, rows):
+            merged = rows if cur is None else cur.unionByName(rows)
+            return latest_per_key(merged, keys, order_col)
+
+        BucketedMergeTable(table_dir, keys, n_buckets).merge(batch, merge)
 
     return fn
 
@@ -121,23 +129,28 @@ def dim_upsert_batch(warehouse_dir: str, key_expr: str = "rowkey",
     and the key disappears only if that winning row is the delete — a
     delete followed by a later re-insert of the same rowkey in one
     micro-batch keeps the re-inserted row (applying all deletes last
-    would wrongly drop it)."""
+    would wrongly drop it).
+
+    Bucketed per table: a CDC batch touching a handful of rowkeys
+    rewrites only their buckets (the HBase analogy made literal — a
+    Put touches a region, not the table). A batch that WIDENS the
+    schema (bootstrap adds columns) triggers merge_table's one-time
+    full rewrite so stored files stay schema-uniform."""
     def fn(batch: DataFrame, batch_id: int) -> None:
-        spark = batch.sparkSession
         batch = batch.persist()
         try:
             for (tbl,) in batch.select(table_col).distinct().collect():
                 tdir = os.path.join(warehouse_dir, tbl)
                 _recover_table(tdir)
                 rows = batch.filter(F.col(table_col) == tbl).drop(table_col)
-                if os.path.exists(tdir):
-                    cur = spark.read.parquet(tdir)
-                    merged = cur.unionByName(rows, allowMissingColumns=True)
-                else:
-                    merged = rows
-                merged = latest_per_key(merged, [key_expr], "ts")
-                merged = merged.filter(F.col(op_col) != "delete")
-                _atomic_overwrite(merged, tdir)
+
+                def merge(cur, incoming):
+                    merged = incoming if cur is None else cur.unionByName(
+                        incoming, allowMissingColumns=True)
+                    merged = latest_per_key(merged, [key_expr], "ts")
+                    return merged.filter(F.col(op_col) != "delete")
+
+                BucketedMergeTable(tdir, [key_expr]).merge(rows, merge)
         finally:
             batch.unpersist()
 
@@ -159,69 +172,44 @@ def additive_merge_batch(table_dir: str, keys: Sequence[str],
     would double-count. An applied-batch-id ledger provides the
     exactly-once guard — the same transaction-id dedup a Delta MERGE
     txn log (or the reference's 2PC Kafka sink,
-    FlinkSinkUtil.java:29-31) supplies in production. The ledger
-    lives INSIDE the table directory (`_applied_batches`, invisible
-    to Spark's parquet reader) and is written into the new directory
-    BEFORE the swap, so table state and ledger always move together:
-    data never includes a batch the ledger misses. The swap itself is
-    rename-aside (live → ``.__old__``, tmp → live, drop ``.__old__``)
-    with crash recovery on entry — at every step at least one intact
-    (data + ledger) copy of the pre-batch table exists on disk, so a
-    crash at any point either retries cleanly against the restored old
-    state or skips cleanly against the new one. The O(table) rewrite
-    carries the same Delta MERGE scale note as the header.
+    FlinkSinkUtil.java:29-31) supplies in production. Since round 9
+    the merge is BUCKETED (merge_table.BucketedMergeTable): only the
+    buckets holding the batch's group keys re-aggregate and rewrite,
+    and the ledger moves under the engine's commit-marker
+    roll-forward, which preserves the invariant the old
+    inside-the-tmp-dir ledger gave — visible data from a batch
+    implies the ledger contains that batch before the next merge
+    reads. A replayed already-ledgered batch still EXECUTES its plan
+    (noop sink) so a stateful upstream commits its state version —
+    the engine owns that path now.
 
     That replay-exactness claim is TESTED through every kill point,
-    not just between batches: `fault` (test-only hook, see _swap_in)
-    fires at after_data_write / after_ledger_write and inside the
-    swap; the round-7 recovery suite kills the query at each point on
-    both state-store providers, restarts from the same checkpoint,
-    and asserts the merged table equals the batch recompute — no
-    double-apply, no lost batch (tests/test_streaming.py)."""
-    fault = fault or (lambda _stage: None)
-
-    def _ledger(d: str) -> str:
-        return os.path.join(d, "_applied_batches")
-
+    not just between batches: `fault` fires at the same four stage
+    labels the round-7 suite kills at (after_data_write /
+    after_live_aside / after_tmp_in / after_ledger_write — see
+    merge_table.merge for where each lands in the marker protocol);
+    the suite kills the query at each point on both state-store
+    providers, restarts from the same checkpoint, and asserts the
+    merged table equals the batch recompute — no double-apply, no
+    lost batch (tests/test_streaming.py)."""
     def fn(batch: DataFrame, batch_id: int) -> None:
         _recover_table(table_dir)
-        applied: set[str] = set()
-        if os.path.exists(_ledger(table_dir)):
-            with open(_ledger(table_dir)) as fh:
-                applied = set(fh.read().split())
-        if str(batch_id) in applied:
-            # Replayed batch already in the ledger: skip the MERGE but
-            # still EXECUTE the batch plan (noop sink). A stateful
-            # upstream (e.g. an applyInPandasWithState delta stage)
-            # only commits its state-store version when the plan runs;
-            # returning without an action leaves that version missing
-            # and the restarted query dies in the state store (found
-            # by the after_tmp_in kill-point test: crash after the
-            # swap lands the batch in the ledger but not in the
-            # checkpoint's offset log, so the replay takes this path).
-            batch.write.format("noop").mode("overwrite").save()
-            return
-        spark = batch.sparkSession
         partial = prepare(batch) if prepare is not None else batch
-        merged = partial
-        if os.path.exists(table_dir):
-            merged = spark.read.parquet(table_dir).unionByName(partial)
-        # sum is the additive default; merge_aggs extends the sink to
-        # any re-aggregable monoid (min/max over values or tie-broken
-        # structs — the open/close of an OHLC bar), which is exactly
-        # the set of aggregates a continuous aggregate can maintain
-        # without retraction support
-        merged = merged.groupBy(*keys).agg(
-            *[F.sum(c).alias(c) for c in sum_cols],
-            *[mk(c).alias(c) for c, mk in (merge_aggs or {}).items()],
-        )
-        tmp = table_dir.rstrip("/") + ".__new__"
-        merged.write.mode("overwrite").parquet(tmp)
-        fault("after_data_write")  # tmp has data, no ledger, live intact
-        with open(_ledger(tmp), "w") as fh:
-            fh.write("\n".join(sorted({*applied, str(batch_id)})) + "\n")
-        fault("after_ledger_write")  # tmp complete, swap not started
-        _swap_in(tmp, table_dir, fault)
+
+        def merge(cur, rows):
+            merged = rows if cur is None else cur.unionByName(rows)
+            # sum is the additive default; merge_aggs extends the sink
+            # to any re-aggregable monoid (min/max over values or
+            # tie-broken structs — the open/close of an OHLC bar),
+            # which is exactly the set of aggregates a continuous
+            # aggregate can maintain without retraction support
+            return merged.groupBy(*keys).agg(
+                *[F.sum(c).alias(c) for c in sum_cols],
+                *[mk(c).alias(c) for c, mk in (merge_aggs or {}).items()],
+            )
+
+        BucketedMergeTable(table_dir, list(keys)).merge(
+            partial, merge, batch_id=batch_id, ledgered=True, fault=fault)
 
     return fn
 
@@ -425,41 +413,35 @@ def scd2_merge_batch(table_dir: str, key_col: str,
     Merge discipline:
     - only keys PRESENT in the batch are re-windowed: their stored
       versions union the incoming rows and valid_to is recomputed as
-      lead(valid_from) per key; untouched keys are carried over
-      verbatim (an anti join — with Delta MERGE this is the standard
-      "match on key" SCD2 pattern and only matched files rewrite).
+      lead(valid_from) per key — and since round 9 "untouched keys
+      carried over verbatim" is physical, not an anti join: the
+      bucketed engine never even READS buckets without a batch key
+      (the Delta-MERGE "only matched files rewrite" behavior in plain
+      parquet). Within a touched bucket, resident keys absent from
+      the batch re-window to themselves (lead over unchanged
+      versions), so the slice merge is semantics-preserving.
     - delete changes persist as tombstone rows so a later batch's
       lead() still sees the close; readers filter op != 'delete'.
     - retries are idempotent WITHOUT a ledger: a version's identity is
       (key, valid_from) and re-merging the same change rows
       dropDuplicates to the identical table (contrast
-      additive_merge_batch, whose sums need the batch-id ledger).
-
-    Local parquet rewrite is O(table) per batch — same documented
-    trade as the other merge sinks (module docstring scale note)."""
+      additive_merge_batch, whose sums need the batch-id ledger)."""
     from pyspark.sql import Window
 
     def fn(batch: DataFrame, batch_id: int) -> None:
-        spark = batch.sparkSession
         _recover_table(table_dir)
         incoming = batch.withColumn(closed_col,
                                     F.lit(None).cast("int"))
-        if os.path.exists(table_dir):
-            cur = spark.read.parquet(table_dir)
-            keys = incoming.select(key_col).distinct()
-            untouched = cur.join(keys, key_col, "left_anti")
-            touched = cur.join(keys, key_col, "left_semi") \
-                .unionByName(incoming.select(cur.columns))
-        else:
-            untouched = None
-            touched = incoming
-        w = Window.partitionBy(key_col).orderBy(version_col)
-        rewound = (
-            touched.dropDuplicates([key_col, version_col])
-            .withColumn(closed_col, F.lead(version_col).over(w))
-        )
-        merged = rewound if untouched is None \
-            else untouched.unionByName(rewound)
-        _atomic_overwrite(merged, table_dir)
+
+        def merge(cur, rows):
+            touched = rows if cur is None \
+                else cur.unionByName(rows.select(cur.columns))
+            w = Window.partitionBy(key_col).orderBy(version_col)
+            return (
+                touched.dropDuplicates([key_col, version_col])
+                .withColumn(closed_col, F.lead(version_col).over(w))
+            )
+
+        BucketedMergeTable(table_dir, [key_col]).merge(incoming, merge)
 
     return fn

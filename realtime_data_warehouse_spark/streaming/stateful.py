@@ -730,16 +730,35 @@ def asof_enrich_stream(sdf: DataFrame, key_col: str, ts_col: str,
     boundaries, because the ValueState holds the key's last-seen right
     row (ts + payload scalars, O(1) per key like A6–A8).
 
-    Per batch the kernel sorts the key's rows by (ts, tag, id) — tag
+    Per batch the kernel orders the key's rows by (ts, tag, id) — tag
     breaking ties puts a right row BEFORE a left row at the same
-    timestamp, the inclusive bound — then forward-fills the
-    right-row payload down the frame (vectorized pandas ffill) and
-    seeds positions before the batch's first right row from state.
-    Same per-key event-time-order arrival contract as the other
-    journey operators (the staged range-split guarantees it); ties
-    among right rows at one (key, ts) resolve to the max id — callers
-    wanting cross-engine hash parity dedupe upstream, exactly as the
-    batch `asof_join` requires.
+    timestamp, the inclusive bound — skipping the sort entirely when
+    the batch already arrives in that order (the staged range-split
+    replay always does, so the common path is a single monotonicity
+    scan). It then forward-fills ONE right-row position index down
+    the frame and gathers matched_ts and every payload column
+    ROW-WISE from that matched right row; positions before the
+    batch's first right row fall back to the state seed. Row-wise
+    gather means a matched right row whose payload value is null
+    emits null (that row's actual value) — never a stale payload from
+    an older right row, matching DuckDB ASOF row semantics even for
+    null right payloads (round-9 fix; the per-column ffill it
+    replaces could smear an older value under a newer matched_ts).
+    Ties among right rows at one (key, ts) resolve to the max id —
+    callers wanting cross-engine hash parity dedupe upstream, exactly
+    as the batch `asof_join` requires.
+
+    Arrival contract and lateness (round 9): PER-KEY event-time order
+    across batches is the exactness contract (a keyed Kafka topic
+    provides it; cross-key disorder is irrelevant — state is keyed).
+    Under bounded per-key LATENESS the kernel degrades safely instead
+    of corrupting: a late right row never regresses the key's
+    latest-right state (it still serves lefts behind it in its own
+    batch), and a late left row older than the remembered right emits
+    unmatched (null) rather than a matched_ts > ts "future" match —
+    the two invariants the disorder tests pin. Exact late-left
+    matching would need retained right HISTORY per key (the batch
+    asof_join's job), not O(1) state.
 
     The 100 TB contrast with the batch form: batch re-sorts the full
     union every run; here each row is seen once, state is one row per
@@ -764,33 +783,83 @@ def asof_enrich_stream(sdf: DataFrame, key_col: str, ts_col: str,
                       (T.LongType, T.IntegerType))
     }
 
+    def _ordered(ts, tag, ident) -> bool:
+        """True when (ts, tag, id) is already lexicographically
+        non-decreasing — one vectorized scan, no sort."""
+        if len(ts) < 2:
+            return True
+        dts = _np.diff(ts)
+        if (dts < 0).any():
+            return False
+        tie = dts == 0
+        if not tie.any():
+            return True
+        dtag = _np.diff(tag)
+        if (tie & (dtag < 0)).any():
+            return False
+        tie2 = tie & (dtag == 0)
+        if not tie2.any():
+            return True
+        return not (tie2 & (_np.diff(ident) < 0)).any()
+
     def fn(key, chunks: Iterator[pd.DataFrame], state: GroupState):
         pdf = _concat(chunks)
         if pdf.empty:
             return
-        pdf = pdf.sort_values([ts_col, tag_col, id_col],
-                              kind="stable").reset_index(drop=True)
+        if not _ordered(pdf[ts_col].to_numpy(), pdf[tag_col].to_numpy(),
+                        pdf[id_col].to_numpy()):
+            pdf = pdf.sort_values([ts_col, tag_col, id_col],
+                                  kind="stable").reset_index(drop=True)
         rmask = pdf[tag_col].to_numpy() == 0
         seed = state.get if state.exists else None
-        rs = pd.Series(rmask, dtype="bool")
+        n = len(pdf)
+        # ffill ONE right-row position index; -1 = no right row yet
+        src = _np.maximum.accumulate(
+            _np.where(rmask, _np.arange(n, dtype="int64"), -1))
+        # the state seed serves only lefts AT OR AFTER the remembered
+        # right row: under bounded per-key lateness a left row older
+        # than state.rts must emit unmatched (null), never a
+        # matched_ts > ts "future" match (round-9 disorder hardening;
+        # on the ordered arrival contract this mask is all-true)
+        seed_ok = src < 0
+        if seed is not None and seed[0] is not None:
+            seed_ok = seed_ok & (pdf[ts_col].to_numpy() >= seed[0])
 
-        def fill(series: pd.Series, seed_val):
-            v = series.where(rs).ffill()
+        def gather(series: pd.Series, seed_val):
+            """Row-wise gather from the matched right row (src),
+            seeding eligible src==-1 positions from state. Numeric
+            columns ride a float64 array (NaN = null); anything else
+            goes through an object array."""
+            vals = series.to_numpy()
+            if _np.issubdtype(vals.dtype, _np.number):
+                fv = vals.astype("float64")
+                out = _np.where(src >= 0, fv[_np.maximum(src, 0)], _np.nan)
+                if seed_val is not None:
+                    out[seed_ok] = seed_val
+                return pd.Series(out)
+            out = _np.where(src >= 0, vals[_np.maximum(src, 0)], None)
             if seed_val is not None:
-                v = v.fillna(seed_val)
-            return v
+                out[seed_ok] = seed_val
+            return pd.Series(out, dtype=series.dtype
+                             if series.dtype == object else None)
 
-        mts = fill(pdf[ts_col], seed[0] if seed else None)
+        mts = gather(pdf[ts_col], seed[0] if seed else None)
         filled = {
-            c: fill(pdf[c], seed[i + 1] if seed else None)
+            c: gather(pdf[c], seed[i + 1] if seed else None)
             for i, c in enumerate(payload_cols)
         }
-        if rmask.any():
+        if rmask.any() and (seed is None or seed[0] is None
+                            or int(pdf[ts_col][rmask].iloc[-1]) >= seed[0]):
             # coerce to the state schema's python types: the payload
             # columns arrive as float64 (nullable longs), and a numpy
             # float written into a LongType state field is dropped to
             # null by the state encoder — matches then survive within
-            # a batch but lose the column across batches
+            # a batch but lose the column across batches.
+            # The >= seed guard (round 9): a LATE right row — older
+            # than the right row already in state — must not regress
+            # the key's latest-right state; it can still serve in-batch
+            # lefts behind it in the sorted frame, but the state keeps
+            # the true latest (bounded per-key lateness contract).
             last = pdf[rmask].iloc[-1]
 
             def as_state(c, v):

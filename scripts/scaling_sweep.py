@@ -565,8 +565,19 @@ def main() -> int:
     # remedy — two points fit the tail exponent.
     j_rocks_sizes = {300_000, 1_000_000} if xl else set()
     if not any(want(f + s) for f in j_base_fams
-               for s in ("", "_zipf", "_rocksdb")):
+               for s in ("", "_zipf", "_rocksdb", "_auto")):
         j_sizes = []
+    elif not any(want(f + s) for f in j_base_fams
+                 for s in ("", "_zipf", "_auto")):
+        # Only _rocksdb twins wanted: those are measured only at
+        # j_rocks_sizes (empty without --xl), so restrict the size
+        # ladder to sizes that will actually be drained — otherwise
+        # every size is staged and aggregated while nothing records
+        # (round-9 ADVICE fix).
+        j_sizes = [n for n in j_sizes if n in j_rocks_sizes]
+        if not j_sizes:
+            print("rocksdb journey twins need --xl (measured at "
+                  "300k/1M only); nothing to do", flush=True)
     for n in j_sizes:
         for suffix, zipf in (("", False), ("_zipf", True)):
             fams = [f + suffix for f in j_base_fams]
@@ -730,6 +741,34 @@ def main() -> int:
                     finally:
                         use_rocksdb_state(spark, False)
                     record(fam + "_rocksdb", n, round(sec, 3), rows)
+                # AUTO provider (round-9 VERDICT item 3): no hand-set
+                # flag — the store is derived from the staged input's
+                # estimated resident keys against the measured
+                # crossover (session.STATE_STORE_KEY_CROSSOVER), the
+                # same way shuffle_for_volume derives partitions.
+                # Expected: in-memory below 1M, RocksDB at 1M, flat
+                # tails across the switch.
+                if (not suffix and want(fam + "_auto")
+                        and fam in ("stream_gapfill", "stream_funnel")):
+                    from realtime_data_warehouse_spark.session import (
+                        auto_state_store,
+                        estimate_resident_keys,
+                        use_rocksdb_state,
+                    )
+                    rk = estimate_resident_keys(
+                        spark.read.parquet(jdir), "uid")
+                    rocks = auto_state_store(spark, rk)
+                    print(f"  {fam}_auto n={n}: est_keys={rk} -> "
+                          f"{'rocksdb' if rocks else 'in-memory'}",
+                          flush=True)
+                    try:
+                        drain_journey(make, check)
+                        sec, rows = min(
+                            (drain_journey(make, check) for _ in range(2)),
+                            key=lambda t: t[0])
+                    finally:
+                        use_rocksdb_state(spark, False)
+                    record(fam + "_auto", n, round(sec, 3), rows)
 
     # ---- stream-stream interval join: drain vs order cardinality -------
     # T9's scale claim — join state bounded by (watermark delay +
@@ -903,6 +942,57 @@ def main() -> int:
         sec, rows = min((drain_wide() for _ in range(2)),
                         key=lambda t: t[0])
         record("stream_order_wide", n, round(sec, 3), rows)
+
+    # ---- bucketed merge sink: per-batch cost vs TABLE size --------------
+    # Round-9 VERDICT item 1's measurement: the merge sinks' per-batch
+    # cost must stop being O(table). Fixed CDC-style batch (8 distinct
+    # keys — dim maintenance traffic, far fewer keys than buckets) is
+    # merged into a stored table grown 10-33x; the `whole` twin is the
+    # SAME engine at n_buckets=1, i.e. exactly the round-8 whole-table
+    # rewrite. Expected: whole grows ~linearly with the table, bucketed
+    # grows with table·touched/n_buckets (≤ 8/64 here) + constants.
+    # The win REQUIRES batch keys ≪ buckets: a 10k-random-key batch
+    # touches all buckets and degenerates to the full rewrite — that
+    # regime is the transactional-format MERGE's job, not bucketing's.
+    ms_sizes = [300_000, 1_000_000] if quick else [300_000, 1_000_000,
+                                                   3_000_000]
+    if xl:
+        ms_sizes.append(10_000_000)
+    if sizes_override is not None:
+        ms_sizes = list(sizes_override)
+    if not (want("merge_upsert_bucketed") or want("merge_upsert_whole")):
+        ms_sizes = []
+    for n in ms_sizes:
+        from realtime_data_warehouse_spark.streaming.sinks import (
+            upsert_batch,
+        )
+
+        base_rows = spark.range(n).select(
+            F.col("id").alias("k"), F.lit(0).cast("long").alias("ts"),
+            (F.col("id") * 3).alias("v"))
+        cdc = spark.createDataFrame(
+            [(int(h * n / 9.0), 1, -1) for h in range(1, 9)],
+            "k long, ts long, v long")
+        for fam, nb in (("merge_upsert_bucketed", 64),
+                        ("merge_upsert_whole", 1)):
+            if not want(fam):
+                continue
+            tdir = tempfile.mkdtemp(prefix=f"scal_ms_{n}_{nb}_")
+            table = os.path.join(tdir, "t")
+            fn = upsert_batch(table, keys=["k"], order_col="ts",
+                              n_buckets=nb)
+            fn(base_rows, 0)  # untimed: builds the stored table
+            secs = []
+            for i in range(3):  # timed: steady-state CDC batches
+                t0 = time.perf_counter()
+                fn(cdc.withColumn("ts", F.lit(i + 1).cast("long")), i + 1)
+                secs.append(time.perf_counter() - t0)
+            got = spark.read.parquet(table)
+            assert got.count() == n, f"{fam} lost rows at n={n}"
+            upd = {r.k: r.v for r in got.filter(F.col("v") < 0).collect()}
+            assert len(upd) == 8, f"{fam} lost updates at n={n}"
+            shutil.rmtree(tdir, ignore_errors=True)
+            record(fam, n, round(min(secs), 3), n)
 
     # ---- final write (incremental _flush already persisted points) -----
     _flush()
