@@ -132,6 +132,18 @@ def use_rocksdb_state(spark: SparkSession, enabled: bool = True) -> None:
 #: measured intersection, not zero.
 STATE_STORE_KEY_CROSSOVER = 1_000_000
 
+#: The auto switch fires at 0.8× the measured crossover, for two
+#: compounding reasons: (1) the resident-key count arrives as an HLL
+#: estimate (±5% rsd default — a true-1M corpus was measured reading
+#: 925,738, under an exact 1M threshold); (2) the cost of switching
+#: early is a small constant (RocksDB below the crossover: A6 36.4 vs
+#: 37.5 s at 300k) while the cost of switching late is the
+#: SUPERLINEAR in-memory snapshot regime (gapfill 380 vs 341 s at 1M
+#: and worsening with every further decade) — with asymmetric risk,
+#: bias the switch toward the safe side by more than the estimator's
+#: error band.
+STATE_STORE_SWITCH_MARGIN = 0.8
+
 
 def auto_state_store(spark: SparkSession, resident_keys: int) -> bool:
     """Choose the state-store provider from an estimated resident-key
@@ -140,7 +152,8 @@ def auto_state_store(spark: SparkSession, resident_keys: int) -> bool:
     choice stayed a hand-set flag). Returns True when RocksDB was
     selected. Same per-query-start semantics as use_rocksdb_state:
     affects queries started AFTER the call."""
-    choose = resident_keys >= STATE_STORE_KEY_CROSSOVER
+    choose = resident_keys >= (STATE_STORE_KEY_CROSSOVER
+                               * STATE_STORE_SWITCH_MARGIN)
     use_rocksdb_state(spark, choose)
     return choose
 

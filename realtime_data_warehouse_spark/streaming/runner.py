@@ -182,7 +182,7 @@ def staged_files_dir(df: DataFrame, base_dir: str, n_files: int = 1,
 
 
 def staged_files_dir_keyed(df: DataFrame, base_dir: str, key_col: str,
-                           order_col: str, n_files: int = 3) -> str:
+                           order_col, n_files: int = 3) -> str:
     """Stage a replay with the KEYED-TOPIC arrival contract instead of
     global event-time order: per-key event-time order is preserved
     (each key's rows split into n_files contiguous rank ranges, range
@@ -202,7 +202,12 @@ def staged_files_dir_keyed(df: DataFrame, base_dir: str, key_col: str,
     from pyspark.sql import functions as F  # noqa: PLC0415
 
     in_dir = os.path.join(base_dir, "in")
-    w = Window.partitionBy(key_col).orderBy(order_col)
+    # order_col may be a list: per-key ties on the time column must
+    # split deterministically (e.g. (ts, tag, id) for the as-of
+    # stream — a right row tied with its left must not land in a
+    # LATER batch than the left, or the inclusive match is lost)
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
     ranked = (
         df.withColumn("__r", F.row_number().over(w) - 1)
         .withColumn("__c", F.count(F.lit(1)).over(

@@ -233,6 +233,33 @@ def main() -> int:
         if want("simhash_pairs"):
             record("simhash_pairs", n, *timed(
                 lambda: D.simhash_pairs(docs)))
+        if want("simhash_recall"):
+            # Round-9 VERDICT stretch: the simhash_fast_recall_gate's
+            # certificate (recall vs exact Jaccard truth, the
+            # plans/round8.py computation verbatim) as a CURVE over
+            # corpus size instead of two SF spot checks. Recorded
+            # rows = recall in basis points (10000 = 1.0); sec = the
+            # full truth+fast+join compute.
+            t0 = time.perf_counter()
+            fast_pairs = (D.simhash_pairs(docs, max_hamming=8)
+                          .select("doc_a", "doc_b")
+                          .withColumn("hit", F.lit(1)))
+            counts = {}
+            for tau in (0.95, 0.80):
+                truth = D.jaccard_pairs(docs, threshold=tau).select(
+                    "doc_a", "doc_b")
+                r = truth.join(fast_pairs, ["doc_a", "doc_b"],
+                               "left").agg(
+                    F.count(F.lit(1)).alias("nt"),
+                    F.count("hit").alias("nf")).collect()[0]
+                counts[tau] = (r["nt"], r["nf"])
+            sec = round(time.perf_counter() - t0, 3)
+            unpersist_all()
+            for tau, (nt, nf) in counts.items():
+                bp = int(round(10_000 * nf / nt)) if nt else 10_000
+                print(f"  simhash_recall τ={tau} n={n}: "
+                      f"{nf}/{nt} truth pairs found", flush=True)
+                record(f"simhash_recall_t{int(tau * 100)}", n, sec, bp)
         if want("clusters_converged"):
             record("clusters_converged", n, *timed(
                 lambda: C.min_label_propagation(
@@ -582,7 +609,8 @@ def main() -> int:
         for suffix, zipf in (("", False), ("_zipf", True)):
             fams = [f + suffix for f in j_base_fams]
             if not suffix:
-                fams += [f + "_rocksdb" for f in j_base_fams]
+                fams += [f + s for f in j_base_fams
+                         for s in ("_rocksdb", "_auto")]
             if not any(want(f) for f in fams):
                 continue
             jdir = staged(

@@ -1142,17 +1142,22 @@ def test_auto_state_store_picks_provider_from_key_estimate(spark):
     from realtime_data_warehouse_spark.session import (
         ROCKSDB_STATE_PROVIDER,
         STATE_STORE_KEY_CROSSOVER,
+        STATE_STORE_SWITCH_MARGIN,
         auto_state_store,
         estimate_resident_keys,
         use_rocksdb_state,
     )
 
+    switch = int(STATE_STORE_KEY_CROSSOVER * STATE_STORE_SWITCH_MARGIN)
     key = "spark.sql.streaming.stateStore.providerClass"
     try:
-        assert not auto_state_store(spark, STATE_STORE_KEY_CROSSOVER - 1)
+        assert not auto_state_store(spark, switch - 1)
         assert spark.conf.get(key, None) is None
-        assert auto_state_store(spark, STATE_STORE_KEY_CROSSOVER)
+        assert auto_state_store(spark, switch)
         assert spark.conf.get(key) == ROCKSDB_STATE_PROVIDER
+        # the margin must cover the estimator's error band: a true-1M
+        # corpus reading 925,738 through the HLL must still switch
+        assert auto_state_store(spark, 925_738)
     finally:
         use_rocksdb_state(spark, False)
 
