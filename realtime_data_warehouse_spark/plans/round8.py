@@ -194,8 +194,11 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # would bloat the plan if k were ever raised to many thousands).
     # Only the scalar total crosses the driver — one row.
     mg = spark.read.parquet(state)
+    # coalesce: an empty / total-less MG state sums to SQL NULL, and
+    # int(None) would raise — an empty stream must read as n = 0
+    # (round-10 ADVICE fix)
     n = int(mg.filter(F.col("is_total")).agg(
-        F.sum("cnt").alias("n")).collect()[0]["n"])
+        F.coalesce(F.sum("cnt"), F.lit(0)).alias("n")).collect()[0]["n"])
     cand = F.broadcast(mg.filter(~F.col("is_total")).select("token"))
     thresh = n / float(_HH_K + 1)
     toks = docs.select(F.explode(tokenize("text")).alias("token"))

@@ -8,21 +8,44 @@ at 100× the dim table a 5-second trigger rewrites the world every 5
 seconds. The production fix is a transactional table format's keyed
 ``MERGE INTO`` (Delta/Iceberg rewrite only files whose key ranges
 match), but the MECHANISM needs no Delta: hash-partition the stored
-rows by merge key into a fixed set of buckets, and each batch rewrites
-ONLY the buckets its keys fall in. Per-batch cost drops from O(table)
-to O(batch + table · touched/n_buckets); a small CDC batch against a
-huge table touches few buckets and the rest of the table is never
-read, never written. Reference anchor: this is the scale story of the
+rows by merge key into buckets, and each batch rewrites ONLY the
+buckets its keys fall in. Per-batch cost drops from O(table) to
+O(batch + bucket_size · touched); a small CDC batch against a huge
+table touches few buckets and the rest of the table is never read,
+never written. Reference anchor: this is the scale story of the
 reference's HBase dim sink (DimHBaseSinkFunction.java:16-105 — a Put
 touches one rowkey region, not the table); the bucket is our region.
+
+Adaptive bucket count (round 10 — the other half of the HBase
+analogy, region SPLITTING): a fixed bucket count makes per-batch cost
+grow ∝ table/n beyond the size it was tuned for (the round-9 flat
+curve bends back at the next decade). So the count GROWS: when mean
+bucket rows pass ``target_rows_per_bucket`` the table DOUBLES its
+bucket count — a metadata-only commit, no data rewrite — and old
+files migrate lazily. This works because the bucket function is
+``pmod(xxhash64(keys), n)``: doubling n maps every key of old bucket
+``b`` into exactly ``{b, b+n}`` (extendible hashing), so a file
+written under an older generation ``g`` (every older generation
+divides the current count, growth only doubles) still holds exactly
+the keys of its child buckets ``{fid + j·g}``. Each file NAME carries
+its generation; a merge that touches any child of an old-generation
+file consumes that file whole and rewrites ALL its children under the
+current generation (split-on-touch), so hot buckets migrate
+immediately and cold ones pay nothing until touched. Steady-state
+per-batch cost is O(batch + target_bucket_size · touched) at ANY
+table size.
 
 Layout — chosen so PLAIN ``spark.read.parquet(table_dir)`` keeps
 working for every existing reader, with zero schema pollution:
 
     table_dir/
-      b00007-<batchtoken>-0.parquet   data files, FLAT, bucket id
-                                      encoded in the file NAME
-      _table_meta.json                n_buckets, key + column names
+      b00007-n00032-<batchtoken>-0.parquet
+                                      data files, FLAT; bucket id and
+                                      bucket-count GENERATION encoded
+                                      in the file NAME
+      _table_meta.json                n_buckets, keys, columns/types,
+                                      committed FILE MANIFEST +
+                                      per-file row counts
       _applied_batches                batch-id ledger (additive sinks)
       _pending.json                   commit marker (exists only
                                       mid-commit; drives roll-forward)
@@ -32,54 +55,76 @@ Names starting with ``_`` / ``.`` are hidden from Spark's file index,
 so the ledger, meta, marker and in-flight tmp dirs are invisible to
 readers; the visible table is exactly the committed bucket files. The
 bucket id is in the FILENAME (not a hive ``__b=`` dir) so readers see
-the data schema unchanged; the merge path globs ``b00007-*`` to read
-one bucket.
+the data schema unchanged.
 
 Crash safety — commit-marker roll-forward (single writer, the
 foreachBatch contract). A merge publishes in stages:
 
   1. write the merged touched buckets under ``.tmp-*`` (invisible);
   2. atomically publish ``_pending.json`` — the COMMIT POINT — listing
-     every file move, every old file to delete, and the batch id;
+     every file move, every old file to delete, the batch id, AND the
+     post-commit ``_table_meta.json`` contents;
   3. move the new bucket files in (os.replace, same filesystem);
   4. append the batch id to the ledger (ledger sinks);
-  5. delete the replaced old files, drop tmp, remove the marker.
+  5. publish the new ``_table_meta.json`` (the manifest flips to the
+     new snapshot — see the reader note below);
+  6. delete the replaced old files, drop tmp, remove the marker.
 
 A crash before (2) leaves only hidden garbage: recovery deletes orphan
 tmp dirs and the batch replays in full. A crash anywhere after (2) is
-rolled FORWARD by recovery at the next merge: every listed move whose
-source still exists is completed (moves are idempotent — a missing
-source means that file already moved), the ledger append is re-applied
-(append is a set union), the old-file deletes re-run (missing = done),
-then the marker drops. So the ledger invariant the round-7 kill suite
-pins — visible data from a batch implies the ledger will contain that
-batch before the next merge reads it — holds exactly as it did for
-the rename-aside whole-table swap, and the same four kill points fire
-at the analogous stages (see `merge`'s fault labels).
+rolled FORWARD by recovery — at the next merge, or at CONSTRUCTION
+(round 10: the constructor recovers before reading meta, so a crash
+on a table's FIRST merge can no longer lose the meta and silently
+fall back to the constructor's bucket count / skip the schema-
+evolution probe): every listed move whose source still exists is
+completed (moves are idempotent — a missing source means that file
+already moved), the ledger append is re-applied (append is a set
+union), the meta from the plan is re-published, the old-file deletes
+re-run (missing = done), then the marker drops. So the ledger
+invariant the round-7 kill suite pins — visible data from a batch
+implies the ledger will contain that batch before the next merge
+reads it — holds exactly as it did, and the same four kill points
+fire at the analogous stages (see `merge`'s fault labels).
 
-Consistency note (unchanged trade from the whole-table swap): the
-publish is atomic per FILE, not per table — a reader racing a crash
-window can see a bucket twice. The foreachBatch single-writer contract
-plus read-after-drain usage makes that unobservable here; concurrent
-readers are what a Delta/Iceberg txn log buys.
+Concurrent readers — manifest snapshot reads (round 10):
+``_table_meta.json`` lists the committed data files ("files"), and it
+is republished AFTER the new files move in but BEFORE the replaced
+old files are deleted. A reader that loads via `read_table` therefore
+sees a consistent snapshot even mid-crash-window: either the
+pre-batch manifest (whose files all still exist — deletes come after
+the meta flip) or the post-batch manifest (whose files all exist —
+moves precede the flip). Directory-listing readers (plain
+``spark.read.parquet``) keep the old weaker contract: atomic per
+FILE, racing a crash window can see a bucket twice; the foreachBatch
+single-writer + read-after-drain usage makes that unobservable, and
+the manifest path is what a concurrent reader should use. This is
+the poor-man's form of what a Delta/Iceberg txn log buys.
 
-Schema evolution: a batch whose merged output adds column names the
+Schema discipline: a batch whose merged output adds column NAMES the
 stored table lacks (dim bootstrap) forces a one-time FULL merge — all
 buckets rewrite under the new schema, so bucket files stay mutually
-consistent and plain readers never need mergeSchema. Steady-state
-per-key traffic takes the touched-bucket path.
+consistent and plain readers never need mergeSchema. A batch whose
+merged output is a SUBSET of the stored columns (a narrow CDC batch
+whose keys all land in empty buckets — cur is None, so unionByName
+can't re-widen it) is CONFORMED to the stored schema with typed null
+columns before writing (round 10, closes the r9 ADVICE hole where a
+narrow bucket file silently dropped the wide columns from every
+plain read). Steady-state per-key traffic takes the touched-bucket
+path.
 """
 
 from __future__ import annotations
 
 import glob as _glob
 import json
+import math
 import os
+import re
 import shutil
 import uuid
 from collections.abc import Callable, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _META = "_table_meta.json"
@@ -87,13 +132,44 @@ _LEDGER = "_applied_batches"
 _MARKER = "_pending.json"
 _BCOL = "__b"
 
-#: Default bucket count. Sized so a typical CDC micro-batch (tens to a
-#: few thousand distinct keys) still leaves most buckets untouched
-#: while each bucket stays a healthy parquet file size up to ~10^8-row
-#: tables; callers with bigger tables raise it at table creation (the
-#: count is frozen in _table_meta.json — changing it would orphan
-#: existing files' name→bucket mapping).
+#: file name: b<bucket id, 5 digits>-n<generation = bucket count at
+#: write time, 5 digits>-<batch token>-<i>.parquet. Round-9 files
+#: lack the -n segment; they are read as generation = the table's
+#: current bucket count (valid until the first growth, which renames
+#: them — see _grow).
+_GEN_RE = re.compile(r"^b(\d{5})-n(\d{5})-")
+_UNTAGGED_RE = re.compile(r"^b(\d{5})-")
+
+#: Default bucket count for tables created with no volume estimate.
+#: Sized so a typical CDC micro-batch (tens to a few thousand distinct
+#: keys) still leaves most buckets untouched; growth takes over from
+#: there, so this is a floor, not a tuning knob.
 DEFAULT_BUCKETS = 32
+
+#: Growth target: mean rows per bucket above which the bucket count
+#: doubles. At ~100–200 bytes/row this keeps bucket files in the
+#: tens-of-MB range — healthy parquet, and a touched-bucket rewrite
+#: stays a sub-second task. Per-table override via
+#: ``target_rows_per_bucket`` (frozen into _table_meta.json).
+DEFAULT_TARGET_ROWS_PER_BUCKET = 500_000
+
+#: Growth ceiling — 64k buckets × the default target is ~3×10¹⁰ rows
+#: per table before the curve would bend again; past that a real
+#: deployment shards tables, not buckets.
+MAX_BUCKETS = 65_536
+
+
+def buckets_for_rows(expected_rows: int,
+                     target: int = DEFAULT_TARGET_ROWS_PER_BUCKET) -> int:
+    """Initial bucket count for an expected table volume: the smallest
+    power of two whose mean bucket load is under `target` (pow2 keeps
+    every generation dividing every later one under doubling growth),
+    clamped to [DEFAULT_BUCKETS, MAX_BUCKETS]. Same derive-don't-
+    hardcode pattern as runner.shuffle_for_volume and
+    session.auto_state_store."""
+    need = max(1, math.ceil(max(0, expected_rows) / target))
+    n = 1 << max(0, (need - 1).bit_length())
+    return max(DEFAULT_BUCKETS, min(MAX_BUCKETS, n))
 
 
 def _bucket_of(keys: Sequence[str], n: int):
@@ -101,10 +177,6 @@ def _bucket_of(keys: Sequence[str], n: int):
     # target, so file→bucket assignment survives restarts.
     return F.pmod(F.xxhash64(*[F.col(k) for k in keys]),
                   F.lit(n)).cast("int")
-
-
-def _bucket_glob(table_dir: str, b: int) -> list[str]:
-    return sorted(_glob.glob(os.path.join(table_dir, f"b{b:05d}-*.parquet")))
 
 
 def _data_files(table_dir: str) -> list[str]:
@@ -118,10 +190,21 @@ def _data_files(table_dir: str) -> list[str]:
 def _legacy_files(table_dir: str) -> list[str]:
     """Visible data files NOT written by this engine (an old
     whole-table layout being upgraded in place)."""
-    import re
-    pat = re.compile(r"^b\d{5}-")
     return [p for p in _data_files(table_dir)
-            if not pat.match(os.path.basename(p))]
+            if not _UNTAGGED_RE.match(os.path.basename(p))]
+
+
+def _parse_name(name: str, default_gen: int) -> tuple[int, int] | None:
+    """(bucket id, generation) from an engine file name; untagged
+    round-9 names read as the table's current generation. None for
+    non-engine files."""
+    m = _GEN_RE.match(name)
+    if m:
+        return int(m.group(1)), int(m.group(2))
+    m = _UNTAGGED_RE.match(name)
+    if m:
+        return int(m.group(1)), default_gen
+    return None
 
 
 def _atomic_write_json(path: str, obj) -> None:
@@ -133,17 +216,60 @@ def _atomic_write_json(path: str, obj) -> None:
     os.replace(tmp, path)
 
 
+def _file_rows(path: str) -> int:
+    """Row count from the parquet footer only — no scan, no Spark
+    job; this is what keeps the growth check O(touched) per batch."""
+    import pyarrow.parquet as pq  # noqa: PLC0415
+
+    return pq.ParquetFile(path).metadata.num_rows
+
+
+def read_table(spark: SparkSession, table_dir: str) -> DataFrame:
+    """Snapshot read of a merge table via its manifest: load exactly
+    the files ``_table_meta.json`` names, so a reader racing a
+    writer's crash window sees one committed snapshot — never a
+    bucket twice, never a half-published batch (module docstring,
+    "Concurrent readers"). Falls back to a plain directory read for
+    dirs without a manifest (streaming append sinks, foreign
+    parquet)."""
+    meta_path = os.path.join(table_dir.rstrip("/"), _META)
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        files = meta.get("files")
+        if files:
+            return spark.read.parquet(
+                *[os.path.join(table_dir, f) for f in files])
+    return spark.read.parquet(table_dir)
+
+
 class BucketedMergeTable:
     """One merge-maintained parquet table. Construct per foreachBatch
     call (stateless — all state is on disk), then ``merge`` the batch.
+
+    ``n_buckets`` / ``expected_rows`` / ``target_rows_per_bucket``
+    apply only at table CREATION; afterwards the on-disk meta wins
+    (files are already named under it). With ``expected_rows`` the
+    initial count is derived (buckets_for_rows); either way the count
+    then grows by doubling as the table does (module docstring).
     """
 
     def __init__(self, table_dir: str, keys: Sequence[str],
-                 n_buckets: int = DEFAULT_BUCKETS):
+                 n_buckets: int | None = None,
+                 expected_rows: int | None = None,
+                 target_rows_per_bucket: int | None = None):
         self.table_dir = table_dir.rstrip("/")
         self.keys = list(keys)
-        self.n_buckets = n_buckets
         os.makedirs(self.table_dir, exist_ok=True)
+        # roll forward BEFORE reading meta: a crash after the commit
+        # point of this table's FIRST merge leaves committed files
+        # whose meta exists only in the marker plan — reading disk
+        # meta first would silently revert to constructor defaults.
+        self.columns = None
+        self.fields = None
+        self.file_rows: dict[str, int] = {}
+        self.n_buckets = 0  # recover() may need _append_ledger only
+        self.recover()
         meta_path = os.path.join(self.table_dir, _META)
         if os.path.exists(meta_path):
             with open(meta_path) as fh:
@@ -153,9 +279,23 @@ class BucketedMergeTable:
             self.n_buckets = int(meta["n_buckets"])
             self.columns = meta.get("columns")
             self.fields = meta.get("fields")
+            self.file_rows = dict(meta.get("file_rows") or {})
+            self.target_rows = int(
+                meta.get("target_rows_per_bucket")
+                or target_rows_per_bucket
+                or DEFAULT_TARGET_ROWS_PER_BUCKET)
         else:
-            self.columns = None
-            self.fields = None
+            if n_buckets is not None:
+                self.n_buckets = int(n_buckets)
+            elif expected_rows is not None:
+                self.n_buckets = buckets_for_rows(
+                    expected_rows,
+                    target_rows_per_bucket
+                    or DEFAULT_TARGET_ROWS_PER_BUCKET)
+            else:
+                self.n_buckets = DEFAULT_BUCKETS
+            self.target_rows = int(target_rows_per_bucket
+                                   or DEFAULT_TARGET_ROWS_PER_BUCKET)
 
     # -- ledger -----------------------------------------------------
     def _ledger_path(self) -> str:
@@ -176,10 +316,33 @@ class BucketedMergeTable:
             os.fsync(fh.fileno())
         os.replace(tmp, self._ledger_path())
 
+    # -- meta -------------------------------------------------------
+    def _meta_dict(self, files_rows: dict[str, int]) -> dict:
+        return {
+            "n_buckets": self.n_buckets,
+            "keys": self.keys,
+            "columns": self.columns,
+            "fields": self.fields,
+            "target_rows_per_bucket": self.target_rows,
+            "files": sorted(files_rows),
+            "file_rows": files_rows,
+        }
+
+    def _load_meta(self, meta: dict) -> None:
+        self.n_buckets = int(meta["n_buckets"])
+        self.columns = meta.get("columns")
+        self.fields = meta.get("fields")
+        self.file_rows = dict(meta.get("file_rows") or {})
+        if meta.get("target_rows_per_bucket"):
+            self.target_rows = int(meta["target_rows_per_bucket"])
+
     # -- recovery ---------------------------------------------------
     def recover(self) -> None:
         """Roll forward a marker-published commit that crashed
-        mid-publish; roll back (delete) tmp garbage with no marker."""
+        mid-publish; roll back (delete) tmp garbage with no marker.
+        Stage order mirrors merge()'s publish: moves, ledger, META,
+        deletes — meta lands before deletes so manifest readers keep
+        a consistent snapshot through the roll-forward too."""
         marker = os.path.join(self.table_dir, _MARKER)
         if os.path.exists(marker):
             with open(marker) as fh:
@@ -191,15 +354,143 @@ class BucketedMergeTable:
                                os.path.join(self.table_dir, dst_name))
             if plan.get("ledger_batch") is not None:
                 self._append_ledger(str(plan["ledger_batch"]))
+            if plan.get("meta") is not None:
+                _atomic_write_json(
+                    os.path.join(self.table_dir, _META), plan["meta"])
+                self._load_meta(plan["meta"])
             for name in plan["delete"]:
                 p = os.path.join(self.table_dir, name)
                 if os.path.exists(p):
                     os.remove(p)
-            shutil.rmtree(os.path.join(self.table_dir, plan["tmp"]),
-                          ignore_errors=True)
+            if plan.get("tmp"):
+                shutil.rmtree(os.path.join(self.table_dir, plan["tmp"]),
+                              ignore_errors=True)
             os.remove(marker)
         for d in _glob.glob(os.path.join(self.table_dir, ".tmp-*")):
             shutil.rmtree(d, ignore_errors=True)
+
+    # -- commit (shared by merge and grow) --------------------------
+    def _commit(self, plan: dict, fault) -> None:
+        """Publish a marker plan: marker (COMMIT POINT) → moves →
+        ledger → meta → deletes → tmp cleanup → marker gone. Identical
+        stage order to recover()'s roll-forward."""
+        _atomic_write_json(os.path.join(self.table_dir, _MARKER), plan)
+        fault("after_live_aside")  # commit point: roll-forward owns it
+
+        for src_rel, dst_name in plan["moves"]:
+            os.replace(os.path.join(self.table_dir, src_rel),
+                       os.path.join(self.table_dir, dst_name))
+        fault("after_tmp_in")
+
+        if plan.get("ledger_batch") is not None:
+            self._append_ledger(str(plan["ledger_batch"]))
+        fault("after_ledger_write")
+
+        if plan.get("meta") is not None:
+            _atomic_write_json(
+                os.path.join(self.table_dir, _META), plan["meta"])
+            self._load_meta(plan["meta"])
+        for name in plan["delete"]:
+            p = os.path.join(self.table_dir, name)
+            if os.path.exists(p):
+                os.remove(p)
+        if plan.get("tmp"):
+            shutil.rmtree(os.path.join(self.table_dir, plan["tmp"]),
+                          ignore_errors=True)
+        os.remove(os.path.join(self.table_dir, _MARKER))
+
+    # -- bucket/file resolution --------------------------------------
+    def _resolve(self, touched: list[int]) -> tuple[list[str], list[int]]:
+        """Files to consume and the CLOSED set of buckets to rewrite
+        for a batch touching `touched` (current-generation ids).
+
+        An old-generation file (gen g < n_buckets) holds the keys of
+        ALL its child buckets {fid + j·g}; consuming it for one child
+        forces rewriting every child (split-on-touch), and those
+        children may in turn map into other old-generation files —
+        hence the worklist closure. Generations divide the current
+        count by construction (growth only doubles); a foreign
+        generation is corruption and raises."""
+        entries = []
+        for p in _data_files(self.table_dir):
+            parsed = _parse_name(os.path.basename(p), self.n_buckets)
+            if parsed is None:
+                continue  # legacy files handled by the full-rewrite path
+            fid, gen = parsed
+            if self.n_buckets % gen != 0:
+                raise ValueError(
+                    f"bucket file {os.path.basename(p)} has generation "
+                    f"{gen} which does not divide current bucket count "
+                    f"{self.n_buckets}")
+            entries.append((p, fid, gen))
+
+        selected: set[str] = set()
+        closed: set[int] = set()
+        work = list(dict.fromkeys(touched))
+        while work:
+            b = work.pop()
+            if b in closed:
+                continue
+            closed.add(b)
+            for p, fid, gen in entries:
+                if p in selected:
+                    continue
+                if fid == b % gen:
+                    selected.add(p)
+                    if gen < self.n_buckets:
+                        for child in range(fid, self.n_buckets, gen):
+                            if child not in closed:
+                                work.append(child)
+        return sorted(selected), sorted(closed)
+
+    # -- growth -----------------------------------------------------
+    def _maybe_grow(self, fault) -> None:
+        """Double the bucket count when mean bucket rows pass the
+        target — a METADATA-ONLY commit (no data rewrite): untagged
+        round-9 files get their generation stamped into the name
+        (pure renames under the marker), tagged files keep working
+        because their generation divides the doubled count; actual
+        data migration is lazy, split-on-touch in later merges. The
+        HBase-region-split half of the dim-sink analogy
+        (DimHBaseSinkFunction.java:16-105)."""
+        total = sum(self.file_rows.values())
+        if not total or self.n_buckets >= MAX_BUCKETS:
+            return
+        if total / self.n_buckets <= self.target_rows:
+            return
+        new_n = self.n_buckets
+        while new_n < MAX_BUCKETS and total / new_n > self.target_rows:
+            new_n *= 2
+
+        moves: list[tuple[str, str]] = []
+        new_rows: dict[str, int] = {}
+        for p in _data_files(self.table_dir):
+            name = os.path.basename(p)
+            parsed = _parse_name(name, self.n_buckets)
+            if parsed is None:
+                continue
+            fid, gen = parsed
+            if _GEN_RE.match(name):
+                new_rows[name] = self.file_rows.get(name, _file_rows(p))
+            else:
+                tagged = f"b{fid:05d}-n{gen:05d}-" + name[len(f"b{fid:05d}-"):]
+                moves.append((name, tagged))
+                new_rows[tagged] = self.file_rows.get(name, _file_rows(p))
+
+        old_n = self.n_buckets
+        self.n_buckets = new_n
+        plan = {
+            "tmp": None,
+            "moves": moves,
+            "delete": [],
+            "ledger_batch": None,
+            "meta": self._meta_dict(new_rows),
+        }
+        try:
+            self._commit(plan, fault)
+        except BaseException:
+            self.n_buckets = old_n  # commit may not have landed
+            raise
 
     # -- merge ------------------------------------------------------
     def merge(self, batch: DataFrame,
@@ -210,10 +501,12 @@ class BucketedMergeTable:
         """Merge one micro-batch into the table.
 
         ``merge_fn(current, batch)`` receives the stored rows of the
-        TOUCHED buckets only (None on first write) plus the batch rows,
-        and returns their merged replacement — per-merge-key semantics
-        (latest-per-key, additive re-agg, SCD2 re-window) are safe on
-        a bucket slice because a key's rows all live in one bucket.
+        CONSUMED buckets only (None on first write) plus the batch
+        rows, and returns their merged replacement — per-merge-key
+        semantics (latest-per-key, additive re-agg, SCD2 re-window)
+        are safe on a bucket slice because a key's rows all live in
+        one bucket (and an old-generation file's rows all live in the
+        closed child set, which is consumed and rewritten whole).
 
         ``ledgered=True`` adds the applied-batch-id exactly-once guard
         (non-idempotent merges, e.g. additive sums); idempotent merges
@@ -253,7 +546,6 @@ class BucketedMergeTable:
                 return
 
             legacy = _legacy_files(self.table_dir)
-            out_cols = None
             full = bool(legacy)
             if not full and self.columns is not None:
                 # schema evolution probe on the batch side: a new
@@ -268,17 +560,27 @@ class BucketedMergeTable:
                         != f.dataType.simpleString()
                         for f in batch.schema.fields if f.name != _BCOL)
             if full:
-                touched = list(range(self.n_buckets))
+                write_buckets = list(range(self.n_buckets))
                 old_files = _data_files(self.table_dir)
             else:
-                old_files = [f for b in touched
-                             for f in _bucket_glob(self.table_dir, b)]
+                old_files, write_buckets = self._resolve(touched)
 
             cur = None
             if old_files:
                 cur = spark.read.parquet(*old_files)
             merged = merge_fn(cur, batch.drop(_BCOL))
-            out_cols = [c for c in merged.columns]
+            if (not full and self.columns is not None
+                    and set(merged.columns) < set(self.columns)):
+                # narrow batch into empty buckets (cur is None — no
+                # stored rows to unionByName against): conform to the
+                # stored schema with typed nulls so every bucket file
+                # keeps the full column set and plain readers never
+                # silently lose columns (round-10 ADVICE fix)
+                merged = merged.select(
+                    *merged.columns,
+                    *[F.lit(None).cast(self.fields[c]).alias(c)
+                      for c in self.columns if c not in merged.columns])
+            out_cols = list(merged.columns)
             out_fields = {f.name: f.dataType.simpleString()
                           for f in merged.schema.fields}
             merged = merged.withColumn(
@@ -287,50 +589,51 @@ class BucketedMergeTable:
             token = uuid.uuid4().hex[:12]
             tmp_rel = f".tmp-{token}"
             tmp = os.path.join(self.table_dir, tmp_rel)
-            # one shuffle partition per touched bucket → one file per
+            # one shuffle partition per written bucket → one file per
             # bucket per merge; untouched buckets cost nothing
-            (merged.repartition(max(len(touched), 1), F.col(_BCOL))
+            (merged.repartition(max(len(write_buckets), 1), F.col(_BCOL))
              .write.partitionBy(_BCOL).parquet(tmp))
             fault("after_data_write")
 
+            gen_tag = f"n{self.n_buckets:05d}"
             moves: list[tuple[str, str]] = []
+            new_rows: dict[str, int] = {}
             for bdir in sorted(_glob.glob(os.path.join(tmp, f"{_BCOL}=*"))):
                 b = int(os.path.basename(bdir).split("=", 1)[1])
                 for i, f in enumerate(
                         sorted(_glob.glob(os.path.join(bdir, "*.parquet")))):
+                    dst = f"b{b:05d}-{gen_tag}-{token}-{i}.parquet"
                     moves.append((
                         os.path.join(tmp_rel, os.path.basename(bdir),
                                      os.path.basename(f)),
-                        f"b{b:05d}-{token}-{i}.parquet"))
+                        dst))
+                    new_rows[dst] = _file_rows(f)
+
+            delete = [os.path.basename(f) for f in old_files]
+            self.columns, self.fields = out_cols, out_fields
+            survivors = {
+                os.path.basename(p): self.file_rows.get(
+                    os.path.basename(p), None)
+                for p in _data_files(self.table_dir)
+                if os.path.basename(p) not in delete
+            }
+            # survivor counts absent from meta (upgraded table) come
+            # from the footer once, then ride the manifest forward
+            files_rows = {
+                name: (rows if rows is not None
+                       else _file_rows(os.path.join(self.table_dir, name)))
+                for name, rows in survivors.items()
+            }
+            files_rows.update(new_rows)
 
             plan = {
                 "tmp": tmp_rel,
                 "moves": moves,
-                "delete": [os.path.basename(f) for f in old_files],
+                "delete": delete,
                 "ledger_batch": str(batch_id) if ledgered else None,
+                "meta": self._meta_dict(files_rows),
             }
-            _atomic_write_json(os.path.join(self.table_dir, _MARKER), plan)
-            fault("after_live_aside")  # commit point: roll-forward owns it
-
-            for src_rel, dst_name in moves:
-                os.replace(os.path.join(self.table_dir, src_rel),
-                           os.path.join(self.table_dir, dst_name))
-            fault("after_tmp_in")
-
-            if ledgered:
-                self._append_ledger(str(batch_id))
-            fault("after_ledger_write")
-
-            for name in plan["delete"]:
-                p = os.path.join(self.table_dir, name)
-                if os.path.exists(p):
-                    os.remove(p)
-            shutil.rmtree(tmp, ignore_errors=True)
-            os.remove(os.path.join(self.table_dir, _MARKER))
-
-            _atomic_write_json(
-                os.path.join(self.table_dir, _META),
-                {"n_buckets": self.n_buckets, "keys": self.keys,
-                 "columns": out_cols, "fields": out_fields})
+            self._commit(plan, fault)
+            self._maybe_grow(fault)
         finally:
             batch.unpersist()

@@ -146,8 +146,14 @@ def run_foreach_batch(sdf: DataFrame, batch_fn, checkpoint_dir: str,
 
 def read_back(spark: SparkSession, out_dir: str) -> DataFrame:
     """Read a replay's parquet output (empty dir → empty result is a
-    caller-level assertion failure, surfaced as AnalysisException)."""
-    return spark.read.parquet(out_dir)
+    caller-level assertion failure, surfaced as AnalysisException).
+    Merge-table dirs are read via their committed-file manifest
+    (merge_table.read_table) so a reader racing a writer's crash
+    window sees one consistent snapshot; plain append-sink dirs have
+    no manifest and fall back to the directory read."""
+    from .merge_table import read_table  # noqa: PLC0415
+
+    return read_table(spark, out_dir)
 
 
 def staged_files_dir(df: DataFrame, base_dir: str, n_files: int = 1,
@@ -215,23 +221,46 @@ def staged_files_dir_keyed(df: DataFrame, base_dir: str, key_col: str,
         .withColumn("__f", (F.col("__r") * n_files / F.col("__c"))
                     .cast("int"))
     )
-    splits = [
-        ranked.filter(F.col("__f") == k).drop("__r", "__c", "__f")
-        for k in range(n_files)
-    ]
-    first = True
-    for part in splits:
-        part.coalesce(1).write.mode(
-            "overwrite" if first else "append").parquet(in_dir)
-        first = False
-    # one file per split was just appended; stamp mtimes in append
-    # order so split k replays as micro-batch k
-    parts = sorted(
-        (os.path.getmtime(os.path.join(in_dir, f)), f)
-        for f in os.listdir(in_dir)
-        if f.startswith("part-") and f.endswith(".parquet")
-    )
-    base = int(time.time()) - len(parts) - 10
-    for i, (_, f) in enumerate(parts):
-        os.utime(os.path.join(in_dir, f), (base + i, base + i))
+    # HARD REQUIREMENT: (key_col, *order_cols) must order rows
+    # uniquely. row_number over a non-unique order is nondeterministic
+    # across executions, and the split used to re-execute the ranked
+    # plan once per file — a tie could land a row in two splits or
+    # none. Round 10 closes both holes: the split assignment is
+    # MATERIALIZED once (single Spark job, one file per __f value) so
+    # every row is written exactly once whatever the tie order, and
+    # the uniqueness contract is asserted below (duplicate full
+    # ordering keys would make "per-key order preserved" itself
+    # ill-defined, so they are a caller bug, not a tolerable input).
+    dup = (df.groupBy(key_col, *order_cols).count()
+           .filter(F.col("count") > 1).limit(1).count())
+    if dup:
+        raise ValueError(
+            "staged_files_dir_keyed: (key_col, order_cols) must be "
+            "unique per row — found duplicate ordering keys; add a "
+            "tie-breaker column (e.g. an id) to order_col")
+    stage = in_dir + ".__stage__"
+    (ranked.drop("__r", "__c")
+     .repartition(1)  # one writer task → exactly one file per __f dir
+     .write.mode("overwrite").partitionBy("__f").parquet(stage))
+    os.makedirs(in_dir, exist_ok=True)
+    # move each split's single file to a deterministic flat name;
+    # mtimes are stamped from the KNOWN split index (not getmtime of
+    # racy separate writes), so split k replays as micro-batch k
+    base = int(time.time()) - n_files - 10
+    for k in range(n_files):
+        fdir = os.path.join(stage, f"__f={k}")
+        if not os.path.isdir(fdir):
+            continue  # globally empty split (every key had < k rows)
+        parts = sorted(
+            f for f in os.listdir(fdir)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        assert len(parts) == 1, (
+            f"expected exactly one file for split {k}, got {parts}")
+        dst = os.path.join(in_dir, f"part-{k:05d}-keyed.parquet")
+        os.replace(os.path.join(fdir, parts[0]), dst)
+        os.utime(dst, (base + k, base + k))
+    import shutil  # noqa: PLC0415
+
+    shutil.rmtree(stage, ignore_errors=True)
     return in_dir

@@ -98,12 +98,17 @@ def _atomic_overwrite(df: DataFrame, table_dir: str) -> None:
 
 
 def upsert_batch(table_dir: str, keys: Sequence[str], order_col: str,
-                 n_buckets: int = DEFAULT_BUCKETS):
+                 n_buckets: int | None = None,
+                 expected_rows: int | None = None,
+                 target_rows_per_bucket: int | None = None):
     """K5 — upsert-sink foreachBatch: new batch rows overwrite older
     rows with the same key (latest `order_col` wins), exactly the
     consumer-visible semantics of the reference's upsert-kafka topics.
     Bucketed: only the key-touched buckets rewrite; the merge is
     idempotent (replays re-dedup to the same table), so no ledger.
+    Sizing: `expected_rows` derives the initial bucket count
+    (merge_table.buckets_for_rows); growth doubles it as the table
+    outgrows `target_rows_per_bucket` either way (round 10).
     """
     def fn(batch: DataFrame, batch_id: int) -> None:
         _recover_table(table_dir)
@@ -112,13 +117,17 @@ def upsert_batch(table_dir: str, keys: Sequence[str], order_col: str,
             merged = rows if cur is None else cur.unionByName(rows)
             return latest_per_key(merged, keys, order_col)
 
-        BucketedMergeTable(table_dir, keys, n_buckets).merge(batch, merge)
+        BucketedMergeTable(
+            table_dir, keys, n_buckets, expected_rows=expected_rows,
+            target_rows_per_bucket=target_rows_per_bucket,
+        ).merge(batch, merge)
 
     return fn
 
 
 def dim_upsert_batch(warehouse_dir: str, key_expr: str = "rowkey",
-                     table_col: str = "sink_table", op_col: str = "type"):
+                     table_col: str = "sink_table", op_col: str = "type",
+                     target_rows_per_bucket: int | None = None):
     """K6 — config-routed dim maintenance: for each sink_table in the
     batch, upsert insert/update/bootstrap rows and apply deletes
     (DimHBaseSinkFunction.java:53-105: Put vs Delete by op). One dim
@@ -150,7 +159,10 @@ def dim_upsert_batch(warehouse_dir: str, key_expr: str = "rowkey",
                     merged = latest_per_key(merged, [key_expr], "ts")
                     return merged.filter(F.col(op_col) != "delete")
 
-                BucketedMergeTable(tdir, [key_expr]).merge(rows, merge)
+                BucketedMergeTable(
+                    tdir, [key_expr],
+                    target_rows_per_bucket=target_rows_per_bucket,
+                ).merge(rows, merge)
         finally:
             batch.unpersist()
 
@@ -159,7 +171,8 @@ def dim_upsert_batch(warehouse_dir: str, key_expr: str = "rowkey",
 
 def additive_merge_batch(table_dir: str, keys: Sequence[str],
                          sum_cols: Sequence[str], prepare=None,
-                         merge_aggs: dict | None = None, fault=None):
+                         merge_aggs: dict | None = None, fault=None,
+                         target_rows_per_bucket: int | None = None):
     """Continuous-aggregate maintenance sink: each micro-batch's rows
     are reduced to PARTIAL aggregates (`prepare`, e.g. a per-day
     tumble) and merged into the stored aggregate table by summation —
@@ -208,8 +221,11 @@ def additive_merge_batch(table_dir: str, keys: Sequence[str],
                 *[mk(c).alias(c) for c, mk in (merge_aggs or {}).items()],
             )
 
-        BucketedMergeTable(table_dir, list(keys)).merge(
-            partial, merge, batch_id=batch_id, ledgered=True, fault=fault)
+        BucketedMergeTable(
+            table_dir, list(keys),
+            target_rows_per_bucket=target_rows_per_bucket,
+        ).merge(partial, merge, batch_id=batch_id, ledgered=True,
+                fault=fault)
 
     return fn
 
@@ -402,7 +418,8 @@ def kafka_dynamic_sink(sdf: DataFrame, brokers: str, checkpoint_dir: str,
 def scd2_merge_batch(table_dir: str, key_col: str,
                      version_col: str = "valid_from",
                      closed_col: str = "valid_to",
-                     op_col: str = "typ"):
+                     op_col: str = "typ",
+                     target_rows_per_bucket: int | None = None):
     """SCD type-2 maintenance foreachBatch: each micro-batch of change
     rows (key, attrs…, valid_from, op) is merged into a version-history
     table — the streaming face of plans/analytics.scd2_dim_history,
@@ -442,6 +459,9 @@ def scd2_merge_batch(table_dir: str, key_col: str,
                 .withColumn(closed_col, F.lead(version_col).over(w))
             )
 
-        BucketedMergeTable(table_dir, [key_col]).merge(incoming, merge)
+        BucketedMergeTable(
+            table_dir, [key_col],
+            target_rows_per_bucket=target_rows_per_bucket,
+        ).merge(incoming, merge)
 
     return fn

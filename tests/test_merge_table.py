@@ -182,3 +182,278 @@ def test_marker_rollforward_is_idempotent(spark, tmp_path):
     assert not os.path.exists(os.path.join(table, "_pending.json"))
     got = {r.k: r.v for r in spark.read.parquet(table).collect()}
     assert got == {1: 11, 2: 20}
+
+
+# ---------------------------------------------------------------------------
+# Round 10 — narrow-batch schema conformance, first-merge crash meta,
+# manifest snapshot reads, adaptive bucket growth + split-on-touch
+# ---------------------------------------------------------------------------
+
+def _bucket_of_keys(spark, vals, n):
+    """key value -> bucket id under the engine's hash (computed with
+    the same Spark expression the engine uses)."""
+    df = spark.createDataFrame([(v,) for v in vals], "k long")
+    rows = df.select(
+        "k", F.pmod(F.xxhash64(F.col("k")), F.lit(n)).cast("int").alias("b")
+    ).collect()
+    return {r.k: r.b for r in rows}
+
+
+def test_narrow_batch_into_empty_bucket_keeps_wide_schema(spark, tmp_path):
+    """A batch whose columns are a SUBSET of the stored schema and
+    whose keys all land in EMPTY buckets (cur is None — nothing to
+    unionByName against) must not write a narrow bucket file: plain
+    spark.read.parquet would then silently drop the wide columns from
+    every row (round-10 ADVICE medium). The merged frame is conformed
+    to the stored schema with typed nulls and meta keeps the wide
+    column set."""
+    import json
+
+    from realtime_data_warehouse_spark.streaming.merge_table import (
+        BucketedMergeTable,
+    )
+
+    table = str(tmp_path / "t")
+
+    def merge(cur, rows):
+        from realtime_data_warehouse_spark.operators.state import (
+            latest_per_key,
+        )
+        merged = rows if cur is None else cur.unionByName(
+            rows, allowMissingColumns=True)
+        return latest_per_key(merged, ["k"], "ts")
+
+    n = 8
+    wide = spark.createDataFrame(
+        [(1, 0, 11, "a"), (2, 0, 22, "b")],
+        "k long, ts long, attr long, extra string")
+    BucketedMergeTable(table, ["k"], n_buckets=n).merge(wide, merge)
+
+    buckets = _bucket_of_keys(spark, range(100), n)
+    used = {buckets[1], buckets[2]}
+    k_new = next(k for k, b in buckets.items() if b not in used)
+
+    narrow = spark.createDataFrame([(k_new, 1)], "k long, ts long")
+    BucketedMergeTable(table, ["k"]).merge(narrow, merge)
+
+    got = spark.read.parquet(table)
+    assert set(got.columns) == {"k", "ts", "attr", "extra"}
+    rows = {r.k: (r.attr, r.extra) for r in got.collect()}
+    assert rows[k_new] == (None, None)
+    assert rows[1] == (11, "a") and len(rows) == 3
+
+    with open(os.path.join(table, "_table_meta.json")) as fh:
+        meta = json.load(fh)
+    assert set(meta["columns"]) == {"k", "ts", "attr", "extra"}
+
+
+def test_first_merge_crash_preserves_meta_via_rollforward(spark, tmp_path):
+    """A crash after the commit point of a table's FIRST merge leaves
+    committed files whose meta exists only in the marker plan; the
+    next construction must roll it forward BEFORE reading meta —
+    otherwise it silently reverts to the constructor's bucket count
+    and loses the schema-evolution probe (round-10 ADVICE low)."""
+    import json
+
+    from realtime_data_warehouse_spark.streaming.merge_table import (
+        BucketedMergeTable,
+    )
+
+    table = str(tmp_path / "t")
+
+    class Die(Exception):
+        pass
+
+    def fault(stage):
+        if stage == "after_live_aside":
+            raise Die(stage)
+
+    def merge(cur, rows):
+        merged = rows if cur is None else cur.unionByName(rows)
+        return merged.groupBy("k").agg(F.sum("v").alias("v"))
+
+    with pytest.raises(Die):
+        BucketedMergeTable(table, ["k"], n_buckets=16).merge(
+            spark.createDataFrame([(1, 10)], "k long, v long"),
+            merge, batch_id=0, ledgered=True, fault=fault)
+    assert os.path.exists(os.path.join(table, "_pending.json"))
+    assert not os.path.exists(os.path.join(table, "_table_meta.json"))
+
+    # construct with a DIFFERENT bucket count: the rolled-forward meta
+    # must win, not the constructor argument
+    t2 = BucketedMergeTable(table, ["k"], n_buckets=4)
+    assert t2.n_buckets == 16
+    assert not os.path.exists(os.path.join(table, "_pending.json"))
+    with open(os.path.join(table, "_table_meta.json")) as fh:
+        assert json.load(fh)["n_buckets"] == 16
+    assert "0" in t2.applied_batches()
+    got = {r.k: r.v for r in spark.read.parquet(table).collect()}
+    assert got == {1: 10}
+
+
+@pytest.mark.parametrize("kill_point", ["after_live_aside",
+                                        "after_tmp_in",
+                                        "after_ledger_write"])
+def test_manifest_read_sees_prebatch_snapshot_mid_crash(
+        spark, tmp_path, kill_point):
+    """read_table loads exactly the files the committed manifest
+    names: a reader racing a crashed merge (marker published, any
+    prefix of moves/ledger done, meta NOT yet flipped) sees exactly
+    the pre-batch snapshot — even while the directory itself holds
+    both old and new bucket files. After roll-forward it sees exactly
+    the post-batch table."""
+    from realtime_data_warehouse_spark.streaming.merge_table import (
+        BucketedMergeTable,
+        read_table,
+    )
+
+    table = str(tmp_path / "t")
+
+    class Die(Exception):
+        pass
+
+    def fault(stage):
+        if stage == kill_point:
+            raise Die(stage)
+
+    def merge(cur, rows):
+        merged = rows if cur is None else cur.unionByName(rows)
+        return merged.groupBy("k").agg(F.sum("v").alias("v"))
+
+    t = BucketedMergeTable(table, ["k"], n_buckets=4)
+    t.merge(spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"),
+            merge, batch_id=0, ledgered=True)
+
+    with pytest.raises(Die):
+        BucketedMergeTable(table, ["k"]).merge(
+            spark.createDataFrame([(1, 1), (3, 30)], "k long, v long"),
+            merge, batch_id=1, ledgered=True, fault=fault)
+    assert os.path.exists(os.path.join(table, "_pending.json"))
+
+    # mid-crash-window manifest read: exactly the pre-batch snapshot
+    got = {r.k: r.v for r in read_table(spark, table).collect()}
+    assert got == {1: 10, 2: 20}, (kill_point, got)
+
+    # roll forward (construction recovers), then the new snapshot
+    BucketedMergeTable(table, ["k"])
+    got = {r.k: r.v for r in read_table(spark, table).collect()}
+    assert got == {1: 11, 2: 20, 3: 30}
+
+
+def test_growth_doubles_metadata_only_then_splits_on_touch(spark, tmp_path):
+    """Growth is a metadata-only commit: passing the per-bucket row
+    target doubles n_buckets without rewriting data (files keep their
+    generation tag); a later merge that touches a child of an
+    old-generation file consumes that file WHOLE and rewrites all its
+    children under the current generation, leaving other old files
+    untouched (split-on-touch)."""
+    import json
+
+    from realtime_data_warehouse_spark.streaming.merge_table import (
+        BucketedMergeTable,
+    )
+
+    table = str(tmp_path / "t")
+
+    def merge(cur, rows):
+        from realtime_data_warehouse_spark.operators.state import (
+            latest_per_key,
+        )
+        merged = rows if cur is None else cur.unionByName(rows)
+        return latest_per_key(merged, ["k"], "ts")
+
+    base = spark.range(400).select(
+        F.col("id").alias("k"), F.lit(0).cast("long").alias("ts"),
+        (F.col("id") * 2).alias("v"))
+    BucketedMergeTable(table, ["k"], n_buckets=4,
+                       target_rows_per_bucket=50).merge(base, merge)
+
+    with open(os.path.join(table, "_table_meta.json")) as fh:
+        meta = json.load(fh)
+    assert meta["n_buckets"] == 8, "400 rows / target 50 -> 8 buckets"
+    gen4 = sorted(glob.glob(os.path.join(table, "b*-n00004-*.parquet")))
+    assert len(gen4) == 4, "growth must NOT rewrite data files"
+
+    # touch one key -> its old-generation file splits into BOTH its
+    # children under gen 8; the other 3 gen-4 files are untouched
+    t2 = BucketedMergeTable(table, ["k"])
+    assert t2.n_buckets == 8
+    t2.merge(spark.createDataFrame([(7, 1, 999)], "k long, ts long, v long"),
+             merge)
+    after = {os.path.basename(p)
+             for p in glob.glob(os.path.join(table, "*.parquet"))}
+    survivors4 = {os.path.basename(p) for p in gen4} & after
+    assert len(survivors4) == 3, "exactly one old-gen file consumed"
+    new8 = {n for n in after if "-n00008-" in n}
+    assert len(new8) == 2, "consumed file splits into its two children"
+
+    got = {r.k: r.v for r in spark.read.parquet(table).collect()}
+    assert got[7] == 999 and got[8] == 16 and len(got) == 400
+
+
+def test_growth_and_split_survive_kill_points(spark, tmp_path):
+    """The kill suite holds through growth and split merges: dying at
+    the commit point of the GROWTH commit (the second marker of one
+    merge call) or of a SPLIT merge rolls forward to the exact same
+    table, with ledgered batches applied exactly once."""
+    import json
+
+    from realtime_data_warehouse_spark.streaming.merge_table import (
+        BucketedMergeTable,
+    )
+
+    table = str(tmp_path / "t")
+
+    class Die(Exception):
+        pass
+
+    def die_on_nth(stage_name, nth):
+        seen = {"n": 0}
+
+        def fault(stage):
+            if stage == stage_name:
+                seen["n"] += 1
+                if seen["n"] == nth:
+                    raise Die(stage)
+        return fault
+
+    def merge(cur, rows):
+        merged = rows if cur is None else cur.unionByName(rows)
+        return merged.groupBy("k").agg(F.sum("v").alias("v"))
+
+    rows = spark.range(400).select((F.col("id") % 200).alias("k"),
+                                   F.lit(1).alias("v"))
+    # merge commit passes (1st after_live_aside), growth commit dies
+    # (2nd): marker on disk holds the doubling plan
+    with pytest.raises(Die):
+        BucketedMergeTable(table, ["k"], n_buckets=4,
+                           target_rows_per_bucket=25).merge(
+            rows, merge, batch_id=0, ledgered=True,
+            fault=die_on_nth("after_live_aside", 2))
+    assert os.path.exists(os.path.join(table, "_pending.json"))
+
+    # replay after restart: construction rolls the growth forward,
+    # ledger skips the batch
+    t = BucketedMergeTable(table, ["k"])
+    assert t.n_buckets == 8
+    t.merge(rows, merge, batch_id=0, ledgered=True)
+    got = {r.k: r.v for r in spark.read.parquet(table).collect()}
+    assert got[0] == 2 and len(got) == 200, "no double-apply"
+
+    # split merge killed mid-commit: old-gen file consumed, children
+    # written — roll forward, replay, exactly once
+    inc = spark.createDataFrame([(7, 5)], "k long, v long")
+    with pytest.raises(Die):
+        BucketedMergeTable(table, ["k"]).merge(
+            inc, merge, batch_id=1, ledgered=True,
+            fault=die_on_nth("after_live_aside", 1))
+    BucketedMergeTable(table, ["k"]).merge(
+        inc, merge, batch_id=1, ledgered=True)
+    got = {r.k: r.v for r in spark.read.parquet(table).collect()}
+    assert got[7] == 7 and got[0] == 2 and len(got) == 200
+    with open(os.path.join(table, "_table_meta.json")) as fh:
+        meta = json.load(fh)
+    # manifest matches the directory exactly after recovery
+    on_disk = {os.path.basename(p)
+               for p in glob.glob(os.path.join(table, "*.parquet"))}
+    assert set(meta["files"]) == on_disk
