@@ -108,15 +108,36 @@ def main() -> None:
     # 1-min/5-min load average at the start of every section so a
     # contended session is visible IN the artifact: a section whose
     # load1 >> bench's own core budget was not measured idle.
+    #
+    # Round 10 makes the record ACTIONABLE (VERDICT r9 item 2): each
+    # section start GATES on load1 — if the box is visibly busy, the
+    # bench waits (bounded) for the 1-minute average to decay below
+    # the threshold before starting the section's timers; a section
+    # that starts while still above it is stamped contaminated:true
+    # so BENCH_r{N} consumers can filter instead of inferring box
+    # weather after the fact. The threshold is sized to what an
+    # otherwise-idle box shows while the bench's OWN previous section
+    # drains out of the 1-min average (~0.375×cpus, floor 8); a truly
+    # contended box stays above it through the whole wait.
     load_log: list[dict] = []
+    load_gate_thresh = float(os.environ.get(
+        "SPARK_GRAFT_LOAD_GATE", max(8.0, 0.375 * (os.cpu_count() or 8))))
+    load_gate_wait_s = int(os.environ.get("SPARK_GRAFT_LOAD_GATE_WAIT",
+                                          "120"))
 
     def load_sample(label: str) -> None:
         try:
             l1, l5, _ = os.getloadavg()
         except OSError:
             return
+        waited = 0
+        while l1 > load_gate_thresh and waited < load_gate_wait_s:
+            time.sleep(10)
+            waited += 10
+            l1, l5, _ = os.getloadavg()
         load_log.append({"section": label, "load1": round(l1, 2),
-                         "load5": round(l5, 2)})
+                         "load5": round(l5, 2), "waited_s": waited,
+                         "contaminated": bool(l1 > load_gate_thresh)})
 
     load_sample("session_start")
 
@@ -523,13 +544,17 @@ def main() -> None:
             "(O(V/64) per pair, verify-before-distinct), the "
             "prefix+token join wins on Zipf vocabularies where the "
             "prefix actually prunes; min of 2, own section"),
-        "session_load": {"cpus": os.cpu_count(), "samples": load_log},
+        "session_load": {"cpus": os.cpu_count(),
+                         "gate_load1": load_gate_thresh,
+                         "gate_max_wait_s": load_gate_wait_s,
+                         "samples": load_log},
         "session_load_note": (
             "1-min/5-min load averages sampled at the start of each "
-            "bench section (round-9 protocol fix): readings taken "
-            "while load1 greatly exceeds the bench's own concurrency "
-            "are box-weather-contaminated and must not anchor "
-            "round-over-round comparisons"),
+            "bench section, GATED (round-10 protocol fix): a section "
+            "waits up to gate_max_wait_s for load1 to decay below "
+            "gate_load1 before its timers start; contaminated:true "
+            "marks a section that began while the box was still busy "
+            "— filter those from round-over-round comparisons"),
         "pass_times": pass_log,
         "pass_times_note": (
             "every individual timed pass per section/query (the "

@@ -199,3 +199,4 @@ from . import round6b  # noqa: E402,F401  (round 6 batch 2 — append-only: impo
 from . import round7  # noqa: E402,F401  (round 7 — append-only: imported after round6b)
 from . import round8  # noqa: E402,F401  (round 8 — append-only: imported after round7)
 from . import round9  # noqa: E402,F401  (round 9 — append-only: imported after round8)
+from . import round10  # noqa: E402,F401  (round 10 — append-only: imported after round9)

@@ -292,7 +292,10 @@ def stream_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     enriched = asof_enrich_stream(
         sdf, key_col="user_id", ts_col="ts_us", tag_col="tag",
         id_col="id", payload_cols=("rid", "value"))
-    run_available_now(enriched, out, ck)
+    from .streaming_queries import _auto_store  # noqa: PLC0415
+
+    with _auto_store(spark, sf_dir, "asof_tagged", in_dir, "user_id"):
+        run_available_now(enriched, out, ck)
     return read_back(spark, out).select(
         F.col("id").alias("purchase_id"),
         "user_id",

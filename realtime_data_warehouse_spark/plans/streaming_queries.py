@@ -78,6 +78,56 @@ def _stage_once(sf_dir: str, name: str, build):
     return _STAGE_CACHE[key]
 
 
+_RESIDENT_KEYS_CACHE: dict[tuple[str, str], int] = {}
+
+_STORE_CONF = (
+    "spark.sql.streaming.stateStore.providerClass",
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+)
+
+
+from contextlib import contextmanager  # noqa: E402
+
+
+@contextmanager
+def _auto_store(spark: SparkSession, sf_dir: str, name: str,
+                in_dir: str, key_cols):
+    """State-store provider derived from the replay input, per drain
+    (VERDICT r9 item 3 — the reference hand-picks its backend,
+    BaseApp.java:28; ours picks from data): one HLL estimate of the
+    staged input's distinct keys (memoized per (sf_dir, entry) — the
+    staging is already cached, so repeat invocations pay nothing),
+    then session.auto_state_store selects in-memory below the
+    measured crossover and RocksDB at/above 0.8× of it. The provider
+    conf is restored on exit so one entry's choice never leaks into
+    the next drain.
+
+    An EXPLICITLY configured session provider wins: when
+    providerClass is already set (bench's RocksDB A/B columns, the
+    scaling sweep's hand flags), auto defers — auto is the default
+    for unconfigured sessions, not an override of a deliberate
+    choice."""
+    from ..session import auto_state_store, estimate_resident_keys  # noqa: PLC0415
+
+    if spark.conf.get(_STORE_CONF[0], None) is not None:
+        yield None  # explicit choice respected
+        return
+    ck = (os.path.abspath(sf_dir), name)
+    if ck not in _RESIDENT_KEYS_CACHE:
+        _RESIDENT_KEYS_CACHE[ck] = estimate_resident_keys(
+            spark.read.parquet(in_dir), key_cols)
+    prev = {k: spark.conf.get(k, None) for k in _STORE_CONF}
+    chosen = auto_state_store(spark, _RESIDENT_KEYS_CACHE[ck])
+    try:
+        yield chosen
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def _stage_events_sentinel(spark: SparkSession, sf_dir: str) -> str:
     """Shared staging for the raw-events replay: events + a far-future
     sentinel row (filtered from results) that pushes the final
@@ -267,7 +317,11 @@ def stream_a6_delta_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema("id string, version long, amount double")
         .option("maxFilesPerTrigger", "1").parquet(in_dir)
     )
-    run_available_now(delta_correct(sdf, "id", "version", ["amount"]), out, ck)
+    # provider picked from the staged input's resident keys (r10):
+    # in-memory below the measured crossover, RocksDB above
+    with _auto_store(spark, sf_dir, "a6_upsert", in_dir, "id"):
+        run_available_now(
+            delta_correct(sdf, "id", "version", ["amount"]), out, ck)
     deltas = read_back(spark, out)
     dim = orders.select(
         F.col("o_orderkey").cast("string").alias("id"),
@@ -419,7 +473,8 @@ def stream_sessionize_user_events(spark: SparkSession, sf_dir: str) -> DataFrame
             "value_sum": F.sum(F.col("value").cast("decimal(18,2)")).cast("double"),
         },
     )
-    run_available_now(sess, out, ck)
+    with _auto_store(spark, sf_dir, "events_sentinel", in_dir, "user_id"):
+        run_available_now(sess, out, ck)
     return read_back(spark, out).filter(F.col("user_id") != 10**9)
 
 
@@ -467,7 +522,9 @@ def stream_daily_uv_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema("user_id string, ts long")
         .option("maxFilesPerTrigger", "1").parquet(in_dir)
     )
-    run_available_now(daily_first_event_stream(sdf, "user_id", "ts"), out, ck)
+    with _auto_store(spark, sf_dir, "a7_events_ts", in_dir, "user_id"):
+        run_available_now(
+            daily_first_event_stream(sdf, "user_id", "ts"), out, ck)
     emitted = read_back(spark, out)
     return emitted.groupBy("dt").agg(
         F.count(F.lit(1)).alias("uu_ct"),
@@ -706,7 +763,9 @@ def stream_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang string, shard int, doc_id long, chunk_idx int, n_tokens int"
     ).option("maxFilesPerTrigger", "1").parquet(in_dir)
     packed = pack_stream(sdf, group_cols=("lang", "shard"))
-    run_available_now(packed, out, ck)
+    with _auto_store(spark, sf_dir, "pack_chunks", in_dir,
+                     ["lang", "shard"]):
+        run_available_now(packed, out, ck)
     return read_back(spark, out).groupBy("lang", "shard", "pack_id").agg(
         F.count(F.lit(1)).alias("n_chunks"),
         F.sum("n_tokens").cast("long").alias("n_tokens"),
@@ -968,7 +1027,8 @@ def stream_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     filled = gapfill_locf_stream(sdf, "event_type", "bucket",
                                  ["value_sum", "n"], step_seconds=3600)
-    run_available_now(filled, out, ck)
+    with _auto_store(spark, sf_dir, "gapfill_hourly", in_dir, "event_type"):
+        run_available_now(filled, out, ck)
     return read_back(spark, out).select(
         "event_type",
         F.date_format(F.timestamp_seconds("bucket"), "yyyy-MM-dd HH:mm:ss")
@@ -1126,7 +1186,8 @@ def stream_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(in_dir)
     )
     snap = funnel_stream(sdf, "user_id", "ts_us", "event_type")
-    run_available_now(snap, out, ck)
+    with _auto_store(spark, sf_dir, "funnel_events", in_dir, "user_id"):
+        run_available_now(snap, out, ck)
     final = latest_per_key(read_back(spark, out), ["user_id"], "seq")
     c = final.agg(F.count("t1").alias("u1"), F.count("t2").alias("u2"),
                   F.count("t3").alias("u3"))
@@ -1637,8 +1698,9 @@ def stream_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     conv = attribution_stream(
         sdf, "user_id", "ts_long", "event_id", "event_type", "value")
-    run_available_now(conv, out_dir,
-                      checkpoint_dir=os.path.join(rundir, "ck"))
+    with _auto_store(spark, sf_dir, "attr_events", in_dir, "user_id"):
+        run_available_now(conv, out_dir,
+                          checkpoint_dir=os.path.join(rundir, "ck"))
     out = read_back(spark, out_dir)
     models = out.select(
         F.explode(F.array(

@@ -22,6 +22,7 @@ import time
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 #: Rows of per-batch input per shuffle partition that keep a replay's
 #: state-store commits meaningfully sized — the round-7 partition
@@ -264,3 +265,50 @@ def staged_files_dir_keyed(df: DataFrame, base_dir: str, key_col: str,
 
     shutil.rmtree(stage, ignore_errors=True)
     return in_dir
+
+
+def staged_files_dir_bounded_late(df: DataFrame, base_dir: str,
+                                  ts_col: str, jitter_cols,
+                                  slack: int, n_files: int = 4) -> str:
+    """Stage a replay with BOUNDED PER-KEY LATENESS — the third
+    arrival contract (between staged_files_dir's global event-time
+    order and staged_files_dir_keyed's arbitrary cross-key shuffle):
+    each row's ARRIVAL position is its event time plus a
+    deterministic jitter in [0, slack) (hash of `jitter_cols`), and
+    files are range-split on that arrival key. Rows therefore arrive
+    out of event-time order, but once any row with event time T has
+    been delivered, every still-undelivered row has event time
+    > T − slack — for every key, since arrival ≥ event time always
+    and arrival < event time + slack always. This is exactly the
+    reference's forBoundedOutOfOrderness contract
+    (DwsTradeSkuOrderWindow.java:213-221) made physical; the
+    watermark-buffered kernels (stateful.asof_enrich_stream_exact)
+    are certified EXACT on it. The ``__arr`` column rides along in
+    the staged files; streams exclude it via their explicit schema.
+    """
+    return staged_files_dir(
+        df.withColumn(
+            "__arr",
+            F.col(ts_col)
+            + F.pmod(F.xxhash64(*[F.col(c) for c in jitter_cols]),
+                     F.lit(int(slack)))),
+        base_dir, n_files=n_files, order_col="__arr",
+    )
+
+
+def append_final_file(in_dir: str, df: DataFrame) -> None:
+    """Append `df` as the LAST micro-batch of a staged replay dir:
+    one extra part file stamped with an mtime above every existing
+    file (FileStreamSource replays in mtime order). Used for
+    end-of-stream punctuation rows (stateful.ASOF_FLUSH_TAG)."""
+    before = set(os.listdir(in_dir))
+    df.coalesce(1).write.mode("append").parquet(in_dir)
+    added = [f for f in os.listdir(in_dir)
+             if f not in before and f.startswith("part-")
+             and f.endswith(".parquet")]
+    assert len(added) == 1, added
+    last = max(
+        (os.path.getmtime(os.path.join(in_dir, f))
+         for f in before if f.startswith("part-")), default=0)
+    stamp = max(int(last) + 1, int(time.time()) - 5)
+    os.utime(os.path.join(in_dir, added[0]), (stamp, stamp))

@@ -890,3 +890,210 @@ def asof_enrich_stream(sdf: DataFrame, key_col: str, ts_col: str,
     return sdf.groupBy(key_col).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact bounded-lateness as-of — watermark-buffered right HISTORY
+# ---------------------------------------------------------------------------
+
+#: tag value for end-of-stream punctuation rows (see
+#: asof_enrich_stream_exact): advances the key's frontier so buffered
+#: lefts flush; emitted nowhere. A real 24/7 deployment would use
+#: event-time timeouts instead; the availableNow replay harness makes
+#: the punctuation explicit and deterministic.
+ASOF_FLUSH_TAG = 2
+
+
+def asof_enrich_stream_exact(sdf: DataFrame, key_col: str, ts_col: str,
+                             tag_col: str, id_col: str,
+                             payload_cols: Sequence[str],
+                             slack: int) -> DataFrame:
+    """As-of enrichment that is EXACT under bounded per-key lateness —
+    the third arrival contract (round 10, VERDICT r9 item 5), between
+    `asof_enrich_stream`'s strict per-key order (exact) and arbitrary
+    disorder (impossible without unbounded buffering):
+
+        once a row with event time T has arrived for a key, every
+        not-yet-arrived row of that key has event time > T − slack
+
+    — the reference's bounded out-of-orderness, applied per key (T1,
+    DwsTradeSkuOrderWindow.java:213-221: forBoundedOutOfOrderness is
+    precisely this slack). Where `asof_enrich_stream` keeps O(1)
+    latest-right state and therefore must DEGRADE on late rows (a
+    late left emits unmatched), this kernel buffers a bounded right
+    HISTORY and the undecided lefts, and emits each left only when
+    the key's frontier (max event time seen − slack) passes it — at
+    which point every right at-or-before the left has provably
+    arrived, so the match is the true backward-inclusive as-of match.
+    Output set ≡ the batch `operators.joins.asof_join` whatever the
+    arrival interleaving within the contract; certified against the
+    DuckDB native ASOF oracle by registry entry `stream_asof_late`.
+
+    State per key is O(rows within one slack window) + one floor row:
+    rights at-or-below the frontier are evicted down to the single
+    latest one (the floor — a future left may still match it), lefts
+    leave state the moment they emit. At 100 TB this is the standard
+    stream-join memory bound: state ∝ rate × slack, not history.
+
+    End-of-stream: availableNow replays append a punctuation row per
+    key (``tag_col = ASOF_FLUSH_TAG``, ts beyond every real event)
+    that drives the frontier past all buffered lefts; without it the
+    final slack window would stay buffered forever (NoTimeout state).
+
+    Ties: a right at the same (key, ts) as a left serves it
+    (inclusive bound); rights tied on ts resolve to max id — dedupe
+    upstream for cross-engine hash parity, as with the batch form.
+    """
+    in_types = {f.name: f.dataType for f in sdf.schema.fields}
+    out_schema = T.StructType(
+        [T.StructField(key_col, in_types[key_col]),
+         T.StructField(id_col, in_types[id_col]),
+         T.StructField(ts_col, in_types[ts_col]),
+         T.StructField("matched_ts", in_types[ts_col])]
+        + [T.StructField(c, in_types[c]) for c in payload_cols]
+    )
+    state_schema = T.StructType(
+        [T.StructField("max_ts", T.LongType()),
+         T.StructField("r_ts", T.ArrayType(T.LongType())),
+         T.StructField("l_ts", T.ArrayType(T.LongType())),
+         T.StructField("l_id", T.ArrayType(T.LongType()))]
+        + [T.StructField(f"p_{c}", T.ArrayType(in_types[c]))
+           for c in payload_cols]
+    )
+    int_payloads = {
+        c for c in payload_cols
+        if isinstance(in_types[c], (T.LongType, T.IntegerType))
+    }
+
+    frac_payloads = {
+        c for c in payload_cols
+        if isinstance(in_types[c], T.FractionalType)
+    }
+
+    def _plist(arr, c):
+        """numpy (float w/ NaN or object) -> state-encodable list.
+        Must coerce to exact python types: nullable longs ride pandas
+        as float64, and a numpy float written into an
+        ArrayType(LongType) state field is silently dropped to null
+        by the state encoder (the round-9 asof lesson, now for
+        arrays) — the payload would survive within a batch and vanish
+        across batches."""
+        out = []
+        for v in arr:
+            if v is None or pd.isna(v):
+                out.append(None)
+            elif c in int_payloads:
+                out.append(int(v))
+            elif c in frac_payloads:
+                out.append(float(v))
+            else:
+                out.append(v)
+        return out
+
+    def fn(key, chunks: Iterator[pd.DataFrame], state: GroupState):
+        pdf = _concat(chunks)
+        if pdf.empty:
+            return
+        if state.exists:
+            st = state.get
+            max_ts = st[0]
+            r_ts = _np.asarray(st[1], dtype="int64")
+            l_ts = _np.asarray(st[2], dtype="int64")
+            l_id = _np.asarray(st[3], dtype="int64")
+            pays = [_np.asarray(st[4 + i], dtype=object)
+                    for i in range(len(payload_cols))]
+        else:
+            max_ts = None
+            r_ts = _np.empty(0, dtype="int64")
+            l_ts = l_id = _np.empty(0, dtype="int64")
+            pays = [_np.empty(0, dtype=object) for _ in payload_cols]
+
+        tags = pdf[tag_col].to_numpy()
+        ts = pdf[ts_col].to_numpy(dtype="int64")
+        new_max = int(ts.max()) if max_ts is None \
+            else max(max_ts, int(ts.max()))
+
+        rsel = tags == 0
+        if rsel.any():
+            # append batch rights to history, keep history ts-sorted;
+            # rights tied on ts keep LAST-appended-after-stable-sort =
+            # max id because batch rows are pre-sorted by (ts, id)
+            bidx = _np.flatnonzero(rsel)
+            border = _np.lexsort((pdf[id_col].to_numpy()[bidx],
+                                  ts[bidx]))
+            bidx = bidx[border]
+            r_ts = _np.concatenate([r_ts, ts[bidx]])
+            pays = [
+                _np.concatenate(
+                    [p, pdf[c].to_numpy(dtype=object)[bidx]])
+                for p, c in zip(pays, payload_cols)
+            ]
+            order = _np.argsort(r_ts, kind="stable")
+            r_ts = r_ts[order]
+            pays = [p[order] for p in pays]
+
+        lsel = tags == 1
+        if lsel.any():
+            l_ts = _np.concatenate([l_ts, ts[lsel]])
+            l_id = _np.concatenate(
+                [l_id, pdf[id_col].to_numpy(dtype="int64")[lsel]])
+
+        frontier = new_max - slack
+        emit = l_ts <= frontier
+        out = None
+        if emit.any():
+            e_ts, e_id = l_ts[emit], l_id[emit]
+            # latest right with r_ts <= left ts (inclusive): side
+            # 'right' gives the insertion point AFTER ties, so idx-1
+            # is the last tied right = the inclusive match. A key
+            # with no rights at all (left-only key) emits unmatched.
+            if len(r_ts):
+                pos = _np.searchsorted(r_ts, e_ts, side="right") - 1
+                hit = pos >= 0
+                mts = _np.where(hit, r_ts[_np.maximum(pos, 0)], -1)
+            else:
+                pos = _np.full(len(e_ts), -1)
+                hit = _np.zeros(len(e_ts), dtype=bool)
+                mts = _np.full(len(e_ts), -1)
+            out = pd.DataFrame({
+                key_col: key[0],
+                id_col: e_id,
+                ts_col: e_ts,
+                "matched_ts": pd.array(
+                    [int(v) if v >= 0 else None for v in mts],
+                    dtype="Int64"),
+                **{c: pd.Series(
+                    _np.where(hit, p[_np.maximum(pos, 0)], None)
+                    if len(p) else _np.full(len(e_ts), None, dtype=object),
+                    dtype=object)
+                   for c, p in zip(payload_cols, pays)},
+            })
+            for c in int_payloads:
+                out[c] = pd.array(
+                    [None if v is None or pd.isna(v) else int(v)
+                     for v in out[c]], dtype="Int64")
+            l_ts, l_id = l_ts[~emit], l_id[~emit]
+
+        # evict decided rights: everything at-or-below the frontier
+        # except the single LATEST one (the floor — a future left has
+        # ts > frontier and may still match it)
+        below = _np.flatnonzero(r_ts <= frontier)
+        if len(below) > 1:
+            keep = _np.ones(len(r_ts), dtype=bool)
+            keep[below[:-1]] = False
+            r_ts = r_ts[keep]
+            pays = [p[keep] for p in pays]
+
+        state.update((
+            new_max,
+            [int(v) for v in r_ts],
+            [int(v) for v in l_ts],
+            [int(v) for v in l_id],
+            *[_plist(p, c) for p, c in zip(pays, payload_cols)],
+        ))
+        if out is not None and len(out):
+            yield out
+
+    return sdf.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

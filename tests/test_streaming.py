@@ -1312,3 +1312,116 @@ def test_asof_enrich_stream_bounded_lateness_degrades_safely(
         102: (20, 902, 3.0),    # state kept 20, not regressed to 15
         103: (None, None, None),  # late left: unmatched, no future match
     }
+
+
+def test_auto_state_store_flips_provider_at_1m_keys(spark, tmp_path):
+    """VERDICT r9 item 3 "done" check: the registry's stateful
+    entries pick their provider from the replay input. Below the
+    crossover the in-memory store is chosen (registry hashes at
+    sf0.01 unchanged — covered by the parity sweep); a 1M-distinct-key
+    input must flip the session to RocksDB, and _auto_store must
+    (a) restore the prior conf on exit and (b) DEFER to an explicitly
+    configured provider (bench A/B columns, scaling-sweep hand flags
+    must stay authoritative)."""
+    from realtime_data_warehouse_spark.plans.streaming_queries import (
+        _RESIDENT_KEYS_CACHE,
+        _auto_store,
+    )
+    from realtime_data_warehouse_spark.session import (
+        ROCKSDB_STATE_PROVIDER,
+        auto_state_store,
+        estimate_resident_keys,
+        use_rocksdb_state,
+    )
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    assert spark.conf.get(provider_key, None) is None
+
+    small = spark.range(30_000).select(F.col("id").alias("k"))
+    assert auto_state_store(spark, estimate_resident_keys(small, "k")) \
+        is False
+    assert spark.conf.get(provider_key, None) is None
+
+    big = spark.range(1_000_000).select(F.col("id").alias("k"))
+    est = estimate_resident_keys(big, "k")
+    assert 700_000 < est < 1_300_000, est
+    assert auto_state_store(spark, est) is True
+    assert spark.conf.get(provider_key) == ROCKSDB_STATE_PROVIDER
+    use_rocksdb_state(spark, False)  # reset
+
+    # the context manager: picks for the drain, restores after
+    big_dir = str(tmp_path / "big")
+    big.write.parquet(big_dir)
+    with _auto_store(spark, big_dir, "t_flip", big_dir, "k") as chosen:
+        assert chosen is True
+        assert spark.conf.get(provider_key) == ROCKSDB_STATE_PROVIDER
+    assert spark.conf.get(provider_key, None) is None
+    _RESIDENT_KEYS_CACHE.clear()
+
+    # explicit session choice wins: auto defers entirely
+    use_rocksdb_state(spark, True)
+    try:
+        with _auto_store(spark, big_dir, "t_flip", big_dir, "k") as chosen:
+            assert chosen is None
+            assert spark.conf.get(provider_key) == ROCKSDB_STATE_PROVIDER
+        assert spark.conf.get(provider_key) == ROCKSDB_STATE_PROVIDER
+    finally:
+        use_rocksdb_state(spark, False)
+        _RESIDENT_KEYS_CACHE.clear()
+
+
+def test_asof_exact_matches_late_right_where_o1_kernel_degrades(
+        spark, tmp_path):
+    """The exactness delta between the two as-of kernels, pinned on
+    one construction: a right row arrives one batch AFTER a left row
+    it should serve (within the slack). The O(1) latest-right kernel
+    must degrade safely (left emits unmatched — its contract); the
+    watermark-buffered exact kernel must hold the left back and emit
+    the TRUE match once the frontier passes it."""
+    from realtime_data_warehouse_spark.streaming.runner import (
+        read_back,
+        run_available_now,
+        staged_files_dir,
+    )
+    from realtime_data_warehouse_spark.streaming.stateful import (
+        ASOF_FLUSH_TAG,
+        asof_enrich_stream,
+        asof_enrich_stream_exact,
+    )
+
+    SLACK = 100
+    # arrival order (one row per micro-batch via __arr ranges):
+    #   batch 1: left  (ts=150)            — undecidable yet
+    #   batch 2: right (ts=100, late, within slack of 150)
+    #   batch 3: flush punctuation
+    rows = [
+        (1, 150, 1, 900, None, None, 0),             # left, arrives first
+        (1, 100, 0, 7, 7, 3.5, 60),                  # late right
+        (1, 1 << 40, ASOF_FLUSH_TAG, 0, None, None, 1 << 40),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts_us long, tag int, id long, rid long, "
+              "value double, __arr long")
+    in_dir = staged_files_dir(df, str(tmp_path / "s"), n_files=3,
+                              order_col="__arr")
+    schema = ("user_id long, ts_us long, tag int, id long, rid long, "
+              "value double")
+
+    def drain(kernel, sub):
+        out = str(tmp_path / sub / "out")
+        ck = str(tmp_path / sub / "ck")
+        sdf = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", "1").parquet(in_dir))
+        run_available_now(kernel(sdf), out, ck)
+        return {r.id: (r.matched_ts, r.rid, r.value)
+                for r in read_back(spark, out).collect()}
+
+    exact = drain(lambda s: asof_enrich_stream_exact(
+        s, "user_id", "ts_us", "tag", "id", ("rid", "value"),
+        slack=SLACK), "exact")
+    assert exact[900] == (100, 7, 3.5), exact
+
+    o1 = drain(lambda s: asof_enrich_stream(
+        s.filter(F.col("tag") != ASOF_FLUSH_TAG),
+        "user_id", "ts_us", "tag", "id", ("rid", "value")), "o1")
+    assert o1[900] == (None, None, None), o1  # degrade-safe, not exact
