@@ -243,6 +243,61 @@ def read_table(spark: SparkSession, table_dir: str) -> DataFrame:
     return spark.read.parquet(table_dir)
 
 
+def point_lookup(spark: SparkSession, table_dir: str,
+                 values) -> DataFrame:
+    """Key-pruned read of a merge table (round-10 stretch: read-side
+    pruning for the bucketed layout): hash the requested key values
+    with the engine's own bucket function, open ONLY the files whose
+    (bucket id, generation) serve those buckets — for hash-bucketed
+    data this prune is EXACT per bucket (a key's rows live in exactly
+    one bucket per generation), strictly stronger than a min/max
+    manifest on hash-distributed keys (whose per-file envelopes span
+    the whole domain and prune nothing). Residual equality filter
+    still applies row-by-row, as with any manifest prune. Read
+    amplification is files(touched buckets)/files(table) ≈
+    |keys|/n_buckets for point traffic — the read-side twin of the
+    merge path's touched-bucket write discipline, and the literal
+    HBase-Get analogue of the dim sink's rowkey→region addressing
+    (DimHBaseSinkFunction.java:16-105).
+
+    `values`: one key value (single-key tables), or a list of values
+    / tuples (composite keys) — model-parameter-sized driver data,
+    like any point-Get key set."""
+    meta_path = os.path.join(table_dir.rstrip("/"), _META)
+    if not os.path.exists(meta_path):
+        raise ValueError(f"{table_dir} is not a merge table (no {_META})")
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    keys, n = list(meta["keys"]), int(meta["n_buckets"])
+    if not isinstance(values, (list, tuple)) or (
+            len(keys) > 1 and values and not isinstance(values[0], tuple)):
+        values = [values]
+    rows = [v if isinstance(v, tuple) else (v,) for v in values]
+    lit = spark.createDataFrame(rows, keys) if len(keys) > 1 else \
+        spark.createDataFrame([(r[0],) for r in rows], [keys[0]])
+    wanted = {
+        r[0] for r in lit.select(
+            _bucket_of(keys, n).alias("b")).distinct().collect()
+    }
+    files = [
+        f for f in (meta.get("files") or [])
+        if (lambda p: p is not None and p[0] in
+            {b % p[1] for b in wanted})(_parse_name(f, n))
+    ]
+    pred = None
+    for r in rows:
+        eq = None
+        for k, v in zip(keys, r):
+            c = F.col(k) == F.lit(v)
+            eq = c if eq is None else (eq & c)
+        pred = eq if pred is None else (pred | eq)
+    if not files:
+        return read_table(spark, table_dir).filter(pred).limit(0)
+    df = spark.read.parquet(
+        *[os.path.join(table_dir, f) for f in files])
+    return df.filter(pred)
+
+
 class BucketedMergeTable:
     """One merge-maintained parquet table. Construct per foreachBatch
     call (stateless — all state is on disk), then ``merge`` the batch.

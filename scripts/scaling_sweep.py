@@ -1022,6 +1022,124 @@ def main() -> int:
             shutil.rmtree(tdir, ignore_errors=True)
             record(fam, n, round(min(secs), 3), n)
 
+    # ---- adaptive bucket growth (round 10): per-batch cost vs table ----
+    # VERDICT r9 item 1's measurement: the fixed-64 curve above is
+    # flat only while bucket SIZE stays small — at 100M rows a 64-way
+    # table holds 1.5M rows/bucket and each touched-bucket rewrite
+    # carries that. The adaptive engine DOUBLES the bucket count as
+    # mean bucket rows pass the target (metadata-only commit, lazy
+    # split-on-touch), so bucket size — and hence per-batch CDC merge
+    # cost — is capped at the target whatever the table size. Tables
+    # are built through the engine's own merges with NO size hint
+    # (growth must fire organically), then the same fixed 8-key CDC
+    # batches as the fixed-count families are timed. Expected: flat
+    # across the whole ladder at the same level the fixed-64 family
+    # shows while ITS bucket size is still small; the fixed-64 twin
+    # re-measured at the top sizes shows the bend adaptivity removes.
+    ma_sizes = [1_000_000, 3_000_000] if quick else [
+        1_000_000, 3_000_000, 10_000_000, 30_000_000]
+    if xl:
+        ma_sizes.append(100_000_000)
+    if sizes_override is not None:
+        ma_sizes = list(sizes_override)
+    if not want("merge_upsert_adaptive"):
+        ma_sizes = []
+    for n in ma_sizes:
+        import json as _json
+
+        from realtime_data_warehouse_spark.streaming.sinks import (
+            upsert_batch,
+        )
+
+        tdir = tempfile.mkdtemp(prefix=f"scal_ma_{n}_")
+        table = os.path.join(tdir, "t")
+        fn = upsert_batch(table, keys=["k"], order_col="ts")
+        # build in two merges so the growth commits happen through the
+        # engine's own path (untimed)
+        half = n // 2
+        for b, (lo, hi) in enumerate(((0, half), (half, n))):
+            fn(spark.range(lo, hi).select(
+                F.col("id").alias("k"), F.lit(0).cast("long").alias("ts"),
+                (F.col("id") * 3).alias("v")), b)
+        with open(os.path.join(table, "_table_meta.json")) as fh:
+            meta = _json.load(fh)
+        nb = int(meta["n_buckets"])
+        tgt = int(meta["target_rows_per_bucket"])
+        assert n / nb <= tgt, (
+            f"growth failed to cap bucket size: {n} rows / {nb} "
+            f"buckets > target {tgt}")
+        cdc = spark.createDataFrame(
+            [(int(h * n / 9.0), 1, -1) for h in range(1, 9)],
+            "k long, ts long, v long")
+        secs = []
+        for i in range(3):
+            t0 = time.perf_counter()
+            fn(cdc.withColumn("ts", F.lit(i + 2).cast("long")), i + 2)
+            secs.append(time.perf_counter() - t0)
+        got = spark.read.parquet(table)
+        assert got.count() == n, f"adaptive lost rows at n={n}"
+        upd = {r.k: r.v for r in got.filter(F.col("v") < 0).collect()}
+        assert len(upd) == 8, f"adaptive lost updates at n={n}"
+        print(f"merge_upsert_adaptive n={n}: n_buckets={nb} "
+              f"(bucket ~{n // nb} rows), best {min(secs):.3f}s")
+        shutil.rmtree(tdir, ignore_errors=True)
+        record("merge_upsert_adaptive", n, round(min(secs), 3), n)
+
+    # ---- point-lookup read amplification (round-10 stretch) ------------
+    # The bucketed layout's read-side dividend: an 8-key Get against a
+    # 64-bucket table opens ≤8 files (merge_table.point_lookup hashes
+    # the keys to their buckets) vs the full-scan filter opening all
+    # 64 and reading every row. Both paths return identical rows
+    # (asserted); the gap should WIDEN linearly with table size since
+    # the pruned read is O(touched bucket rows) and the scan is
+    # O(table).
+    pl_sizes = [1_000_000] if quick else [1_000_000, 10_000_000]
+    if sizes_override is not None:
+        pl_sizes = list(sizes_override)
+    if not (want("merge_get_pruned") or want("merge_get_full")):
+        pl_sizes = []
+    for n in pl_sizes:
+        from realtime_data_warehouse_spark.streaming.merge_table import (
+            point_lookup,
+        )
+        from realtime_data_warehouse_spark.streaming.sinks import (
+            upsert_batch,
+        )
+
+        tdir = tempfile.mkdtemp(prefix=f"scal_pl_{n}_")
+        table = os.path.join(tdir, "t")
+        fn = upsert_batch(table, keys=["k"], order_col="ts",
+                          n_buckets=64)
+        fn(spark.range(n).select(
+            F.col("id").alias("k"), F.lit(0).cast("long").alias("ts"),
+            (F.col("id") * 3).alias("v")), 0)
+        get_keys = [int(h * n / 9.0) for h in range(1, 9)]
+        expect = {k: 3 * k for k in get_keys}
+
+        def run_get(mk, check=expect, keys=get_keys):
+            secs = []
+            rows = None
+            for _ in range(3):
+                t0 = time.perf_counter()
+                rows = {r.k: r.v for r in mk().collect()}
+                secs.append(time.perf_counter() - t0)
+            assert rows == check, "lookup result mismatch"
+            return min(secs)
+
+        if want("merge_get_full"):
+            sec = run_get(lambda: spark.read.parquet(table)
+                          .filter(F.col("k").isin(get_keys)))
+            record("merge_get_full", n, round(sec, 3), n)
+        if want("merge_get_pruned"):
+            pl = point_lookup(spark, table, get_keys)
+            n_open = len(pl.inputFiles())
+            assert n_open <= len(get_keys), n_open
+            sec = run_get(lambda: point_lookup(spark, table, get_keys))
+            print(f"merge_get_pruned n={n}: opened {n_open}/64 files, "
+                  f"best {sec:.3f}s")
+            record("merge_get_pruned", n, round(sec, 3), n)
+        shutil.rmtree(tdir, ignore_errors=True)
+
     # ---- final write (incremental _flush already persisted points) -----
     _flush()
     final = _merged()

@@ -457,3 +457,48 @@ def test_growth_and_split_survive_kill_points(spark, tmp_path):
     on_disk = {os.path.basename(p)
                for p in glob.glob(os.path.join(table, "*.parquet"))}
     assert set(meta["files"]) == on_disk
+
+
+def test_point_lookup_prunes_to_key_buckets(spark, tmp_path):
+    """Read-side pruning (round-10 stretch): a point lookup opens only
+    the files whose (bucket, generation) serve the requested keys —
+    including old-generation files after a growth — and returns
+    exactly what a full-scan filter returns. Read amplification for
+    an 8-key Get against a 64-bucket table is ≤ 8/64 of the files."""
+    from realtime_data_warehouse_spark.streaming.merge_table import (
+        BucketedMergeTable,
+        point_lookup,
+    )
+
+    table = str(tmp_path / "t")
+
+    def merge(cur, rows):
+        from realtime_data_warehouse_spark.operators.state import (
+            latest_per_key,
+        )
+        merged = rows if cur is None else cur.unionByName(rows)
+        return latest_per_key(merged, ["k"], "ts")
+
+    base = spark.range(2000).select(
+        F.col("id").alias("k"), F.lit(0).cast("long").alias("ts"),
+        (F.col("id") * 2).alias("v"))
+    BucketedMergeTable(table, ["k"], n_buckets=64).merge(base, merge)
+    total_files = len(glob.glob(os.path.join(table, "*.parquet")))
+    assert total_files == 64
+
+    keys = [3, 77, 501, 999, 1203, 1500, 1777, 1999]
+    got = point_lookup(spark, table, keys)
+    assert len(got.inputFiles()) <= 8, "must open at most one file/key"
+    rows = {r.k: r.v for r in got.collect()}
+    assert rows == {k: 2 * k for k in keys}
+
+    # after growth, old-generation files still resolve
+    t2 = BucketedMergeTable(table, ["k"], target_rows_per_bucket=10)
+    t2.merge(spark.createDataFrame([(3, 1, -1)], "k long, ts long, v long"),
+             merge)
+    got2 = point_lookup(spark, table, keys)
+    rows2 = {r.k: r.v for r in got2.collect()}
+    assert rows2[3] == -1 and rows2[999] == 1998 and len(rows2) == 8
+
+    # miss: empty result, not an error
+    assert point_lookup(spark, table, [123456]).count() == 0
