@@ -279,11 +279,15 @@ def point_lookup(spark: SparkSession, table_dir: str,
         r[0] for r in lit.select(
             _bucket_of(keys, n).alias("b")).distinct().collect()
     }
-    files = [
-        f for f in (meta.get("files") or [])
-        if (lambda p: p is not None and p[0] in
-            {b % p[1] for b in wanted})(_parse_name(f, n))
-    ]
+    files = []
+    for f in meta.get("files") or []:
+        parsed = _parse_name(f, n)
+        if parsed is None:
+            continue
+        fid, gen = parsed
+        # a file of generation g serves current bucket b iff fid == b % g
+        if any(fid == b % gen for b in wanted):
+            files.append(f)
     pred = None
     for r in rows:
         eq = None
