@@ -971,6 +971,93 @@ def main() -> int:
                         key=lambda t: t[0])
         record("stream_order_wide", n, round(sec, 3), rows)
 
+    # ---- exact bounded-lateness asof: the cost of exactness -------------
+    # Round-10 kernel (stateful.asof_enrich_stream_exact): buffered
+    # right history + undecided lefts, emits only behind the per-key
+    # frontier — EXACT under bounded lateness where the O(1) kernel
+    # degrades. This family prices that exactness against the
+    # `stream_asof` rows above: same journey corpus, but the replay
+    # is PHYSICALLY LATE (arrival = event time + hash-jitter < slack,
+    # slack = 3·n_keys s ≈ 3 events/key of reorder) and a flush
+    # punctuation batch closes the final window. Output exactness is
+    # asserted with the same count identity (every left matches —
+    # each key's first event is a view).
+    ae_sizes = [30_000, 100_000] if quick else [30_000, 100_000, 300_000]
+    if xl:
+        ae_sizes.append(1_000_000)
+    if sizes_override is not None:
+        ae_sizes = list(sizes_override)
+    if not want("stream_asof_exact"):
+        ae_sizes = []
+    for n in ae_sizes:
+        from realtime_data_warehouse_spark.streaming.runner import (
+            append_final_file,
+            staged_files_dir_bounded_late,
+        )
+        from realtime_data_warehouse_spark.streaming.stateful import (
+            ASOF_FLUSH_TAG,
+            asof_enrich_stream_exact,
+        )
+
+        jdir = staged(
+            f"journey_{n}",
+            lambda n=n: G.synthetic_keyed_journey(
+                spark, n_events=3 * n, n_keys=n, zipf=False))
+        jc = F.col("count")
+        jst = (spark.read.parquet(jdir).groupBy("uid").count().agg(
+            F.sum(jc).alias("n_rows"),
+            F.sum(F.floor((jc + 2) / 3)).alias("n_views"),
+        ).collect()[0])
+        slack = 3 * n
+        tagged = spark.read.parquet(jdir).select(
+            "uid", F.col("ts_s").alias("ts"),
+            F.when(F.col("etype") == "view", 0).otherwise(1)
+            .cast("int").alias("tag"),
+            F.col("gid").alias("id"),
+            F.col("gid").alias("rid"),
+            "value",
+        )
+
+        def drain_exact(tagged=tagged, n=n, slack=slack, jst=jst):
+            base = tempfile.mkdtemp(prefix=f"scal_ae_{n}_")
+            in_dir = staged_files_dir_bounded_late(
+                tagged, base, ts_col="ts", jitter_cols=("id",),
+                slack=slack, n_files=3)
+            flush = tagged.select("uid").distinct().select(
+                "uid", F.lit(1 << 60).alias("ts"),
+                F.lit(ASOF_FLUSH_TAG).alias("tag"),
+                F.lit(0).cast("long").alias("id"),
+                F.lit(None).cast("long").alias("rid"),
+                F.lit(None).cast("double").alias("value"),
+                F.lit(1 << 60).alias("__arr"))
+            append_final_file(in_dir, flush)
+            sdf = (spark.readStream
+                   .schema("uid long, ts long, tag int, id long, "
+                           "rid long, value double")
+                   .option("maxFilesPerTrigger", "1").parquet(in_dir))
+            enr = asof_enrich_stream_exact(
+                sdf, key_col="uid", ts_col="ts", tag_col="tag",
+                id_col="id", payload_cols=("rid", "value"), slack=slack)
+            t0 = time.perf_counter()
+            run_available_now(enr, os.path.join(base, "out"),
+                              os.path.join(base, "ck"))
+            sec = time.perf_counter() - t0
+            out = spark.read.parquet(os.path.join(base, "out"))
+            r = out.agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.count("matched_ts").alias("matched")).collect()[0]
+            exp = jst["n_rows"] - jst["n_views"]
+            assert tuple(r) == (exp, exp), (
+                f"asof_exact wrong at n={n}: {tuple(r)} want "
+                f"({exp}, {exp})")
+            shutil.rmtree(base, ignore_errors=True)
+            return sec, r["rows"]
+
+        drain_exact()  # warm (first staging + JIT)
+        sec, rows = min((drain_exact() for _ in range(2)),
+                        key=lambda t: t[0])
+        record("stream_asof_exact", n, round(sec, 3), rows)
+
     # ---- bucketed merge sink: per-batch cost vs TABLE size --------------
     # Round-9 VERDICT item 1's measurement: the merge sinks' per-batch
     # cost must stop being O(table). Fixed CDC-style batch (8 distinct

@@ -1425,3 +1425,86 @@ def test_asof_exact_matches_late_right_where_o1_kernel_degrades(
         s.filter(F.col("tag") != ASOF_FLUSH_TAG),
         "user_id", "ts_us", "tag", "id", ("rid", "value")), "o1")
     assert o1[900] == (None, None, None), o1  # degrade-safe, not exact
+
+
+def test_asof_exact_identical_across_ordered_and_late_stagings(
+        spark, tmp_path):
+    """Arrival-path identity for the EXACT kernel: the same tagged
+    stream drained through (a) the globally event-time-ordered
+    staging and (b) the bounded-late staging must produce
+    byte-identical emission SETS — and both must equal the batch
+    asof_join. Counts alone can hide a wrong-match/wrong-null swap;
+    this compares full rows."""
+    from realtime_data_warehouse_spark.operators.joins import asof_join
+    from realtime_data_warehouse_spark.streaming.runner import (
+        append_final_file,
+        read_back,
+        run_available_now,
+        staged_files_dir,
+        staged_files_dir_bounded_late,
+    )
+    from realtime_data_warehouse_spark.streaming.stateful import (
+        ASOF_FLUSH_TAG,
+        asof_enrich_stream_exact,
+    )
+
+    SLACK = 40
+    n, keys = 2_000, 53
+    tagged = spark.range(n).select(
+        (F.col("id") % keys).alias("uid"),
+        (F.col("id") * 7 % 1_000).alias("ts"),
+        F.when(F.pmod(F.xxhash64("id"), F.lit(3)) == 0, 0)
+        .otherwise(1).cast("int").alias("tag"),
+        F.col("id").alias("id"),
+        F.col("id").alias("rid"),
+        (F.col("id") % 97 / 10.0).alias("value"),
+    ).withColumn(  # dedupe rights per (uid, ts): the tie contract
+        "rn", F.expr("row_number() over (partition by uid, ts, tag "
+                     "order by id desc)")
+    ).filter((F.col("tag") == 1) | (F.col("rn") == 1)).drop("rn")
+    flush = tagged.select("uid").distinct().select(
+        "uid", F.lit(1 << 40).alias("ts"),
+        F.lit(ASOF_FLUSH_TAG).alias("tag"),
+        F.lit(0).cast("long").alias("id"),
+        F.lit(None).cast("long").alias("rid"),
+        F.lit(None).cast("double").alias("value"))
+
+    def drain(in_dir, sub):
+        out = str(tmp_path / sub / "out")
+        ck = str(tmp_path / sub / "ck")
+        sdf = (spark.readStream
+               .schema("uid long, ts long, tag int, id long, "
+                       "rid long, value double")
+               .option("maxFilesPerTrigger", "1").parquet(in_dir))
+        enr = asof_enrich_stream_exact(
+            sdf, key_col="uid", ts_col="ts", tag_col="tag",
+            id_col="id", payload_cols=("rid", "value"), slack=SLACK)
+        run_available_now(enr, out, ck)
+        return sorted(
+            (r.uid, r.id, r.ts, r.matched_ts, r.rid, r.value)
+            for r in read_back(spark, out).collect())
+
+    ordered_dir = staged_files_dir(
+        tagged.withColumn("__arr", F.col("ts")), str(tmp_path / "a"),
+        n_files=3, order_col="__arr")
+    append_final_file(ordered_dir, flush.withColumn(
+        "__arr", F.lit(1 << 40)))
+    late_dir = staged_files_dir_bounded_late(
+        tagged, str(tmp_path / "b"), ts_col="ts",
+        jitter_cols=("id",), slack=SLACK, n_files=4)
+    append_final_file(late_dir, flush.withColumn(
+        "__arr", F.lit(1 << 40)))
+
+    got_ordered = drain(ordered_dir, "ord")
+    got_late = drain(late_dir, "late")
+    assert got_ordered == got_late
+
+    lefts = tagged.filter(F.col("tag") == 1).select("uid", "id", "ts")
+    rights = tagged.filter(F.col("tag") == 0).select(
+        "uid", F.col("ts").alias("rts"), "rid", "value")
+    batch = asof_join(lefts, rights, key="uid",
+                      left_ts="ts", right_ts="rts")
+    want = sorted(
+        (r.uid, r.id, r.ts, r.matched_rts, r.rid, r.value)
+        for r in batch.collect())
+    assert got_ordered == want
