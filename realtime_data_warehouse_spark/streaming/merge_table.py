@@ -49,6 +49,11 @@ working for every existing reader, with zero schema pollution:
       _applied_batches                batch-id ledger (additive sinks)
       _pending.json                   commit marker (exists only
                                       mid-commit; drives roll-forward)
+      _archive/                       data files replaced by a commit,
+                                      retained for `retain_versions`
+                                      snapshots (then vacuumed)
+      _meta_history/<version>.json    immutable manifest per commit —
+                                      the time-travel index
       .tmp-<batchtoken>/              Spark output dir during a merge
 
 Names starting with ``_`` / ``.`` are hidden from Spark's file index,
@@ -62,13 +67,18 @@ foreachBatch contract). A merge publishes in stages:
 
   1. write the merged touched buckets under ``.tmp-*`` (invisible);
   2. atomically publish ``_pending.json`` — the COMMIT POINT — listing
-     every file move, every old file to delete, the batch id, AND the
+     every file move, every old file to retire, the batch id, AND the
      post-commit ``_table_meta.json`` contents;
   3. move the new bucket files in (os.replace, same filesystem);
   4. append the batch id to the ledger (ledger sinks);
-  5. publish the new ``_table_meta.json`` (the manifest flips to the
-     new snapshot — see the reader note below);
-  6. delete the replaced old files, drop tmp, remove the marker.
+  5. publish the new ``_table_meta.json`` plus its immutable copy
+     under ``_meta_history/`` (the manifest flips to the new
+     snapshot — see the reader note below);
+  6. RETIRE the replaced old files into ``_archive/`` (moves, not
+     deletes), drop tmp, remove the marker;
+  7. vacuum: drop archived files and history manifests older than the
+     last ``retain_versions`` snapshots (markerless GC — a crash here
+     just leaves garbage for the next commit's vacuum).
 
 A crash before (2) leaves only hidden garbage: recovery deletes orphan
 tmp dirs and the batch replays in full. A crash anywhere after (2) is
@@ -79,26 +89,31 @@ fall back to the constructor's bucket count / skip the schema-
 evolution probe): every listed move whose source still exists is
 completed (moves are idempotent — a missing source means that file
 already moved), the ledger append is re-applied (append is a set
-union), the meta from the plan is re-published, the old-file deletes
+union), the meta from the plan is re-published, the retirements
 re-run (missing = done), then the marker drops. So the ledger
 invariant the round-7 kill suite pins — visible data from a batch
 implies the ledger will contain that batch before the next merge
 reads it — holds exactly as it did, and the same four kill points
 fire at the analogous stages (see `merge`'s fault labels).
 
-Concurrent readers — manifest snapshot reads (round 10):
+Concurrent readers — manifest snapshot reads + retention (round 10):
 ``_table_meta.json`` lists the committed data files ("files"), and it
 is republished AFTER the new files move in but BEFORE the replaced
-old files are deleted. A reader that loads via `read_table` therefore
-sees a consistent snapshot even mid-crash-window: either the
-pre-batch manifest (whose files all still exist — deletes come after
-the meta flip) or the post-batch manifest (whose files all exist —
-moves precede the flip). Directory-listing readers (plain
+old files retire. A reader that loads via `read_table` therefore sees
+a consistent snapshot even mid-crash-window: either the pre-batch
+manifest or the post-batch manifest, and `_resolve_manifest_paths`
+follows retired files into ``_archive/`` — so a SLOW reader holding
+the previous manifest keeps a readable snapshot for a full retention
+window (``retain_versions`` commits), not merely until the writer's
+next cleanup pass. ``read_table(version=k)`` reads any retained
+historical snapshot (time travel within the window);
+``list_versions`` enumerates them. Directory-listing readers (plain
 ``spark.read.parquet``) keep the old weaker contract: atomic per
 FILE, racing a crash window can see a bucket twice; the foreachBatch
 single-writer + read-after-drain usage makes that unobservable, and
-the manifest path is what a concurrent reader should use. This is
-the poor-man's form of what a Delta/Iceberg txn log buys.
+the manifest path is what a concurrent reader should use. What a
+real Delta/Iceberg txn log still buys over this: multi-writer
+concurrency.
 
 Schema discipline: a batch whose merged output adds column NAMES the
 stored table lacks (dim bootstrap) forces a one-time FULL merge — all
@@ -130,7 +145,18 @@ from pyspark.sql import functions as F
 _META = "_table_meta.json"
 _LEDGER = "_applied_batches"
 _MARKER = "_pending.json"
+_ARCHIVE = "_archive"
+_HISTORY = "_meta_history"
 _BCOL = "__b"
+
+#: Snapshots (manifest + the data files it references) retained after
+#: each commit — the current one plus this many minus one. 2 keeps
+#: one historical version readable (time travel) and guarantees a
+#: reader holding the PREVIOUS manifest a full commit cycle to finish
+#: its scan; raise per table for deeper history, at linear disk cost
+#: in churned buckets (Delta's retention/VACUUM trade, here with
+#: auto-vacuum at commit).
+DEFAULT_RETAIN_VERSIONS = 2
 
 #: file name: b<bucket id, 5 digits>-n<generation = bucket count at
 #: write time, 5 digits>-<batch token>-<i>.parquet. Round-9 files
@@ -224,22 +250,74 @@ def _file_rows(path: str) -> int:
     return pq.ParquetFile(path).metadata.num_rows
 
 
-def read_table(spark: SparkSession, table_dir: str) -> DataFrame:
+def _resolve_manifest_paths(table_dir: str, files) -> list[str]:
+    """Manifest file names → readable paths: the live name if present,
+    else the archived copy (a later commit replaced the file but
+    retention still holds it). Raises if a file was vacuumed."""
+    out = []
+    for f in files:
+        live = os.path.join(table_dir, f)
+        if os.path.exists(live):
+            out.append(live)
+            continue
+        arch = os.path.join(table_dir, _ARCHIVE, f)
+        if os.path.exists(arch):
+            out.append(arch)
+            continue
+        raise FileNotFoundError(
+            f"{f} referenced by this manifest was vacuumed — raise "
+            f"retain_versions to keep older snapshots readable")
+    return out
+
+
+def list_versions(table_dir: str) -> list[int]:
+    """Committed versions still readable via read_table(version=...)."""
+    hdir = os.path.join(table_dir.rstrip("/"), _HISTORY)
+    if not os.path.isdir(hdir):
+        return []
+    return sorted(int(f[:-5]) for f in os.listdir(hdir)
+                  if f.endswith(".json"))
+
+
+def read_table(spark: SparkSession, table_dir: str,
+               version: int | None = None) -> DataFrame:
     """Snapshot read of a merge table via its manifest: load exactly
     the files ``_table_meta.json`` names, so a reader racing a
     writer's crash window sees one committed snapshot — never a
     bucket twice, never a half-published batch (module docstring,
     "Concurrent readers"). Falls back to a plain directory read for
     dirs without a manifest (streaming append sinks, foreign
-    parquet)."""
-    meta_path = os.path.join(table_dir.rstrip("/"), _META)
+    parquet).
+
+    ``version=k`` reads a RETAINED historical snapshot (round 10,
+    Delta-gap: time travel within the retention window): each commit
+    archives the manifest it replaces and moves replaced data files
+    to ``_archive/`` instead of deleting, keeping the snapshots of
+    the last ``retain_versions`` commits fully readable; auto-vacuum
+    at commit drops anything older. This also closes the slow-reader
+    race a plain delete would have: a reader holding the previous
+    manifest can finish its scan — the files it references stay on
+    disk for a full retention window, not just until the writer's
+    next delete pass."""
+    table_dir = table_dir.rstrip("/")
+    if version is not None:
+        hpath = os.path.join(table_dir, _HISTORY, f"{version:08d}.json")
+        if not os.path.exists(hpath):
+            raise ValueError(
+                f"version {version} not retained; readable versions: "
+                f"{list_versions(table_dir)}")
+        with open(hpath) as fh:
+            meta = json.load(fh)
+        return spark.read.parquet(
+            *_resolve_manifest_paths(table_dir, meta.get("files") or []))
+    meta_path = os.path.join(table_dir, _META)
     if os.path.exists(meta_path):
         with open(meta_path) as fh:
             meta = json.load(fh)
         files = meta.get("files")
         if files:
             return spark.read.parquet(
-                *[os.path.join(table_dir, f) for f in files])
+                *_resolve_manifest_paths(table_dir, files))
     return spark.read.parquet(table_dir)
 
 
@@ -316,7 +394,8 @@ class BucketedMergeTable:
     def __init__(self, table_dir: str, keys: Sequence[str],
                  n_buckets: int | None = None,
                  expected_rows: int | None = None,
-                 target_rows_per_bucket: int | None = None):
+                 target_rows_per_bucket: int | None = None,
+                 retain_versions: int | None = None):
         self.table_dir = table_dir.rstrip("/")
         self.keys = list(keys)
         os.makedirs(self.table_dir, exist_ok=True)
@@ -327,6 +406,7 @@ class BucketedMergeTable:
         self.columns = None
         self.fields = None
         self.file_rows: dict[str, int] = {}
+        self.version = 0
         self.n_buckets = 0  # recover() may need _append_ledger only
         self.recover()
         meta_path = os.path.join(self.table_dir, _META)
@@ -339,10 +419,15 @@ class BucketedMergeTable:
             self.columns = meta.get("columns")
             self.fields = meta.get("fields")
             self.file_rows = dict(meta.get("file_rows") or {})
+            self.version = int(meta.get("version") or 0)
             self.target_rows = int(
                 meta.get("target_rows_per_bucket")
                 or target_rows_per_bucket
                 or DEFAULT_TARGET_ROWS_PER_BUCKET)
+            self.retain = int(
+                meta.get("retain_versions")
+                or retain_versions
+                or DEFAULT_RETAIN_VERSIONS)
         else:
             if n_buckets is not None:
                 self.n_buckets = int(n_buckets)
@@ -355,6 +440,7 @@ class BucketedMergeTable:
                 self.n_buckets = DEFAULT_BUCKETS
             self.target_rows = int(target_rows_per_bucket
                                    or DEFAULT_TARGET_ROWS_PER_BUCKET)
+            self.retain = int(retain_versions or DEFAULT_RETAIN_VERSIONS)
 
     # -- ledger -----------------------------------------------------
     def _ledger_path(self) -> str:
@@ -378,11 +464,13 @@ class BucketedMergeTable:
     # -- meta -------------------------------------------------------
     def _meta_dict(self, files_rows: dict[str, int]) -> dict:
         return {
+            "version": self.version + 1,
             "n_buckets": self.n_buckets,
             "keys": self.keys,
             "columns": self.columns,
             "fields": self.fields,
             "target_rows_per_bucket": self.target_rows,
+            "retain_versions": self.retain,
             "files": sorted(files_rows),
             "file_rows": files_rows,
         }
@@ -392,16 +480,67 @@ class BucketedMergeTable:
         self.columns = meta.get("columns")
         self.fields = meta.get("fields")
         self.file_rows = dict(meta.get("file_rows") or {})
+        self.version = int(meta.get("version") or 0)
         if meta.get("target_rows_per_bucket"):
             self.target_rows = int(meta["target_rows_per_bucket"])
+        if meta.get("retain_versions"):
+            self.retain = int(meta["retain_versions"])
 
     # -- recovery ---------------------------------------------------
+    def _write_meta(self, meta: dict) -> None:
+        """Publish a committed manifest: the live ``_table_meta.json``
+        plus its immutable copy under ``_meta_history/`` (the time-
+        travel index). Idempotent — roll-forward re-runs it."""
+        _atomic_write_json(os.path.join(self.table_dir, _META), meta)
+        hdir = os.path.join(self.table_dir, _HISTORY)
+        os.makedirs(hdir, exist_ok=True)
+        _atomic_write_json(
+            os.path.join(hdir, f"{int(meta['version']):08d}.json"), meta)
+        self._load_meta(meta)
+
+    def _retire(self, names) -> None:
+        """Move replaced data files to ``_archive/`` instead of
+        deleting: readers holding an older manifest (or asking for an
+        older version) can still resolve them for a full retention
+        window. Idempotent — a missing source already moved."""
+        adir = os.path.join(self.table_dir, _ARCHIVE)
+        os.makedirs(adir, exist_ok=True)
+        for name in names:
+            p = os.path.join(self.table_dir, name)
+            if os.path.exists(p):
+                os.replace(p, os.path.join(adir, name))
+
+    def _vacuum(self) -> None:
+        """Drop snapshots beyond the retention window: keep the last
+        ``retain_versions`` manifests and every archived file one of
+        them references; remove the rest. Pure garbage collection of
+        unreferenced files — crash-safe with no marker (a crash
+        mid-vacuum leaves extra garbage, re-collected next commit)."""
+        hdir = os.path.join(self.table_dir, _HISTORY)
+        if not os.path.isdir(hdir):
+            return
+        versions = sorted(
+            int(f[:-5]) for f in os.listdir(hdir) if f.endswith(".json"))
+        keep, drop = versions[-self.retain:], versions[:-self.retain]
+        referenced: set[str] = set()
+        for v in keep:
+            with open(os.path.join(hdir, f"{v:08d}.json")) as fh:
+                referenced |= set(json.load(fh).get("files") or [])
+        adir = os.path.join(self.table_dir, _ARCHIVE)
+        if os.path.isdir(adir):
+            for f in os.listdir(adir):
+                if f not in referenced:
+                    os.remove(os.path.join(adir, f))
+        for v in drop:
+            os.remove(os.path.join(hdir, f"{v:08d}.json"))
+
     def recover(self) -> None:
         """Roll forward a marker-published commit that crashed
         mid-publish; roll back (delete) tmp garbage with no marker.
         Stage order mirrors merge()'s publish: moves, ledger, META,
-        deletes — meta lands before deletes so manifest readers keep
-        a consistent snapshot through the roll-forward too."""
+        retire — meta lands before the replaced files leave the live
+        dir, so manifest readers keep a consistent snapshot through
+        the roll-forward too."""
         marker = os.path.join(self.table_dir, _MARKER)
         if os.path.exists(marker):
             with open(marker) as fh:
@@ -414,13 +553,8 @@ class BucketedMergeTable:
             if plan.get("ledger_batch") is not None:
                 self._append_ledger(str(plan["ledger_batch"]))
             if plan.get("meta") is not None:
-                _atomic_write_json(
-                    os.path.join(self.table_dir, _META), plan["meta"])
-                self._load_meta(plan["meta"])
-            for name in plan["delete"]:
-                p = os.path.join(self.table_dir, name)
-                if os.path.exists(p):
-                    os.remove(p)
+                self._write_meta(plan["meta"])
+            self._retire(plan.get("retire", plan.get("delete", [])))
             if plan.get("tmp"):
                 shutil.rmtree(os.path.join(self.table_dir, plan["tmp"]),
                               ignore_errors=True)
@@ -431,8 +565,10 @@ class BucketedMergeTable:
     # -- commit (shared by merge and grow) --------------------------
     def _commit(self, plan: dict, fault) -> None:
         """Publish a marker plan: marker (COMMIT POINT) → moves →
-        ledger → meta → deletes → tmp cleanup → marker gone. Identical
-        stage order to recover()'s roll-forward."""
+        ledger → meta (+history copy) → retire replaced files to the
+        archive → tmp cleanup → marker gone → vacuum past the
+        retention window. Identical stage order to recover()'s
+        roll-forward (vacuum excepted — it is markerless GC)."""
         _atomic_write_json(os.path.join(self.table_dir, _MARKER), plan)
         fault("after_live_aside")  # commit point: roll-forward owns it
 
@@ -446,17 +582,13 @@ class BucketedMergeTable:
         fault("after_ledger_write")
 
         if plan.get("meta") is not None:
-            _atomic_write_json(
-                os.path.join(self.table_dir, _META), plan["meta"])
-            self._load_meta(plan["meta"])
-        for name in plan["delete"]:
-            p = os.path.join(self.table_dir, name)
-            if os.path.exists(p):
-                os.remove(p)
+            self._write_meta(plan["meta"])
+        self._retire(plan.get("retire", []))
         if plan.get("tmp"):
             shutil.rmtree(os.path.join(self.table_dir, plan["tmp"]),
                           ignore_errors=True)
         os.remove(os.path.join(self.table_dir, _MARKER))
+        self._vacuum()
 
     # -- bucket/file resolution --------------------------------------
     def _resolve(self, touched: list[int]) -> tuple[list[str], list[int]]:
@@ -541,7 +673,7 @@ class BucketedMergeTable:
         plan = {
             "tmp": None,
             "moves": moves,
-            "delete": [],
+            "retire": [],
             "ledger_batch": None,
             "meta": self._meta_dict(new_rows),
         }
@@ -668,13 +800,13 @@ class BucketedMergeTable:
                         dst))
                     new_rows[dst] = _file_rows(f)
 
-            delete = [os.path.basename(f) for f in old_files]
+            retire = [os.path.basename(f) for f in old_files]
             self.columns, self.fields = out_cols, out_fields
             survivors = {
                 os.path.basename(p): self.file_rows.get(
                     os.path.basename(p), None)
                 for p in _data_files(self.table_dir)
-                if os.path.basename(p) not in delete
+                if os.path.basename(p) not in retire
             }
             # survivor counts absent from meta (upgraded table) come
             # from the footer once, then ride the manifest forward
@@ -688,7 +820,7 @@ class BucketedMergeTable:
             plan = {
                 "tmp": tmp_rel,
                 "moves": moves,
-                "delete": delete,
+                "retire": retire,
                 "ledger_batch": str(batch_id) if ledgered else None,
                 "meta": self._meta_dict(files_rows),
             }

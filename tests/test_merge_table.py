@@ -502,3 +502,85 @@ def test_point_lookup_prunes_to_key_buckets(spark, tmp_path):
 
     # miss: empty result, not an error
     assert point_lookup(spark, table, [123456]).count() == 0
+
+
+def test_time_travel_and_slow_reader_retention(spark, tmp_path):
+    """Retention (round 10, Delta-gap): each commit archives the
+    manifest + data files it replaces instead of deleting, keeping
+    the last `retain_versions` snapshots fully readable —
+    read_table(version=k) is time travel within the window, and a
+    SLOW reader holding the previous manifest can still resolve every
+    file it references a full commit later. Auto-vacuum drops
+    anything older (bounded disk)."""
+    import json
+
+    from realtime_data_warehouse_spark.streaming.merge_table import (
+        BucketedMergeTable,
+        list_versions,
+        read_table,
+    )
+
+    table = str(tmp_path / "t")
+
+    def merge(cur, rows):
+        from realtime_data_warehouse_spark.operators.state import (
+            latest_per_key,
+        )
+        merged = rows if cur is None else cur.unionByName(rows)
+        return latest_per_key(merged, ["k"], "ts")
+
+    t = BucketedMergeTable(table, ["k"], n_buckets=4)
+    t.merge(spark.createDataFrame([(1, 0, 10), (2, 0, 20)],
+                                  "k long, ts long, v long"), merge)
+    t.merge(spark.createDataFrame([(1, 1, 11)],
+                                  "k long, ts long, v long"), merge)
+
+    # a slow reader picks up v2's manifest NOW…
+    with open(os.path.join(table, "_table_meta.json")) as fh:
+        held = json.load(fh)
+    assert held["version"] == 2
+
+    t.merge(spark.createDataFrame([(2, 2, 22)],
+                                  "k long, ts long, v long"), merge)
+
+    # …and every file it references is still readable after commit 3
+    # (retired to _archive, not deleted)
+    from realtime_data_warehouse_spark.streaming.merge_table import (
+        _resolve_manifest_paths,
+    )
+    paths = _resolve_manifest_paths(table, held["files"])
+    got_v2 = {r.k: r.v for r in spark.read.parquet(*paths).collect()}
+    assert got_v2 == {1: 11, 2: 20}
+
+    # time travel: default retention keeps the last 2 versions
+    assert list_versions(table) == [2, 3]
+    assert {r.k: r.v for r in read_table(spark, table, version=2)
+            .collect()} == {1: 11, 2: 20}
+    assert {r.k: r.v for r in read_table(spark, table).collect()} \
+        == {1: 11, 2: 22}
+    with pytest.raises(ValueError, match="not retained"):
+        read_table(spark, table, version=1)
+
+    # vacuum keeps disk bounded: archive holds only files referenced
+    # by retained manifests
+    import glob as g
+    archived = {os.path.basename(p) for p in
+                g.glob(os.path.join(table, "_archive", "*.parquet"))}
+    retained_refs = set()
+    for v in (2, 3):
+        with open(os.path.join(table, "_meta_history",
+                               f"{v:08d}.json")) as fh:
+            retained_refs |= set(json.load(fh)["files"])
+    assert archived <= retained_refs
+
+    # deeper retention when asked: a fresh table with retain 3 keeps
+    # all three versions
+    table2 = str(tmp_path / "t2")
+    t2 = BucketedMergeTable(table2, ["k"], n_buckets=4,
+                            retain_versions=3)
+    for i, rows in enumerate(([(1, 0, 10)], [(1, 1, 11)], [(1, 2, 12)])):
+        t2.merge(spark.createDataFrame(rows, "k long, ts long, v long"),
+                 merge)
+    assert list_versions(table2) == [1, 2, 3]
+    assert {r.v for r in read_table(spark, table2, version=1).collect()} \
+        == {10}
