@@ -350,15 +350,29 @@ def point_lookup(spark: SparkSession, table_dir: str,
     if not isinstance(values, (list, tuple)) or (
             len(keys) > 1 and values and not isinstance(values[0], tuple)):
         values = [values]
+    if isinstance(values, (list, tuple)) and len(values) == 0:
+        # an empty key set would leave pred=None and .filter(None)
+        # would raise an opaque TypeError downstream (r10 ADVICE)
+        raise ValueError("point_lookup: no lookup values given")
     rows = [v if isinstance(v, tuple) else (v,) for v in values]
     lit = spark.createDataFrame(rows, keys) if len(keys) > 1 else \
         spark.createDataFrame([(r[0],) for r in rows], [keys[0]])
+    # xxhash64 is TYPE-sensitive: hash the literals under the STORED
+    # key types (meta['fields']), not whatever createDataFrame infers
+    # from the Python values (int → long), or an IntegerType/DateType
+    # key column would bucket differently at write time and the
+    # lookup would silently miss (r10 ADVICE)
+    fields = meta.get("fields") or {}
+    lit = lit.select(*[
+        F.col(k).cast(fields[k]).alias(k) if k in fields else F.col(k)
+        for k in keys])
     wanted = {
         r[0] for r in lit.select(
             _bucket_of(keys, n).alias("b")).distinct().collect()
     }
+    manifest = meta.get("files")
     files = []
-    for f in meta.get("files") or []:
+    for f in manifest or []:
         parsed = _parse_name(f, n)
         if parsed is None:
             continue
@@ -373,6 +387,13 @@ def point_lookup(spark: SparkSession, table_dir: str,
             c = F.col(k) == F.lit(v)
             eq = c if eq is None else (eq & c)
         pred = eq if pred is None else (pred | eq)
+    if manifest is None:
+        # meta predates the file manifest (a round-9 table before its
+        # first round-10 merge): no prune possible, but matching rows
+        # DO exist on disk — fall back to the directory read instead
+        # of conflating "no manifest" with "no serving files"
+        # (r10 ADVICE)
+        return read_table(spark, table_dir).filter(pred)
     if not files:
         return read_table(spark, table_dir).filter(pred).limit(0)
     df = spark.read.parquet(
@@ -498,6 +519,29 @@ class BucketedMergeTable:
             os.path.join(hdir, f"{int(meta['version']):08d}.json"), meta)
         self._load_meta(meta)
 
+    def _link_archive(self, pairs) -> None:
+        """Hardlink a LIVE file into ``_archive/`` under another name
+        (``[live_name, archived_name]`` pairs). Used by growth's
+        legacy-rename commit: the rename is really retire+add — a
+        retained historical manifest (or a slow reader holding the
+        pre-growth manifest) still references the UNTAGGED name, so a
+        copy of that name must stay resolvable in the archive for the
+        retention window (r10 ADVICE). Idempotent; copy fallback for
+        filesystems without hardlinks."""
+        if not pairs:
+            return
+        adir = os.path.join(self.table_dir, _ARCHIVE)
+        os.makedirs(adir, exist_ok=True)
+        for live_name, arch_name in pairs:
+            src = os.path.join(self.table_dir, live_name)
+            dst = os.path.join(adir, arch_name)
+            if os.path.exists(dst) or not os.path.exists(src):
+                continue
+            try:
+                os.link(src, dst)
+            except OSError:
+                shutil.copy2(src, dst)
+
     def _retire(self, names) -> None:
         """Move replaced data files to ``_archive/`` instead of
         deleting: readers holding an older manifest (or asking for an
@@ -550,6 +594,7 @@ class BucketedMergeTable:
                 if os.path.exists(src):
                     os.replace(src,
                                os.path.join(self.table_dir, dst_name))
+            self._link_archive(plan.get("archive_links", []))
             if plan.get("ledger_batch") is not None:
                 self._append_ledger(str(plan["ledger_batch"]))
             if plan.get("meta") is not None:
@@ -577,6 +622,7 @@ class BucketedMergeTable:
                        os.path.join(self.table_dir, dst_name))
         fault("after_tmp_in")
 
+        self._link_archive(plan.get("archive_links", []))
         if plan.get("ledger_batch") is not None:
             self._append_ledger(str(plan["ledger_batch"]))
         fault("after_ledger_write")
@@ -654,6 +700,7 @@ class BucketedMergeTable:
             new_n *= 2
 
         moves: list[tuple[str, str]] = []
+        links: list[tuple[str, str]] = []
         new_rows: dict[str, int] = {}
         for p in _data_files(self.table_dir):
             name = os.path.basename(p)
@@ -666,6 +713,13 @@ class BucketedMergeTable:
             else:
                 tagged = f"b{fid:05d}-n{gen:05d}-" + name[len(f"b{fid:05d}-"):]
                 moves.append((name, tagged))
+                # the rename is retire+add for manifest purposes: a
+                # retained historical manifest (and any slow reader
+                # holding it) references the UNTAGGED name, so leave a
+                # hardlink of it in _archive/ until vacuum ages it out
+                # (r10 ADVICE — keeps read_table(version=k) working
+                # across a legacy upgrade)
+                links.append((tagged, name))
                 new_rows[tagged] = self.file_rows.get(name, _file_rows(p))
 
         old_n = self.n_buckets
@@ -673,6 +727,7 @@ class BucketedMergeTable:
         plan = {
             "tmp": None,
             "moves": moves,
+            "archive_links": links,
             "retire": [],
             "ledger_batch": None,
             "meta": self._meta_dict(new_rows),

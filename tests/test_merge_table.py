@@ -584,3 +584,141 @@ def test_time_travel_and_slow_reader_retention(spark, tmp_path):
     assert list_versions(table2) == [1, 2, 3]
     assert {r.v for r in read_table(spark, table2, version=1).collect()} \
         == {10}
+
+
+def test_point_lookup_advice_fixes(spark, tmp_path):
+    """Round-11 ADVICE closures on point_lookup: (a) a meta with NO
+    file manifest (round-9 table before its first round-10 merge)
+    falls back to a full directory read — rows that exist on disk are
+    returned, not silently dropped by the no-serving-files limit(0)
+    path; (b) lookup literals are hashed under the STORED key types —
+    an IntegerType key column buckets identically at write and lookup
+    time even though Python ints infer LongType; (c) an empty key set
+    raises a clear ValueError instead of .filter(None)'s TypeError."""
+    import json
+
+    from realtime_data_warehouse_spark.streaming.merge_table import (
+        BucketedMergeTable,
+        point_lookup,
+    )
+
+    def merge(cur, rows):
+        from realtime_data_warehouse_spark.operators.state import (
+            latest_per_key,
+        )
+        merged = rows if cur is None else cur.unionByName(rows)
+        return latest_per_key(merged, ["k"], "ts")
+
+    # (b) int-typed key column: write-path hash is xxhash64(int)
+    table = str(tmp_path / "t_int")
+    rows = spark.range(64).select(
+        F.col("id").cast("int").alias("k"),
+        F.lit(0).cast("long").alias("ts"), (F.col("id") * 3).alias("v"))
+    BucketedMergeTable(table, ["k"], n_buckets=16).merge(rows, merge)
+    got = point_lookup(spark, table, 7).collect()
+    assert [(r.k, r.v) for r in got] == [(7, 21)]
+
+    # (c) empty key set
+    with pytest.raises(ValueError, match="no lookup values"):
+        point_lookup(spark, table, [])
+
+    # (a) strip the manifest from meta (simulated round-9 meta)
+    meta_path = os.path.join(table, "_table_meta.json")
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    meta.pop("files", None)
+    meta.pop("file_rows", None)
+    with open(meta_path, "w") as fh:
+        json.dump(meta, fh)
+    got = point_lookup(spark, table, 7).collect()
+    assert [(r.k, r.v) for r in got] == [(7, 21)]
+
+
+def test_legacy_rename_keeps_retained_manifests_readable(spark, tmp_path):
+    """Round-11 ADVICE closure: growth's in-place rename of untagged
+    round-9 file names is retire+add for manifest purposes — a
+    hardlink of the UNTAGGED name lands in _archive/, so retained
+    historical manifests (and a slow reader holding the pre-growth
+    manifest) still resolve every file they reference after the
+    upgrade. Before the fix, read_table(version=k) raised
+    FileNotFoundError for versions inside the promised window."""
+    import json
+
+    from realtime_data_warehouse_spark.streaming.merge_table import (
+        BucketedMergeTable,
+        read_table,
+    )
+
+    def merge(cur, rows):
+        from realtime_data_warehouse_spark.operators.state import (
+            latest_per_key,
+        )
+        merged = rows if cur is None else cur.unionByName(rows)
+        return latest_per_key(merged, ["k"], "ts")
+
+    table = str(tmp_path / "t")
+    t = BucketedMergeTable(table, ["k"], n_buckets=4,
+                           target_rows_per_bucket=50, retain_versions=4)
+    base = spark.range(60).select(
+        F.col("id").alias("k"), F.lit(0).cast("long").alias("ts"),
+        (F.col("id") * 2).alias("v"))
+    t.merge(base, merge)
+
+    # simulate a round-9 table: strip the generation tag from every
+    # file name, in the directory AND in every manifest; drop the
+    # growth target so the NEXT merge (a single key) triggers growth
+    # while three untagged files survive untouched — exactly the
+    # legacy-upgrade rename path the ADVICE flags
+    renames = {}
+    for p in glob.glob(os.path.join(table, "b*-n*-*.parquet")):
+        name = os.path.basename(p)
+        bucket_part = name.split("-", 1)[0]
+        untagged = bucket_part + "-" + name.split("-", 2)[2]
+        renames[name] = untagged
+        os.replace(p, os.path.join(table, untagged))
+    for mpath in ([os.path.join(table, "_table_meta.json")]
+                  + glob.glob(os.path.join(table, "_meta_history",
+                                           "*.json"))):
+        with open(mpath) as fh:
+            m = json.load(fh)
+        m["files"] = sorted(renames.get(f, f) for f in m["files"])
+        m["file_rows"] = {renames.get(f, f): n
+                          for f, n in m["file_rows"].items()}
+        m["target_rows_per_bucket"] = 10
+        with open(mpath, "w") as fh:
+            json.dump(m, fh)
+
+    # a slow reader holds the pre-growth (untagged) manifest
+    with open(os.path.join(table, "_table_meta.json")) as fh:
+        held = json.load(fh)
+
+    # one-key merge: touches ONE bucket, then growth (60 rows / 4
+    # buckets > target 10) renames the three untagged survivors
+    t2 = BucketedMergeTable(table, ["k"], retain_versions=4)
+    t2.merge(spark.createDataFrame([(1, 1, 999)],
+                                   "k long, ts long, v long"), merge)
+    assert t2.n_buckets > 4, "growth must have fired"
+    live = {os.path.basename(p)
+            for p in glob.glob(os.path.join(table, "*.parquet"))}
+    assert not any(n in live for n in renames.values()), \
+        "growth must have renamed every untagged survivor"
+    archived = {os.path.basename(p)
+                for p in glob.glob(os.path.join(table, "_archive", "*"))}
+    assert set(renames.values()) <= archived, \
+        "every untagged name must stay resolvable in the archive"
+
+    # pre-growth versions (which reference untagged names) stay
+    # readable inside the retention window…
+    assert {r.k: r.v
+            for r in read_table(spark, table, version=1).collect()} \
+        == {k: 2 * k for k in range(60)}
+    # …and so does the slow reader's held manifest
+    from realtime_data_warehouse_spark.streaming.merge_table import (
+        _resolve_manifest_paths,
+    )
+    paths = _resolve_manifest_paths(table, held["files"])
+    assert {r.k: r.v for r in spark.read.parquet(*paths).collect()} \
+        == {k: 2 * k for k in range(60)}
+    # current read is the merged state
+    cur = {r.k: r.v for r in read_table(spark, table).collect()}
+    assert cur[1] == 999 and cur[2] == 4 and len(cur) == 60
