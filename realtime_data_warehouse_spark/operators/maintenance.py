@@ -41,7 +41,26 @@ def optimize_table(spark: SparkSession, table_dir: str,
     post-compaction row groups land near the scan-task size
     `tune_for_scale` assumes; on a real lakehouse this verb is the
     scheduled small-file compaction every ingest pipeline runs.
-    Returns the number of output files written."""
+    Returns the number of output files written.
+
+    Bucketed MERGE tables (round 11): a dir carrying
+    ``_table_meta.json`` is a merge table whose file NAMES encode
+    (bucket, generation) — a round-robin rewrite would destroy the
+    addressing, so compaction delegates to
+    ``BucketedMergeTable.compact``: each bucket still served by an
+    old-generation (multi-bucket) file rewrites to one
+    current-generation file, under the engine's own marker/CAS
+    commit and retention. Returns the number of buckets rewritten."""
+    meta_path = os.path.join(table_dir.rstrip("/"), "_table_meta.json")
+    if os.path.exists(meta_path):
+        import json  # noqa: PLC0415
+
+        from ..streaming.merge_table import (  # noqa: PLC0415
+            BucketedMergeTable,
+        )
+        with open(meta_path) as fh:
+            keys = json.load(fh)["keys"]
+        return BucketedMergeTable(table_dir, keys).compact(spark)
     _recover_table(table_dir)
     n_files = max(1, -(-table_bytes(table_dir) // target_file_bytes))
     df = spark.read.parquet(table_dir).repartition(n_files)

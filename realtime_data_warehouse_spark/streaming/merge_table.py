@@ -109,11 +109,28 @@ next cleanup pass. ``read_table(version=k)`` reads any retained
 historical snapshot (time travel within the window);
 ``list_versions`` enumerates them. Directory-listing readers (plain
 ``spark.read.parquet``) keep the old weaker contract: atomic per
-FILE, racing a crash window can see a bucket twice; the foreachBatch
-single-writer + read-after-drain usage makes that unobservable, and
-the manifest path is what a concurrent reader should use. What a
-real Delta/Iceberg txn log still buys over this: multi-writer
-concurrency.
+FILE, racing a commit window can see a bucket twice; the manifest
+path is what a concurrent reader should use.
+
+Multi-writer concurrency (round 11 — closing the last Delta-txn-log
+gap): CONCURRENT writers (threads or processes) are arbitrated by
+optimistic concurrency control, the same discipline as Delta's
+commit protocol. A merge computes lock-free against the manifest
+snapshot it loaded; the commit critical section — marker publish
+through meta flip and retire — runs under an exclusive ``flock`` on
+``_commit.lock`` and CASes on the manifest VERSION: if another
+writer committed since the plan was computed, the commit aborts
+unpublished and the loser re-reads the new manifest, re-merges its
+batch against the updated buckets, and retries. flock rather than an
+O_EXCL claim file because the kernel releases a flock when its
+holder dies, whatever the death mode: the next locker finds the dead
+writer's marker and completes its commit via the ordinary
+roll-forward, under the same lock — no pid probing for staleness, no
+remove-the-wrong-marker window. In-flight ``.tmp-<pid>-…`` dirs
+carry their writer's pid so recovery sweeps only DEAD writers'
+orphans. This is the multi-writer analogue of the reference's
+concurrent HBase dim writers (DimHBaseSinkFunction.java:16-105,
+where region-server row locks arbitrate racing Puts).
 
 Schema discipline: a batch whose merged output adds column NAMES the
 stored table lacks (dim bootstrap) forces a one-time FULL merge — all
@@ -130,12 +147,15 @@ path.
 
 from __future__ import annotations
 
+import contextlib
+import fcntl
 import glob as _glob
 import json
 import math
 import os
 import re
 import shutil
+import time
 import uuid
 from collections.abc import Callable, Sequence
 
@@ -147,7 +167,22 @@ _LEDGER = "_applied_batches"
 _MARKER = "_pending.json"
 _ARCHIVE = "_archive"
 _HISTORY = "_meta_history"
+_LOCK = "_commit.lock"
 _BCOL = "__b"
+
+#: Bound on waiting for another writer's commit critical section (the
+#: section holds the flock only for marker publish + file moves + meta
+#: flip — never for the Spark merge job itself), and on the optimistic
+#: retry loop as a whole. A healthy commit section is milliseconds;
+#: ten minutes means a writer wedged mid-commit WITHOUT dying (death
+#: releases the flock and the next locker rolls the marker forward).
+LOCK_TIMEOUT_S = 600.0
+
+#: Optimistic-concurrency retries: each conflict means another writer
+#: committed between our manifest read and our commit claim, and we
+#: re-merge against the new snapshot. 20 lost races in a row is not
+#: contention, it is starvation — surface it.
+MAX_COMMIT_RETRIES = 20
 
 #: Snapshots (manifest + the data files it references) retained after
 #: each commit — the current one plus this many minus one. 2 keeps
@@ -248,6 +283,24 @@ def _file_rows(path: str) -> int:
     import pyarrow.parquet as pq  # noqa: PLC0415
 
     return pq.ParquetFile(path).metadata.num_rows
+
+
+def _tmp_owner_alive(tmp_name: str) -> bool:
+    """True iff an in-flight ``.tmp-<pid>-<token>`` dir belongs to a
+    LIVE process — recovery must not delete another writer's
+    in-progress output (round 11). Legacy ``.tmp-<token>`` names (no
+    pid segment) read as dead: they predate multi-writer and are
+    always orphans by the old single-writer contract."""
+    parts = tmp_name.split("-")
+    if len(parts) < 3 or not parts[1].isdigit():
+        return False
+    try:
+        os.kill(int(parts[1]), 0)
+        return True
+    except PermissionError:
+        return True  # exists, owned by someone else
+    except (ProcessLookupError, OSError):
+        return False
 
 
 def _resolve_manifest_paths(table_dir: str, files) -> list[str]:
@@ -578,13 +631,75 @@ class BucketedMergeTable:
         for v in drop:
             os.remove(os.path.join(hdir, f"{v:08d}.json"))
 
+    # -- commit mutex (round 11: multi-writer arbitration) -----------
+    @contextlib.contextmanager
+    def _commit_lock(self):
+        """Exclusive flock over the table's commit critical section.
+        Held only around marker publish + the publish stages — never
+        around the Spark merge job, so writers overlap on the
+        expensive work and serialize only the (milliseconds-long)
+        commit. flock is the right mutex here because the kernel
+        releases it when the holder DIES, whatever the death mode —
+        the next locker finds the crashed writer's marker and rolls
+        it forward under the same lock, so stale-holder takeover
+        needs no pid probing and has no remove-the-wrong-marker race.
+        A fresh fd per acquisition makes the lock exclusive between
+        THREADS of one process too (flock is per open-file-
+        description). Bounded wait: a holder alive but wedged past
+        LOCK_TIMEOUT_S raises instead of deadlocking the stream."""
+        fd = os.open(os.path.join(self.table_dir, _LOCK),
+                     os.O_CREAT | os.O_RDWR, 0o644)
+        try:
+            deadline = time.monotonic() + LOCK_TIMEOUT_S
+            while True:
+                try:
+                    fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                    break
+                except BlockingIOError:
+                    if time.monotonic() > deadline:
+                        raise TimeoutError(
+                            f"commit lock on {self.table_dir} held for "
+                            f">{LOCK_TIMEOUT_S}s — writer alive but "
+                            f"wedged mid-commit") from None
+                    time.sleep(0.005)
+            yield
+        finally:
+            os.close(fd)  # closing the fd releases the flock
+
+    def _disk_version(self) -> int:
+        meta_path = os.path.join(self.table_dir, _META)
+        if os.path.exists(meta_path):
+            with open(meta_path) as fh:
+                return int(json.load(fh).get("version") or 0)
+        return 0
+
+    def _reload_from_disk(self) -> None:
+        """Refresh in-memory table state from the committed manifest —
+        the loser's first step after a commit conflict."""
+        meta_path = os.path.join(self.table_dir, _META)
+        if os.path.exists(meta_path):
+            with open(meta_path) as fh:
+                self._load_meta(json.load(fh))
+
     def recover(self) -> None:
         """Roll forward a marker-published commit that crashed
-        mid-publish; roll back (delete) tmp garbage with no marker.
-        Stage order mirrors merge()'s publish: moves, ledger, META,
+        mid-publish; roll back (delete) orphaned tmp garbage. Takes
+        the commit lock: a marker can only be OBSERVED outside the
+        lock if its writer died holding it (commits run their full
+        publish under the lock), so by the time we hold the lock the
+        marker is either gone (the writer finished) or ours to roll
+        forward — there is no live-writer takeover race."""
+        with self._commit_lock():
+            self._recover_locked()
+
+    def _recover_locked(self) -> None:
+        """Roll-forward body — caller MUST hold the commit lock.
+        Stage order mirrors _commit's publish: moves, ledger, META,
         retire — meta lands before the replaced files leave the live
         dir, so manifest readers keep a consistent snapshot through
-        the roll-forward too."""
+        the roll-forward too. Orphan tmp dirs are removed only when
+        their owner pid is dead (the pid is in the dir name):
+        another LIVE writer's in-flight .tmp-* is its own business."""
         marker = os.path.join(self.table_dir, _MARKER)
         if os.path.exists(marker):
             with open(marker) as fh:
@@ -605,36 +720,56 @@ class BucketedMergeTable:
                               ignore_errors=True)
             os.remove(marker)
         for d in _glob.glob(os.path.join(self.table_dir, ".tmp-*")):
+            if _tmp_owner_alive(os.path.basename(d)):
+                continue
             shutil.rmtree(d, ignore_errors=True)
 
     # -- commit (shared by merge and grow) --------------------------
-    def _commit(self, plan: dict, fault) -> None:
-        """Publish a marker plan: marker (COMMIT POINT) → moves →
+    def _commit(self, plan: dict, fault,
+                expected_version: int | None = None) -> bool:
+        """Publish a marker plan: lock → roll forward any crashed
+        commit → version CAS → marker (COMMIT POINT) → moves →
         ledger → meta (+history copy) → retire replaced files to the
         archive → tmp cleanup → marker gone → vacuum past the
-        retention window. Identical stage order to recover()'s
-        roll-forward (vacuum excepted — it is markerless GC)."""
-        _atomic_write_json(os.path.join(self.table_dir, _MARKER), plan)
-        fault("after_live_aside")  # commit point: roll-forward owns it
+        retention window → unlock. Identical stage order to
+        _recover_locked's roll-forward (vacuum excepted — it is
+        markerless GC).
 
-        for src_rel, dst_name in plan["moves"]:
-            os.replace(os.path.join(self.table_dir, src_rel),
-                       os.path.join(self.table_dir, dst_name))
-        fault("after_tmp_in")
+        ``expected_version`` is the optimistic-concurrency CAS
+        (round 11, the Delta-txn-log gap): the plan was computed
+        against that manifest version; if another writer committed
+        in between, the plan's consumed files are stale — return
+        False WITHOUT publishing, and the caller re-merges against
+        the new snapshot and retries. A kill anywhere after the
+        marker lands is rolled forward by the next locker (the flock
+        died with the writer), so the crash contract is unchanged."""
+        with self._commit_lock():
+            self._recover_locked()
+            if (expected_version is not None
+                    and self._disk_version() != expected_version):
+                return False
+            _atomic_write_json(os.path.join(self.table_dir, _MARKER), plan)
+            fault("after_live_aside")  # commit point: roll-forward owns it
 
-        self._link_archive(plan.get("archive_links", []))
-        if plan.get("ledger_batch") is not None:
-            self._append_ledger(str(plan["ledger_batch"]))
-        fault("after_ledger_write")
+            for src_rel, dst_name in plan["moves"]:
+                os.replace(os.path.join(self.table_dir, src_rel),
+                           os.path.join(self.table_dir, dst_name))
+            fault("after_tmp_in")
 
-        if plan.get("meta") is not None:
-            self._write_meta(plan["meta"])
-        self._retire(plan.get("retire", []))
-        if plan.get("tmp"):
-            shutil.rmtree(os.path.join(self.table_dir, plan["tmp"]),
-                          ignore_errors=True)
-        os.remove(os.path.join(self.table_dir, _MARKER))
-        self._vacuum()
+            self._link_archive(plan.get("archive_links", []))
+            if plan.get("ledger_batch") is not None:
+                self._append_ledger(str(plan["ledger_batch"]))
+            fault("after_ledger_write")
+
+            if plan.get("meta") is not None:
+                self._write_meta(plan["meta"])
+            self._retire(plan.get("retire", []))
+            if plan.get("tmp"):
+                shutil.rmtree(os.path.join(self.table_dir, plan["tmp"]),
+                              ignore_errors=True)
+            os.remove(os.path.join(self.table_dir, _MARKER))
+            self._vacuum()
+        return True
 
     # -- bucket/file resolution --------------------------------------
     def _resolve(self, touched: list[int]) -> tuple[list[str], list[int]]:
@@ -647,10 +782,24 @@ class BucketedMergeTable:
         children may in turn map into other old-generation files —
         hence the worklist closure. Generations divide the current
         count by construction (growth only doubles); a foreign
-        generation is corruption and raises."""
+        generation is corruption and raises.
+
+        File enumeration is MANIFEST-based when a manifest exists
+        (round 11, multi-writer): a directory listing can catch a
+        concurrent committer between its moves-in and its retires and
+        see a bucket's old AND new file simultaneously — consuming
+        both would double the bucket's rows. The manifest is one
+        atomic JSON, always a consistent snapshot; if it goes stale
+        under our feet the commit CAS fails and the merge re-runs
+        against the new one. Directory fallback only for manifest-
+        less tables (first merge / round-9 upgrade), which are
+        single-writer by construction."""
+        names = sorted(self.file_rows) if self.file_rows else [
+            os.path.basename(p) for p in _data_files(self.table_dir)]
         entries = []
-        for p in _data_files(self.table_dir):
-            parsed = _parse_name(os.path.basename(p), self.n_buckets)
+        for name in names:
+            p = os.path.join(self.table_dir, name)
+            parsed = _parse_name(name, self.n_buckets)
             if parsed is None:
                 continue  # legacy files handled by the full-rewrite path
             fid, gen = parsed
@@ -680,30 +829,78 @@ class BucketedMergeTable:
                                 work.append(child)
         return sorted(selected), sorted(closed)
 
+    def _bucket_row_estimates(self) -> list[float]:
+        """Per-current-bucket row estimates from the manifest's
+        per-file counts — no scan. A current-generation file maps 1:1
+        to its bucket; an old-generation file's rows are attributed
+        evenly across its child buckets (the within-file split is
+        unknown until split-on-touch reads it — even attribution is
+        the max-entropy estimate and errs toward triggering late, not
+        spuriously)."""
+        est = [0.0] * self.n_buckets
+        for name, rows in self.file_rows.items():
+            parsed = _parse_name(name, self.n_buckets)
+            if parsed is None:
+                continue
+            fid, gen = parsed
+            children = max(1, self.n_buckets // gen)
+            share = rows / children
+            for child in range(fid, self.n_buckets, gen):
+                est[child] += share
+        return est
+
     # -- growth -----------------------------------------------------
     def _maybe_grow(self, fault) -> None:
-        """Double the bucket count when mean bucket rows pass the
-        target — a METADATA-ONLY commit (no data rewrite): untagged
-        round-9 files get their generation stamped into the name
-        (pure renames under the marker), tagged files keep working
-        because their generation divides the doubled count; actual
-        data migration is lazy, split-on-touch in later merges. The
-        HBase-region-split half of the dim-sink analogy
-        (DimHBaseSinkFunction.java:16-105)."""
+        """Double the bucket count when the MEAN bucket rows pass the
+        target, or (round 11, the skew trigger) when the LARGEST
+        bucket passes 2× target while the mean sleeps — a METADATA-
+        ONLY commit (no data rewrite): untagged round-9 files get
+        their generation stamped into the name (pure renames under
+        the marker), tagged files keep working because their
+        generation divides the doubled count; actual data migration
+        is lazy, split-on-touch in later merges. The HBase-region-
+        split half of the dim-sink analogy
+        (DimHBaseSinkFunction.java:16-105 — HBase likewise splits on
+        the largest REGION, not the mean).
+
+        Why the skew trigger matters: hash-uniform single-row-per-key
+        tables keep max ≈ mean, but a MULTI-row-per-key table (SCD2
+        history, event journals) under Zipf keys hot-spots one bucket
+        long before the mean moves, and that bucket's rewrite cost is
+        what a batch touching it pays. Doubling splits the hot
+        bucket's OTHER keys away from it. What doubling cannot split
+        is a single hot KEY — so skew-driven growth is capped at
+        4× the mean-derived bucket count (pow2 of 4·total/target):
+        past that, the hot bucket is (mostly) one key, more buckets
+        cannot shrink it, and the honest cost statement is
+        O(batch + hot-key rows) for batches touching that key. Skew
+        growth doubles ONE step per commit (each split halves the
+        estimate's blur, so re-measure before doubling again); mean
+        growth keeps its multi-doubling catch-up."""
         total = sum(self.file_rows.values())
         if not total or self.n_buckets >= MAX_BUCKETS:
-            return
-        if total / self.n_buckets <= self.target_rows:
             return
         new_n = self.n_buckets
         while new_n < MAX_BUCKETS and total / new_n > self.target_rows:
             new_n *= 2
+        if new_n == self.n_buckets:
+            # mean is healthy — check the largest bucket (skew)
+            need = math.ceil(total / self.target_rows)
+            skew_cap = 1 << max(0, (4 * need - 1).bit_length())
+            if (self.n_buckets * 2 <= min(MAX_BUCKETS, skew_cap)
+                    and max(self._bucket_row_estimates())
+                    > 2 * self.target_rows):
+                new_n = self.n_buckets * 2
+        if new_n == self.n_buckets:
+            return
 
         moves: list[tuple[str, str]] = []
         links: list[tuple[str, str]] = []
         new_rows: dict[str, int] = {}
-        for p in _data_files(self.table_dir):
-            name = os.path.basename(p)
+        names = sorted(self.file_rows) if self.file_rows else [
+            os.path.basename(p) for p in _data_files(self.table_dir)]
+        for name in names:
+            p = os.path.join(self.table_dir, name)
             parsed = _parse_name(name, self.n_buckets)
             if parsed is None:
                 continue
@@ -733,10 +930,138 @@ class BucketedMergeTable:
             "meta": self._meta_dict(new_rows),
         }
         try:
-            self._commit(plan, fault)
+            committed = self._commit(plan, fault,
+                                     expected_version=self.version)
         except BaseException:
             self.n_buckets = old_n  # commit may not have landed
             raise
+        if not committed:
+            # another writer committed between our merge and this
+            # growth check — drop it; the next merge re-evaluates
+            # against the fresher (and larger) manifest
+            self.n_buckets = old_n
+            self._reload_from_disk()
+
+    # -- compaction (round 11) ---------------------------------------
+    def compact(self, spark: SparkSession, fault=None) -> int:
+        """Bucket-aware compaction for GROWN tables: rewrite every
+        current bucket still served by an old-generation file — or by
+        more than one file — into exactly one current-generation
+        file, in one pass, under the same marker/CAS commit and
+        retention as any merge (replaced fragments retire to
+        ``_archive/``; time travel keeps working).
+
+        Why: a growth event is metadata-only, so a five-doubling
+        table still carries files at generations 32…512 under 1024
+        buckets. Each such file SERVES n/gen buckets — a point
+        lookup for one key reads the whole multi-bucket file
+        (read amplification n/gen), and the first merge touching any
+        child consumes the file whole and rewrites ALL its children
+        (split-on-touch write amplification, paid at merge latency).
+        Compaction pre-pays those splits at maintenance time — the
+        scheduled OPTIMIZE every lakehouse runs, teaching the
+        round-8 ``optimize_table`` verb the bucketed layout
+        (operators/maintenance.py delegates here when the dir is a
+        merge table, since a round-robin rewrite would destroy the
+        bucket-in-filename addressing).
+
+        No coalescing is needed in the other direction: growth fires
+        only when mean bucket rows pass ``target_rows_per_bucket``,
+        so post-compaction per-bucket files sit near the target
+        (tens of MB at warehouse row widths) — healthy parquet.
+
+        Returns the number of buckets rewritten (0 = nothing
+        fragmented; the call is then free — no Spark job runs).
+        Safe under concurrent writers: lost CAS races reload and
+        retry like any merge."""
+        fault = fault or (lambda _stage: None)
+        self.recover()
+        self._reload_from_disk()
+        for _attempt in range(MAX_COMMIT_RETRIES):
+            names = sorted(self.file_rows) if self.file_rows else [
+                os.path.basename(p) for p in _data_files(self.table_dir)]
+            serving: dict[int, int] = {}
+            frag: set[int] = set()
+            for name in names:
+                parsed = _parse_name(name, self.n_buckets)
+                if parsed is None:
+                    continue
+                fid, gen = parsed
+                for child in range(fid, self.n_buckets, gen):
+                    serving[child] = serving.get(child, 0) + 1
+                    if gen < self.n_buckets:
+                        frag.add(child)
+            frag |= {b for b, cnt in serving.items() if cnt > 1}
+            if not frag:
+                return 0
+            old_files, write_buckets = self._resolve(sorted(frag))
+            if not old_files:
+                return 0
+
+            token = uuid.uuid4().hex[:12]
+            tmp_rel = f".tmp-{os.getpid()}-{token}"
+            tmp = os.path.join(self.table_dir, tmp_rel)
+            try:
+                cur = spark.read.parquet(*old_files)
+                merged = cur.withColumn(
+                    _BCOL, _bucket_of(self.keys, self.n_buckets))
+                (merged.repartition(max(len(write_buckets), 1),
+                                    F.col(_BCOL))
+                 .write.partitionBy(_BCOL).parquet(tmp))
+            except Exception as exc:  # noqa: BLE001
+                shutil.rmtree(tmp, ignore_errors=True)
+                if any(s in str(exc) for s in (
+                        "FileNotFound", "PATH_NOT_FOUND",
+                        "does not exist")):
+                    self._reload_from_disk()
+                    continue
+                raise
+            fault("after_data_write")
+
+            moves, new_rows = self._stage_moves(tmp, tmp_rel, token)
+            retire = [os.path.basename(f) for f in old_files]
+            if self.file_rows:
+                files_rows = {name: rows
+                              for name, rows in self.file_rows.items()
+                              if name not in set(retire)}
+            else:  # round-9 table before its first manifest
+                files_rows = {
+                    os.path.basename(p): _file_rows(p)
+                    for p in _data_files(self.table_dir)
+                    if os.path.basename(p) not in set(retire)}
+            files_rows.update(new_rows)
+            plan = {
+                "tmp": tmp_rel,
+                "moves": moves,
+                "retire": retire,
+                "ledger_batch": None,
+                "meta": self._meta_dict(files_rows),
+            }
+            if self._commit(plan, fault, expected_version=self.version):
+                return len(write_buckets)
+            shutil.rmtree(tmp, ignore_errors=True)
+            self._reload_from_disk()
+        raise RuntimeError(
+            f"compact of {self.table_dir} lost the commit race "
+            f"{MAX_COMMIT_RETRIES} times in a row")
+
+    def _stage_moves(self, tmp: str, tmp_rel: str, token: str):
+        """(moves, name→rows) for the bucket files a Spark job left
+        under ``tmp`` — shared by merge and compact."""
+        gen_tag = f"n{self.n_buckets:05d}"
+        moves: list[tuple[str, str]] = []
+        new_rows: dict[str, int] = {}
+        for bdir in sorted(_glob.glob(os.path.join(tmp, f"{_BCOL}=*"))):
+            b = int(os.path.basename(bdir).split("=", 1)[1])
+            for i, f in enumerate(
+                    sorted(_glob.glob(os.path.join(bdir, "*.parquet")))):
+                dst = f"b{b:05d}-{gen_tag}-{token}-{i}.parquet"
+                moves.append((
+                    os.path.join(tmp_rel, os.path.basename(bdir),
+                                 os.path.basename(f)),
+                    dst))
+                new_rows[dst] = _file_rows(f)
+        return moves, new_rows
 
     # -- merge ------------------------------------------------------
     def merge(self, batch: DataFrame,
@@ -763,58 +1088,106 @@ class BucketedMergeTable:
         after_data_write (tmp written, nothing visible),
         after_live_aside (marker published — the commit point),
         after_tmp_in (new files moved in), after_ledger_write.
+
+        Concurrency (round 11): merges from CONCURRENT writers —
+        threads or processes — are safe. The expensive work (bucket
+        resolution, the Spark merge job, the tmp write) runs lock-
+        free against the manifest snapshot this object last loaded;
+        the commit itself CASes on the manifest version under the
+        table's flock. A lost race re-reads the new manifest,
+        re-merges the batch against the updated buckets, and retries
+        (``conflicts_seen`` counts the losses) — optimistic
+        concurrency exactly as a Delta txn log arbitrates OCC
+        writers, and the multi-writer analogue of the reference's
+        concurrent HBase dim writers (DimHBaseSinkFunction.java:
+        16-105, where region-server row locks arbitrate Puts).
         """
         fault = fault or (lambda _stage: None)
         spark = batch.sparkSession
         self.recover()
+        # start from the freshest committed manifest: another writer
+        # may have advanced the table since this object was built —
+        # merging against the newest snapshot makes first-try CAS
+        # success the common case
+        self._reload_from_disk()
 
-        if ledgered:
-            if batch_id is None:
-                raise ValueError("ledgered merge needs a batch_id")
-            if str(batch_id) in self.applied_batches():
-                # replayed batch: skip the merge but still EXECUTE the
-                # batch plan so a stateful upstream commits its state
-                # version (same contract as the round-7 sinks)
-                batch.write.format("noop").mode("overwrite").save()
-                return
+        if ledgered and batch_id is None:
+            raise ValueError("ledgered merge needs a batch_id")
 
-        bexpr = _bucket_of(self.keys, self.n_buckets)
-        batch = batch.withColumn(_BCOL, bexpr).persist()
+        batch = batch.persist()
+        self.conflicts_seen = 0
         try:
-            touched = sorted(
-                r[0] for r in
-                batch.select(_BCOL).distinct().collect())
-            if not touched:
-                # empty batch: ledger it (a replay must still skip)
-                # and stop — nothing to rewrite
-                if ledgered:
+            for _attempt in range(MAX_COMMIT_RETRIES):
+                if self._merge_once(spark, batch, merge_fn, batch_id,
+                                    ledgered, fault):
+                    return
+                # lost the commit race: another writer advanced the
+                # manifest between our read and our CAS — re-merge
+                # against the new snapshot
+                self.conflicts_seen += 1
+                self._reload_from_disk()
+            raise RuntimeError(
+                f"merge into {self.table_dir} lost the commit race "
+                f"{MAX_COMMIT_RETRIES} times in a row — writer starved")
+        finally:
+            batch.unpersist()
+
+    def _merge_once(self, spark, batch, merge_fn, batch_id,
+                    ledgered, fault) -> bool:
+        """One optimistic merge attempt against the currently-loaded
+        manifest. True = committed (or correctly skipped); False =
+        commit CAS lost, caller reloads and retries."""
+        if ledgered and str(batch_id) in self.applied_batches():
+            # replayed batch: skip the merge but still EXECUTE the
+            # batch plan so a stateful upstream commits its state
+            # version (same contract as the round-7 sinks)
+            batch.write.format("noop").mode("overwrite").save()
+            return True
+
+        bucketed = batch.withColumn(
+            _BCOL, _bucket_of(self.keys, self.n_buckets))
+        touched = sorted(
+            r[0] for r in bucketed.select(_BCOL).distinct().collect())
+        if not touched:
+            # empty batch: ledger it (a replay must still skip) and
+            # stop — nothing to rewrite. Under the lock: the ledger
+            # file is read-modify-write
+            if ledgered:
+                with self._commit_lock():
+                    self._recover_locked()
                     self._append_ledger(str(batch_id))
-                return
+            return True
 
-            legacy = _legacy_files(self.table_dir)
-            full = bool(legacy)
-            if not full and self.columns is not None:
-                # schema evolution probe on the batch side: a new
-                # column NAME, or a changed TYPE on a shared name
-                # (parquet footers are type-strict), forces the
-                # one-time full rewrite (docstring)
-                if not set(batch.columns) - {_BCOL} <= set(self.columns):
-                    full = True
-                elif self.fields is not None:
-                    full = any(
-                        self.fields.get(f.name, f.dataType.simpleString())
-                        != f.dataType.simpleString()
-                        for f in batch.schema.fields if f.name != _BCOL)
-            if full:
-                write_buckets = list(range(self.n_buckets))
-                old_files = _data_files(self.table_dir)
-            else:
-                old_files, write_buckets = self._resolve(touched)
+        legacy = _legacy_files(self.table_dir)
+        full = bool(legacy)
+        if not full and self.columns is not None:
+            # schema evolution probe on the batch side: a new
+            # column NAME, or a changed TYPE on a shared name
+            # (parquet footers are type-strict), forces the
+            # one-time full rewrite (docstring)
+            if not set(batch.columns) <= set(self.columns):
+                full = True
+            elif self.fields is not None:
+                full = any(
+                    self.fields.get(f.name, f.dataType.simpleString())
+                    != f.dataType.simpleString()
+                    for f in batch.schema.fields)
+        if full:
+            write_buckets = list(range(self.n_buckets))
+            old_files = _data_files(self.table_dir)
+        else:
+            old_files, write_buckets = self._resolve(touched)
 
+        token = uuid.uuid4().hex[:12]
+        # pid in the tmp name: recovery removes only DEAD writers'
+        # orphans, never a live concurrent writer's in-flight output
+        tmp_rel = f".tmp-{os.getpid()}-{token}"
+        tmp = os.path.join(self.table_dir, tmp_rel)
+        try:
             cur = None
             if old_files:
                 cur = spark.read.parquet(*old_files)
-            merged = merge_fn(cur, batch.drop(_BCOL))
+            merged = merge_fn(cur, batch)
             if (not full and self.columns is not None
                     and set(merged.columns) < set(self.columns)):
                 # narrow batch into empty buckets (cur is None — no
@@ -832,54 +1205,59 @@ class BucketedMergeTable:
             merged = merged.withColumn(
                 _BCOL, _bucket_of(self.keys, self.n_buckets))
 
-            token = uuid.uuid4().hex[:12]
-            tmp_rel = f".tmp-{token}"
-            tmp = os.path.join(self.table_dir, tmp_rel)
             # one shuffle partition per written bucket → one file per
             # bucket per merge; untouched buckets cost nothing
             (merged.repartition(max(len(write_buckets), 1), F.col(_BCOL))
              .write.partitionBy(_BCOL).parquet(tmp))
-            fault("after_data_write")
+        except Exception as exc:  # noqa: BLE001
+            shutil.rmtree(tmp, ignore_errors=True)
+            msg = str(exc)
+            if any(s in msg for s in ("FileNotFound", "PATH_NOT_FOUND",
+                                      "does not exist")):
+                # a concurrent commit retired a file we were reading
+                # mid-scan — a torn read; the reload+retry makes it a
+                # plain conflict
+                return False
+            raise
+        fault("after_data_write")
 
-            gen_tag = f"n{self.n_buckets:05d}"
-            moves: list[tuple[str, str]] = []
-            new_rows: dict[str, int] = {}
-            for bdir in sorted(_glob.glob(os.path.join(tmp, f"{_BCOL}=*"))):
-                b = int(os.path.basename(bdir).split("=", 1)[1])
-                for i, f in enumerate(
-                        sorted(_glob.glob(os.path.join(bdir, "*.parquet")))):
-                    dst = f"b{b:05d}-{gen_tag}-{token}-{i}.parquet"
-                    moves.append((
-                        os.path.join(tmp_rel, os.path.basename(bdir),
-                                     os.path.basename(f)),
-                        dst))
-                    new_rows[dst] = _file_rows(f)
-
-            retire = [os.path.basename(f) for f in old_files]
-            self.columns, self.fields = out_cols, out_fields
+        moves, new_rows = self._stage_moves(tmp, tmp_rel, token)
+        retire = [os.path.basename(f) for f in old_files]
+        prev_cols, prev_fields = self.columns, self.fields
+        self.columns, self.fields = out_cols, out_fields
+        if self.file_rows and not full:
+            # manifest-based survivors (round 11): a directory listing
+            # can include a concurrent committer's not-yet-retired old
+            # files; the manifest cannot
+            survivors = {name: rows
+                         for name, rows in self.file_rows.items()
+                         if name not in set(retire)}
+        else:
             survivors = {
                 os.path.basename(p): self.file_rows.get(
                     os.path.basename(p), None)
                 for p in _data_files(self.table_dir)
-                if os.path.basename(p) not in retire
+                if os.path.basename(p) not in set(retire)
             }
-            # survivor counts absent from meta (upgraded table) come
-            # from the footer once, then ride the manifest forward
-            files_rows = {
-                name: (rows if rows is not None
-                       else _file_rows(os.path.join(self.table_dir, name)))
-                for name, rows in survivors.items()
-            }
-            files_rows.update(new_rows)
+        # survivor counts absent from meta (upgraded table) come
+        # from the footer once, then ride the manifest forward
+        files_rows = {
+            name: (rows if rows is not None
+                   else _file_rows(os.path.join(self.table_dir, name)))
+            for name, rows in survivors.items()
+        }
+        files_rows.update(new_rows)
 
-            plan = {
-                "tmp": tmp_rel,
-                "moves": moves,
-                "retire": retire,
-                "ledger_batch": str(batch_id) if ledgered else None,
-                "meta": self._meta_dict(files_rows),
-            }
-            self._commit(plan, fault)
-            self._maybe_grow(fault)
-        finally:
-            batch.unpersist()
+        plan = {
+            "tmp": tmp_rel,
+            "moves": moves,
+            "retire": retire,
+            "ledger_batch": str(batch_id) if ledgered else None,
+            "meta": self._meta_dict(files_rows),
+        }
+        if not self._commit(plan, fault, expected_version=self.version):
+            self.columns, self.fields = prev_cols, prev_fields
+            shutil.rmtree(tmp, ignore_errors=True)
+            return False
+        self._maybe_grow(fault)
+        return True

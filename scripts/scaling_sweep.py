@@ -1172,6 +1172,92 @@ def main() -> int:
         shutil.rmtree(tdir, ignore_errors=True)
         record("merge_upsert_adaptive", n, round(min(secs), 3), n)
 
+    # ---- skew ladder (round 11): Zipf-keyed SCD2 history merges --------
+    # The adaptive ladder above is uniform SINGLE-row-per-key (max ≈
+    # mean by construction — upserts dedup). This family is VERDICT
+    # r10 item 2's untested corner: MULTI-row-per-key history (SCD2)
+    # under Zipf(1) keys — key "0" carries ~1/ln(n_keys) of ALL rows,
+    # so one bucket hot-spots long before the mean moves. The r11
+    # skew trigger (max-bucket estimate > 2×target) must grow the
+    # table anyway, capped at 4× the mean-derived count (one hot KEY
+    # is unsplittable — more buckets cannot shrink it). Timed: 8-key
+    # COLD-tail CDC batches (expected flat across the ladder — the
+    # skew growth is what keeps cold buckets at target size), plus
+    # one HOT-key batch per size recorded as its own family (its
+    # cost is the honest irreducible O(hot-key rows), growing
+    # ~n/ln(n) — the ladder documents it instead of hiding it).
+    ms_sizes = [1_000_000, 3_000_000] if quick else [
+        1_000_000, 3_000_000, 10_000_000, 30_000_000]
+    if xl:
+        ms_sizes.append(100_000_000)
+    if sizes_override is not None:
+        ms_sizes = list(sizes_override)
+    if not want("merge_scd2_zipf"):
+        ms_sizes = []
+    for n in ms_sizes:
+        import json as _json
+
+        from realtime_data_warehouse_spark.streaming.sinks import (
+            scd2_merge_batch,
+        )
+
+        tdir = tempfile.mkdtemp(prefix=f"scal_ms_{n}_")
+        table = os.path.join(tdir, "t")
+        fn = scd2_merge_batch(table, "id", version_col="ts",
+                              target_rows_per_bucket=50_000)
+        n_keys = max(1000, n // 10)
+        src = staged(
+            f"scd2_zipf_{n}",
+            lambda n=n, n_keys=n_keys: G.synthetic_upserts(
+                spark, n_keys=n_keys, versions=max(1, n // n_keys),
+                zipf=True))
+        # build through the engine's own merges (untimed) so growth —
+        # mean AND skew doublings — fires organically
+        src_df = spark.read.parquet(src)
+        for b in range(4):
+            fn(src_df.filter(F.pmod(F.xxhash64("id", "ts"),
+                                    F.lit(4)) == b), b)
+        with open(os.path.join(table, "_table_meta.json")) as fh:
+            meta = _json.load(fh)
+        nb = int(meta["n_buckets"])
+        tgt = int(meta["target_rows_per_bucket"])
+        mean_need = max(1, math.ceil(n / tgt))
+        assert nb >= (1 << max(0, (mean_need - 1).bit_length())) or \
+            nb >= 65_536, f"mean growth failed at n={n}: {nb} buckets"
+        hot_rows = spark.read.parquet(table).filter(
+            F.col("id") == "0").count()
+        print(f"merge_scd2_zipf n={n}: n_buckets={nb} "
+              f"(mean {n // nb} rows/bucket, hot key {hot_rows} rows)")
+
+        # cold-tail CDC: 8 keys from the sparse tail (~1 version each)
+        cold_keys = [str(n_keys - 1 - i * 7) for i in range(8)]
+        secs = []
+        for i in range(3):
+            cdc = spark.createDataFrame(
+                [(k, 10**9 + i, 1.0, 0.1) for k in cold_keys],
+                "id string, ts long, amt double, fee double")
+            t0 = time.perf_counter()
+            fn(cdc, 100 + i)
+            secs.append(time.perf_counter() - t0)
+        got = spark.read.parquet(table)
+        assert got.filter(F.col("ts") >= 10**9).count() == 24, \
+            f"cold CDC rows lost at n={n}"
+        record("merge_scd2_zipf", n, round(min(secs), 3), n)
+
+        # hot-key CDC: one new version of key "0" — pays the full
+        # hot-bucket (≈ hot-key) rewrite, the unsplittable residual
+        hot_secs = []
+        for i in range(2):
+            cdc = spark.createDataFrame(
+                [("0", 2 * 10**9 + i, 1.0, 0.1)],
+                "id string, ts long, amt double, fee double")
+            t0 = time.perf_counter()
+            fn(cdc, 200 + i)
+            hot_secs.append(time.perf_counter() - t0)
+        shutil.rmtree(tdir, ignore_errors=True)
+        record("merge_scd2_zipf_hotkey", n, round(min(hot_secs), 3),
+               hot_rows)
+
     # ---- point-lookup read amplification (round-10 stretch) ------------
     # The bucketed layout's read-side dividend: an 8-key Get against a
     # 64-bucket table opens ≤8 files (merge_table.point_lookup hashes

@@ -722,3 +722,286 @@ def test_legacy_rename_keeps_retained_manifests_readable(spark, tmp_path):
     # current read is the merged state
     cur = {r.k: r.v for r in read_table(spark, table).collect()}
     assert cur[1] == 999 and cur[2] == 4 and len(cur) == 60
+
+
+def test_concurrent_writers_converge_to_serialized_hash(spark, tmp_path):
+    """Multi-writer arbitration (round 11, the last Delta-txn-log
+    gap): two writers interleaving ledgered additive merges into ONE
+    table — each building its own BucketedMergeTable per batch, the
+    foreachBatch pattern — converge to exactly the serialized result.
+    The commit CAS serializes manifest versions (one commit per
+    version, no lost updates), and every batch applies exactly once."""
+    import json
+    import threading
+
+    from realtime_data_warehouse_spark.streaming.merge_table import (
+        BucketedMergeTable,
+        list_versions,
+        read_table,
+    )
+
+    table = str(tmp_path / "t")
+    keys = list(range(100))
+
+    def merge(cur, rows):
+        merged = rows if cur is None else cur.unionByName(rows)
+        return merged.groupBy("k").agg(F.sum("v").alias("v"))
+
+    errors = []
+
+    def writer(tag, inc, n_batches):
+        try:
+            for i in range(n_batches):
+                rows = spark.createDataFrame([(k, inc) for k in keys],
+                                             "k long, v long")
+                BucketedMergeTable(table, ["k"], n_buckets=8).merge(
+                    rows, merge, batch_id=f"{tag}-{i}", ledgered=True)
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    ta = threading.Thread(target=writer, args=("a", 1, 5))
+    tb = threading.Thread(target=writer, args=("b", 2, 5))
+    ta.start(); tb.start(); ta.join(); tb.join()
+    assert not errors, errors
+
+    got = {r.k: r.v for r in read_table(spark, table).collect()}
+    assert got == {k: 5 * 1 + 5 * 2 for k in keys}
+
+    # every commit got its own manifest version — no lost updates
+    with open(os.path.join(table, "_table_meta.json")) as fh:
+        meta = json.load(fh)
+    assert meta["version"] == 10
+    # ledger holds every batch exactly once
+    with open(os.path.join(table, "_applied_batches")) as fh:
+        ids = fh.read().split()
+    assert sorted(ids) == sorted(f"{t}-{i}" for t in "ab" for i in range(5))
+    # retention machinery kept working under contention
+    assert len(list_versions(table)) >= 1
+
+
+def test_commit_cas_retries_on_stale_manifest(spark, tmp_path):
+    """Deterministic lost race: writer 1 finishes its merge
+    computation (after_data_write), then writer 2 commits — writer
+    1's commit CAS must fail, and it must re-merge against writer 2's
+    manifest and commit on the retry (conflicts_seen == 1), with the
+    final table equal to both batches applied."""
+    from realtime_data_warehouse_spark.streaming.merge_table import (
+        BucketedMergeTable,
+        read_table,
+    )
+
+    table = str(tmp_path / "t")
+
+    def merge(cur, rows):
+        merged = rows if cur is None else cur.unionByName(rows)
+        return merged.groupBy("k").agg(F.sum("v").alias("v"))
+
+    BucketedMergeTable(table, ["k"], n_buckets=8).merge(
+        spark.createDataFrame([(k, 10) for k in range(20)],
+                              "k long, v long"), merge)
+
+    t1 = BucketedMergeTable(table, ["k"])
+    fired = {"done": False}
+
+    def interleave(stage):
+        # writer 2 slips in AFTER writer 1 computed its merge output
+        # but BEFORE writer 1's commit claim
+        if stage == "after_data_write" and not fired["done"]:
+            fired["done"] = True
+            BucketedMergeTable(table, ["k"]).merge(
+                spark.createDataFrame([(0, 100)], "k long, v long"),
+                merge)
+
+    t1.merge(spark.createDataFrame([(1, 1000)], "k long, v long"),
+             merge, fault=interleave)
+    assert t1.conflicts_seen == 1, "the lost race must be observed"
+
+    got = {r.k: r.v for r in read_table(spark, table).collect()}
+    assert got[0] == 110 and got[1] == 1010 and got[2] == 10
+
+
+def test_concurrent_writer_takes_over_dead_writers_commit(spark, tmp_path):
+    """Kill mid-commit with a SECOND writer doing the recovery: writer
+    A dies after publishing its marker (the commit point); writer B's
+    next merge — a different table object, the other-process shape —
+    rolls A's commit forward under the lock before its own, so the
+    final table holds BOTH batches and A's ledgered batch applies
+    exactly once. Also: dying before the claim (after_data_write)
+    publishes nothing and leaves only dead-pid tmp garbage, which the
+    next writer sweeps."""
+    from realtime_data_warehouse_spark.streaming.merge_table import (
+        BucketedMergeTable,
+        read_table,
+    )
+
+    table = str(tmp_path / "t")
+
+    class Die(Exception):
+        pass
+
+    def die_at(stage_name):
+        def fault(stage):
+            if stage == stage_name:
+                raise Die(stage)
+        return fault
+
+    def merge(cur, rows):
+        merged = rows if cur is None else cur.unionByName(rows)
+        return merged.groupBy("k").agg(F.sum("v").alias("v"))
+
+    base = spark.createDataFrame([(k, 1) for k in range(50)],
+                                 "k long, v long")
+    BucketedMergeTable(table, ["k"], n_buckets=8).merge(
+        base, merge, batch_id="base", ledgered=True)
+
+    # writer A dies at the commit point: marker published, flock
+    # released by the unwind (as by process death)
+    with pytest.raises(Die):
+        BucketedMergeTable(table, ["k"]).merge(
+            spark.createDataFrame([(7, 100)], "k long, v long"),
+            merge, batch_id="A", ledgered=True,
+            fault=die_at("after_live_aside"))
+    assert os.path.exists(os.path.join(table, "_pending.json"))
+
+    # writer B merges: takes the lock, rolls A forward, applies its own
+    BucketedMergeTable(table, ["k"]).merge(
+        spark.createDataFrame([(8, 200)], "k long, v long"),
+        merge, batch_id="B", ledgered=True)
+    assert not os.path.exists(os.path.join(table, "_pending.json"))
+    got = {r.k: r.v for r in read_table(spark, table).collect()}
+    assert got[7] == 101 and got[8] == 201 and got[0] == 1
+
+    # replaying A after the takeover is a no-op (exactly once)
+    BucketedMergeTable(table, ["k"]).merge(
+        spark.createDataFrame([(7, 100)], "k long, v long"),
+        merge, batch_id="A", ledgered=True)
+    got = {r.k: r.v for r in read_table(spark, table).collect()}
+    assert got[7] == 101
+
+
+def test_skew_trigger_grows_on_hot_bucket_and_caps_on_hot_key(
+        spark, tmp_path):
+    """Round-11 skew trigger: a MULTI-row-per-key table (history
+    shape) whose hot key concentrates rows in one bucket grows even
+    though the mean sleeps (max-bucket > 2× target fires a single
+    doubling); and once the hot bucket is essentially one KEY — which
+    no bucket count can split — growth stops at the 4×-mean cap
+    instead of doubling away to MAX_BUCKETS."""
+    import json
+
+    from realtime_data_warehouse_spark.streaming.merge_table import (
+        BucketedMergeTable,
+        read_table,
+    )
+
+    table = str(tmp_path / "t")
+
+    def merge(cur, rows):
+        merged = rows if cur is None else cur.unionByName(rows)
+        return merged.dropDuplicates(["k", "seq"])
+
+    # 400 rows over 8 buckets, target 100: mean 50 — the mean trigger
+    # sleeps. Key 0 carries 300 rows -> its bucket reads ~300 > 2x100.
+    hot = spark.range(300).select(
+        F.lit(0).cast("long").alias("k"), F.col("id").alias("seq"))
+    cold = spark.range(1, 101).select(
+        F.col("id").alias("k"), F.lit(0).cast("long").alias("seq"))
+    t = BucketedMergeTable(table, ["k"], n_buckets=8,
+                           target_rows_per_bucket=100)
+    t.merge(hot.unionByName(cold), merge)
+    with open(os.path.join(table, "_table_meta.json")) as fh:
+        assert json.load(fh)["n_buckets"] == 16, \
+            "skew must fire one doubling while the mean sleeps"
+
+    # touch the hot key: its gen-8 file splits, the hot child still
+    # reads ~300 rows — but the 4x-mean cap (pow2(4*400/100) = 16)
+    # blocks further doubling: one hot KEY is unsplittable, so the
+    # honest stop is the cap, not MAX_BUCKETS
+    t2 = BucketedMergeTable(table, ["k"])
+    t2.merge(spark.createDataFrame([(0, 0)], "k long, seq long"), merge)
+    with open(os.path.join(table, "_table_meta.json")) as fh:
+        assert json.load(fh)["n_buckets"] == 16, \
+            "hot-KEY skew must not grow past the 4x-mean cap"
+
+    assert read_table(spark, table).count() == 400
+
+
+def test_compact_migrates_grown_table_and_survives_kill(spark, tmp_path):
+    """Bucket-aware compaction (round 11): after a growth event the
+    table carries old-generation files that each serve several
+    current buckets; optimize_table (delegating to compact) rewrites
+    every such bucket into exactly one current-generation file —
+    data identical, point_lookup back to ≤1 file per key, replaced
+    fragments retired under retention — and a kill at the commit
+    point rolls forward like any merge. A second compact is a no-op
+    (returns 0 without running a Spark job)."""
+    import json
+
+    from realtime_data_warehouse_spark.operators.maintenance import (
+        optimize_table,
+    )
+    from realtime_data_warehouse_spark.streaming.merge_table import (
+        BucketedMergeTable,
+        point_lookup,
+        read_table,
+    )
+
+    table = str(tmp_path / "t")
+
+    def merge(cur, rows):
+        from realtime_data_warehouse_spark.operators.state import (
+            latest_per_key,
+        )
+        merged = rows if cur is None else cur.unionByName(rows)
+        return latest_per_key(merged, ["k"], "ts")
+
+    base = spark.range(400).select(
+        F.col("id").alias("k"), F.lit(0).cast("long").alias("ts"),
+        (F.col("id") * 2).alias("v"))
+    BucketedMergeTable(table, ["k"], n_buckets=4,
+                       target_rows_per_bucket=50).merge(base, merge)
+    with open(os.path.join(table, "_table_meta.json")) as fh:
+        nb = json.load(fh)["n_buckets"]
+    assert nb == 8, "growth must have fired (metadata-only)"
+    before = {os.path.basename(p)
+              for p in glob.glob(os.path.join(table, "*.parquet"))}
+    assert all("-n00004-" in n for n in before), \
+        "pre-compact files are all old-generation"
+
+    rewritten = optimize_table(spark, table)
+    assert rewritten == 8, "every bucket was served by an old-gen file"
+    after = {os.path.basename(p)
+             for p in glob.glob(os.path.join(table, "*.parquet"))}
+    assert all("-n00008-" in n for n in after), \
+        "post-compact files are all current-generation"
+    got = {r.k: r.v for r in read_table(spark, table).collect()}
+    assert got == {k: 2 * k for k in range(400)}
+    # read amplification: a one-key Get now opens exactly one
+    # single-bucket file (pre-compact it opened a 2-bucket file)
+    assert [(r.k, r.v) for r in point_lookup(spark, table, 7).collect()] \
+        == [(7, 14)]
+    # idempotent: nothing fragmented remains
+    assert BucketedMergeTable(table, ["k"]).compact(spark) == 0
+
+    # kill at the commit point mid-compact: next writer rolls forward
+    table2 = str(tmp_path / "t2")
+    BucketedMergeTable(table2, ["k"], n_buckets=4,
+                       target_rows_per_bucket=50).merge(base, merge)
+
+    class Die(Exception):
+        pass
+
+    def die(stage):
+        if stage == "after_live_aside":
+            raise Die(stage)
+
+    with pytest.raises(Die):
+        BucketedMergeTable(table2, ["k"]).compact(spark, fault=die)
+    assert os.path.exists(os.path.join(table2, "_pending.json"))
+    # any construction rolls it forward; the table reads complete
+    assert BucketedMergeTable(table2, ["k"]).compact(spark) == 0
+    got2 = {r.k: r.v for r in read_table(spark, table2).collect()}
+    assert got2 == {k: 2 * k for k in range(400)}
+    after2 = {os.path.basename(p)
+              for p in glob.glob(os.path.join(table2, "*.parquet"))}
+    assert all("-n00008-" in n for n in after2)
