@@ -67,12 +67,230 @@ def with_media_metadata(df: DataFrame, payload_col: str = "payload",
 
 
 def decode_image(payload: bytes) -> object:
-    """Real decoder hook — requires an image library not present in
-    this container. Marked stub per the build contract."""
+    """Image decode dispatch. BMP (BI_RGB 24-bit) decodes for REAL in
+    pure numpy (round 11 — no library needed: header parse +
+    np.frombuffer + reshape); compressed formats (JPEG/PNG/...) still
+    require a codec library absent from this container and stay
+    honestly stubbed."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
     raise NotImplementedError(
-        "image decode requires PIL/opencv (not installed); "
+        "non-BMP image decode requires PIL/opencv (not installed); "
         "use fake_features for deterministic pipeline tests"
     )
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """REAL BMP decoder, pure numpy: uncompressed 24-bit BI_RGB →
+    (height, width, 3) uint8 RGB. Handles the three things a naive
+    reader gets wrong — 4-byte row padding, BGR channel order, and
+    bottom-up row order (negative height = top-down per the spec).
+    ~20 lines because the format is a header plus a padded pixel
+    array; that is exactly why BMP is the de-stubbable format in a
+    codec-free container."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload (missing 'BM' magic)")
+    off = int.from_bytes(payload[10:14], "little")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    comp = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BI_RGB supported "
+            f"(got bpp={bpp}, compression={comp})")
+    top_down, h = h < 0, abs(h)
+    stride = ((w * 3 + 3) // 4) * 4  # rows pad to 4-byte boundaries
+    arr = np.frombuffer(payload, np.uint8, count=stride * h,
+                        offset=off).reshape(h, stride)
+    img = arr[:, :w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    return img if top_down else img[::-1]
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Minimal BI_RGB 24-bit bottom-up BMP writer (pure numpy) —
+    the testdata shim's real-payload synthesizer. (h, w, 3) uint8
+    RGB in, spec-conformant file bytes out."""
+    import struct  # noqa: PLC0415
+
+    h, w, _ = pixels.shape
+    row = w * 3
+    stride = row + ((-row) % 4)
+    header = struct.pack("<2sIHHI", b"BM", 54 + stride * h, 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h,
+                      2835, 2835, 0, 0)
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, :row] = pixels[::-1, :, ::-1].reshape(h, row)  # flip+BGR
+    return header + dib + rows.tobytes()
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """REAL WAV (RIFF PCM 16-bit) decoder, pure numpy: walks the RIFF
+    chunk list to 'fmt ' and 'data' (chunks are not at fixed offsets
+    — an LIST/INFO chunk before 'data' is common), returns
+    ((n_samples, channels) int16 array, sample_rate)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        size = int.from_bytes(payload[pos + 4:pos + 8], "little")
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)  # chunks pad to even offsets
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError(
+            f"only 16-bit PCM supported (format={audio_format}, "
+            f"bits={bits})")
+    samples = np.frombuffer(
+        data, dtype="<i2",
+        count=len(data) // (2 * channels) * channels)
+    return samples.reshape(-1, channels), rate
+
+
+def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """Minimal RIFF PCM 16-bit WAV writer — the audio twin of
+    encode_bmp. (n, channels) int16 in, file bytes out."""
+    import struct  # noqa: PLC0415
+
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, ch = samples.shape
+    data = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * 2 * ch, 2 * ch, 16)
+    return (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+            + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def attach_bmp_payload(df: DataFrame, id_col: str = "doc_id",
+                       out_col: str = "payload") -> DataFrame:
+    """Testdata shim for the REAL decode path: synthesize a genuine
+    spec-conformant 24-bit BMP per row whose pixels are an analytic
+    function of the id — pixel (y, x) channel c has value
+    ``(id + 3*(y*w + x) + c) mod 256`` with ``w = 5 + id % 4`` and
+    ``h = 3 + id % 3``. The four widths 5..8 put 1/2/3/0 pad bytes on
+    every row, so a decoder that mishandles padding, BGR order or
+    bottom-up layout CANNOT reproduce the analytic pixel values the
+    oracle computes. Arrow-batched pandas UDF (payload build is
+    byte-level work no Catalyst expression does)."""
+
+    @F.pandas_udf(T.BinaryType())
+    def build(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            w, h = 5 + i % 4, 3 + i % 3
+            base = i + 3 * np.arange(h * w, dtype=np.int64)[:, None]
+            px = ((base + np.arange(3, dtype=np.int64)) % 256).astype(
+                np.uint8).reshape(h, w, 3)
+            out.append(encode_bmp(px))
+        return pd.Series(out)
+
+    return df.withColumn(out_col, build(F.col(id_col)))
+
+
+REAL_DECODE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("y", T.IntegerType()),
+    T.StructField("c", T.IntegerType()),
+    T.StructField("s", T.LongType()),
+    T.StructField("w", T.IntegerType()),
+    T.StructField("h", T.IntegerType()),
+])
+
+
+def real_image_decode(df: DataFrame, id_col: str = "doc_id",
+                      payload_col: str = "payload") -> DataFrame:
+    """REAL image decode over binary payloads (round 11, de-stubbing
+    the multimodal hook): mapInPandas decodes each BMP with
+    decode_bmp and emits per-(row, channel) pixel sums —
+    (doc_id, y, c, s, w, h) — a shape every padding/orientation/
+    channel-order mistake perturbs, and small enough to value-hash
+    against an analytic oracle at sweep scale."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ys, cs, ss, ws, hs = [], [], [], [], [], []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                img = decode_bmp(bytes(payload))
+                h, w, _ = img.shape
+                sums = img.astype(np.int64).sum(axis=1)  # (h, 3)
+                ids.extend([int(i)] * (h * 3))
+                ys.extend(np.repeat(np.arange(h), 3).tolist())
+                cs.extend(np.tile(np.arange(3), h).tolist())
+                ss.extend(sums.reshape(-1).tolist())
+                ws.extend([w] * (h * 3))
+                hs.extend([h] * (h * 3))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "y": pd.Series(ys, dtype="int32"),
+                "c": pd.Series(cs, dtype="int32"),
+                "s": pd.Series(ss, dtype="int64"),
+                "w": pd.Series(ws, dtype="int32"),
+                "h": pd.Series(hs, dtype="int32"),
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, REAL_DECODE_SCHEMA)
+
+
+def attach_wav_payload(df: DataFrame, id_col: str = "doc_id",
+                       out_col: str = "payload") -> DataFrame:
+    """Audio twin of attach_bmp_payload: a genuine RIFF PCM-16 WAV
+    per row with ``16 + id % 5`` mono samples of analytic value
+    ``((id*31 + i*7) mod 65536) − 32768``."""
+
+    @F.pandas_udf(T.BinaryType())
+    def build(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            n = 16 + i % 5
+            v = ((i * 31 + 7 * np.arange(n, dtype=np.int64)) % 65536
+                 - 32768).astype(np.int16)
+            out.append(encode_wav(v))
+        return pd.Series(out)
+
+    return df.withColumn(out_col, build(F.col(id_col)))
+
+
+def real_audio_decode(df: DataFrame, id_col: str = "doc_id",
+                      payload_col: str = "payload") -> DataFrame:
+    """REAL audio decode (round 11): mapInPandas decodes each WAV
+    with decode_wav and emits every sample — (doc_id, i, v) — for
+    value-hashing against the analytic oracle."""
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("i", T.IntegerType()),
+        T.StructField("v", T.IntegerType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, vals = [], [], []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                samples, _rate = decode_wav(bytes(payload))
+                mono = samples[:, 0]
+                ids.extend([int(i)] * len(mono))
+                idxs.extend(range(len(mono)))
+                vals.extend(mono.astype(np.int32).tolist())
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "i": pd.Series(idxs, dtype="int32"),
+                "v": pd.Series(vals, dtype="int32"),
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema)
 
 
 def fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:

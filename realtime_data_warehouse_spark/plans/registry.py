@@ -200,3 +200,4 @@ from . import round7  # noqa: E402,F401  (round 7 — append-only: imported afte
 from . import round8  # noqa: E402,F401  (round 8 — append-only: imported after round7)
 from . import round9  # noqa: E402,F401  (round 9 — append-only: imported after round8)
 from . import round10  # noqa: E402,F401  (round 10 — append-only: imported after round9)
+from . import round11  # noqa: E402,F401  (round 11 — append-only: imported after round10)

@@ -542,3 +542,89 @@ def test_expectation_checks_count_violations(spark):
     assert rep["v_positive"] == (2, 5)          # -1 and the NULL both trip
     assert rep["unique(k)"] == (1, 5)           # k=1 appears twice -> 1 extra
     assert rep["fk(k->pk)"] == (1, 5)           # k=9 is an orphan
+
+
+def test_bmp_decoder_matches_hand_built_golden_bytes():
+    """decode_bmp pinned against a BMP spelled out byte-by-byte (NOT
+    produced by encode_bmp — encoder and decoder sharing a mistaken
+    convention would cancel out in a round-trip): 2x2 24-bit BI_RGB,
+    bottom-up, 2 pad bytes per row. Round-trip and top-down variants
+    on top."""
+    import struct
+
+    import numpy as np
+
+    from realtime_data_warehouse_spark.operators.multimodal import (
+        decode_bmp,
+        decode_image,
+        encode_bmp,
+    )
+
+    # pixels RGB: (y0,x0)=(1,2,3) (y0,x1)=(4,5,6)
+    #             (y1,x0)=(7,8,9) (y1,x1)=(10,11,12)
+    # file stores bottom-up rows in BGR with stride 8 (6 data + 2 pad)
+    header = struct.pack("<2sIHHI", b"BM", 70, 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, 16,
+                      2835, 2835, 0, 0)
+    pix = bytes([9, 8, 7, 12, 11, 10, 0, 0,      # image row y=1 (bottom)
+                 3, 2, 1, 6, 5, 4, 0, 0])        # image row y=0 (top)
+    golden = header + dib + pix
+    img = decode_bmp(golden)
+    expected = np.array([[[1, 2, 3], [4, 5, 6]],
+                         [[7, 8, 9], [10, 11, 12]]], dtype=np.uint8)
+    assert img.shape == (2, 2, 3) and (img == expected).all()
+    # decode_image dispatches BMP to the real path
+    assert (decode_image(golden) == expected).all()
+
+    # top-down variant: negative height, rows stored in image order
+    dib_td = struct.pack("<IiiHHIIiiII", 40, 2, -2, 1, 24, 0, 16,
+                         2835, 2835, 0, 0)
+    pix_td = bytes([3, 2, 1, 6, 5, 4, 0, 0,
+                    9, 8, 7, 12, 11, 10, 0, 0])
+    assert (decode_bmp(header + dib_td + pix_td) == expected).all()
+
+    # encoder round-trips through the decoder for every pad width
+    rng = np.random.default_rng(7)
+    for w in (5, 6, 7, 8):
+        px = rng.integers(0, 256, size=(3, w, 3), dtype=np.uint8)
+        assert (decode_bmp(encode_bmp(px)) == px).all()
+
+    import pytest
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n....")
+
+
+def test_wav_decoder_walks_chunks_and_matches_golden_bytes():
+    """decode_wav pinned against hand-built RIFF bytes, including a
+    LIST chunk BEFORE data (chunks are a walked list, not fixed
+    offsets) and an odd-sized chunk (even-offset padding rule)."""
+    import struct
+
+    import numpy as np
+
+    from realtime_data_warehouse_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    samples = np.array([0, 1000, -1000, 32767, -32768], dtype=np.int16)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    info = b"INFOx"  # odd-sized payload: next chunk starts padded
+    data = samples.astype("<i2").tobytes()
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"LIST" + struct.pack("<I", len(info)) + info + b"\x00"
+            + b"data" + struct.pack("<I", len(data)) + data)
+    golden = b"RIFF" + struct.pack("<I", len(body)) + body
+    got, rate = decode_wav(golden)
+    assert rate == 8000 and got.shape == (5, 1)
+    assert (got[:, 0] == samples).all()
+
+    # stereo round-trip through the encoder
+    st = np.array([[1, -1], [300, -300]], dtype=np.int16)
+    got2, rate2 = decode_wav(encode_wav(st, rate=44100))
+    assert rate2 == 44100 and (got2 == st).all()
+
+    import pytest
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFXnope")
