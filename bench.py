@@ -487,6 +487,66 @@ def main() -> None:
         stream_timings[name] = {"sec": round(best, 3), "input_rows": n_in,
                                 "rows_per_sec": int(n_in / best)}
 
+    # Micro-batch LATENCY (round 11, VERDICT item 5): the reference is
+    # a *real-time* warehouse whose SLO is a 5-second checkpoint
+    # cadence (BaseApp.java:30-33) — a PER-BATCH budget. The drain
+    # numbers above measure throughput; this section records the
+    # per-micro-batch trigger latency distribution (source read →
+    # state update → sink commit, durationMs.triggerExecution) for
+    # three representative stateful shapes: windowed agg,
+    # stream-stream join chain, and the merge-table sink. One staged
+    # file is one micro-batch (maxFilesPerTrigger=1 is the read
+    # discipline), and runner.RECENT_DRAINS captures every drained
+    # query's recentProgress. Multi-query entries (the wide join runs
+    # a chain) contribute every stage's batches to the distribution —
+    # each is a real trigger commit on the clock.
+    LATENCY = ["stream_daily_uv_window", "stream_order_wide_join",
+               "stream_incremental_agg_refresh"]
+
+    def latency_bench() -> dict[str, object]:
+        from realtime_data_warehouse_spark.streaming import (  # noqa: E402,PLC0415
+            runner as _runner,
+        )
+
+        out: dict[str, object] = {}
+        gc_hint()
+        load_sample("latency")
+        for name in LATENCY:
+            QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite").save()  # untimed: stages replay input
+            unpersist_all()
+            _runner.RECENT_DRAINS.clear()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite").save()
+            drains = [list(d) for d in _runner.RECENT_DRAINS]
+            unpersist_all()
+            durs = sorted(
+                float(p["durationMs"]["triggerExecution"])
+                for d in drains for p in d
+                if p.get("durationMs", {}).get("triggerExecution")
+                is not None)
+            if not durs:
+                continue
+
+            def pct(q: float) -> float:
+                return durs[min(len(durs) - 1, int(q * len(durs)))]
+
+            rows = sum(int(p.get("numInputRows", 0))
+                       for d in drains for p in d)
+            out[name] = {
+                "queries": len(drains),
+                "batches": len(durs),
+                "input_rows": rows,
+                "p50_ms": pct(0.50),
+                "p95_ms": pct(0.95),
+                "max_ms": durs[-1],
+                "within_5s_frac": round(
+                    sum(x <= 5000.0 for x in durs) / len(durs), 3),
+            }
+        return out
+
+    latency_timings = latency_bench()
+
     result = {
         "metric": "headline_queries_total_runtime",
         "value": round(sum(timings_raw.values()), 3),
@@ -562,6 +622,18 @@ def main() -> None:
             "level, one spike + one normal = box weather — the "
             "round-7 a6 drift was only adjudicable with a fresh A/B "
             "because these were not recorded"),
+        "latency": latency_timings,
+        "latency_note": (
+            "per-MICRO-BATCH trigger latency (source read -> state "
+            "update -> sink commit, durationMs.triggerExecution from "
+            "each drained query's progress log; one staged file = one "
+            "micro-batch under maxFilesPerTrigger=1) for a windowed "
+            "agg, a stateful join chain (every stage's batches "
+            "included), and the merge-table sink. within_5s_frac is "
+            "the fraction of batches inside the reference's 5-second "
+            "checkpoint SLO (BaseApp.java:30-33) — the per-batch "
+            "budget a 24/7 stream must meet, which drain throughput "
+            "alone cannot show"),
         "streaming_throughput": stream_timings,
         "streaming_note": (
             "stateful streams drained availableNow end-to-end with "

@@ -92,6 +92,18 @@ def pinned_shuffle(spark: SparkSession, n: int):
             spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+#: Per-drain micro-batch progress (round 11, the latency bench's
+#: feed): every completed run_available_now / run_foreach_batch drain
+#: appends its query's recentProgress list (one entry per micro-batch
+#: = one staged file under maxFilesPerTrigger=1). bench.py clears it,
+#: runs an entry, and reads per-batch trigger latencies — the
+#: reference's actual SLO (5 s checkpoint cadence, BaseApp.java:30-33)
+#: is a PER-BATCH budget that drain-throughput numbers cannot show.
+#: Bounded: callers clear it; a drain appends at most
+#: numRecentProgressUpdates (default 100) dicts.
+RECENT_DRAINS: list[list[dict]] = []
+
+
 def _await_drained(q, timeout_s: int) -> None:
     """awaitTermination(timeout) RETURNS (False) when the query is
     still running — callers that then read the output dir see a
@@ -100,7 +112,15 @@ def _await_drained(q, timeout_s: int) -> None:
     assertion read 3.08M of 5M rows mid-drain. A replay harness must
     never hand back partial results, so expiry now stops the query
     and raises instead of returning."""
-    if q.awaitTermination(timeout_s):
+    done = q.awaitTermination(timeout_s)
+    try:
+        import json as _json  # noqa: PLC0415
+        RECENT_DRAINS.append([_json.loads(p.json)
+                              for p in q.recentProgress])
+        del RECENT_DRAINS[:-50]  # bound: long sweeps drain hundreds
+    except Exception:  # noqa: BLE001  (progress is observability only)
+        pass
+    if done:
         return
     q.stop()
     q.awaitTermination(30)
