@@ -285,6 +285,50 @@ def _file_rows(path: str) -> int:
     return pq.ParquetFile(path).metadata.num_rows
 
 
+def _stat_jsonable(v):
+    """Footer min/max → manifest-storable scalar. Timestamps/dates go
+    to ISO strings (lexicographic order == chronological order, so
+    range pruning keeps working); bytes are not indexable."""
+    import datetime  # noqa: PLC0415
+
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, (int, float, str, bool)):
+        return v
+    return None
+
+
+def _file_footer(path: str, stats_cols) -> tuple[int, dict]:
+    """(row count, {col: [min, max]}) from ONE footer open — the
+    commit-time stats gather for manifest data skipping (round 11).
+    A column gets stats only if EVERY row group carries min/max
+    (else the envelope would silently under-cover and pruning would
+    drop matching rows)."""
+    import pyarrow.parquet as pq  # noqa: PLC0415
+
+    md = pq.ParquetFile(path).metadata
+    stats: dict[str, list] = {}
+    if stats_cols:
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        for c in stats_cols:
+            if c not in idx:
+                continue
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx[c]).statistics
+                if st is None or not st.has_min_max:
+                    mins = []
+                    break
+                mins.append(st.min)
+                maxs.append(st.max)
+            if mins:
+                lo = _stat_jsonable(min(mins))
+                hi = _stat_jsonable(max(maxs))
+                if lo is not None and hi is not None:
+                    stats[c] = [lo, hi]
+    return md.num_rows, stats
+
+
 def _tmp_owner_alive(tmp_name: str) -> bool:
     """True iff an in-flight ``.tmp-<pid>-<token>`` dir belongs to a
     LIVE process — recovery must not delete another writer's
@@ -372,6 +416,66 @@ def read_table(spark: SparkSession, table_dir: str,
             return spark.read.parquet(
                 *_resolve_manifest_paths(table_dir, files))
     return spark.read.parquet(table_dir)
+
+
+def stats_pruned_files(table_dir: str, col: str, lo=None,
+                       hi=None) -> tuple[list[str], int]:
+    """(files whose [min,max] envelope for ``col`` intersects
+    [lo, hi], total manifest files) — the manifest-stats data-skipping
+    evaluation for NON-key predicates on a bucketed merge table
+    (round 11 stretch; key predicates use point_lookup's exact hash
+    prune instead). Stats live IN the manifest (committed
+    transactionally with the files — never stale, unlike a sidecar
+    index), gathered from the same footer open that counts rows at
+    commit. Files without stats for the column are conservatively
+    kept, so pruning is an upper bound, exactly like an Iceberg
+    manifest evaluation.
+
+    Why this matters on a MERGE table: bucket files mix each key's
+    whole history, so a value-correlated column (e.g. ts) spans
+    widely — but CDC touches a SUBSET of buckets per window, so cold
+    buckets' max(ts) ages out and a recent-ts scan skips them. The
+    skip rate is the fraction of buckets untouched since ``lo``."""
+    meta_path = os.path.join(table_dir.rstrip("/"), _META)
+    if not os.path.exists(meta_path):
+        raise ValueError(f"{table_dir} is not a merge table (no {_META})")
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    files = meta.get("files") or []
+    fstats = meta.get("file_stats") or {}
+    keep = []
+    for f in files:
+        env = (fstats.get(f) or {}).get(col)
+        if env is None:
+            keep.append(f)  # no stats: conservatively kept
+            continue
+        fmin, fmax = env
+        if lo is not None and fmax < lo:
+            continue
+        if hi is not None and fmin > hi:
+            continue
+        keep.append(f)
+    return keep, len(files)
+
+
+def read_pruned(spark: SparkSession, table_dir: str, col: str,
+                lo=None, hi=None) -> DataFrame:
+    """Manifest-stats-pruned range read: open only the files
+    stats_pruned_files keeps, then apply the residual row filter
+    (the envelope is an upper bound, as with any manifest prune)."""
+    keep, _total = stats_pruned_files(table_dir, col, lo, hi)
+    pred = None
+    if lo is not None:
+        pred = F.col(col) >= F.lit(lo)
+    if hi is not None:
+        c = F.col(col) <= F.lit(hi)
+        pred = c if pred is None else (pred & c)
+    if not keep:
+        base = read_table(spark, table_dir).limit(0)
+        return base.filter(pred) if pred is not None else base
+    df = spark.read.parquet(
+        *_resolve_manifest_paths(table_dir.rstrip("/"), keep))
+    return df.filter(pred) if pred is not None else df
 
 
 def point_lookup(spark: SparkSession, table_dir: str,
@@ -469,7 +573,8 @@ class BucketedMergeTable:
                  n_buckets: int | None = None,
                  expected_rows: int | None = None,
                  target_rows_per_bucket: int | None = None,
-                 retain_versions: int | None = None):
+                 retain_versions: int | None = None,
+                 stats_cols: Sequence[str] | None = None):
         self.table_dir = table_dir.rstrip("/")
         self.keys = list(keys)
         os.makedirs(self.table_dir, exist_ok=True)
@@ -480,6 +585,8 @@ class BucketedMergeTable:
         self.columns = None
         self.fields = None
         self.file_rows: dict[str, int] = {}
+        self.file_stats: dict[str, dict] = {}
+        self.stats_cols: list[str] = list(stats_cols or [])
         self.version = 0
         self.n_buckets = 0  # recover() may need _append_ledger only
         self.recover()
@@ -536,7 +643,14 @@ class BucketedMergeTable:
         os.replace(tmp, self._ledger_path())
 
     # -- meta -------------------------------------------------------
-    def _meta_dict(self, files_rows: dict[str, int]) -> dict:
+    def _meta_dict(self, files_rows: dict[str, int],
+                   files_stats: dict[str, dict] | None = None) -> dict:
+        if files_stats is None:
+            # metadata-only commits (growth): every name survives a
+            # rename with its stats; retired/renamed names drop out
+            files_stats = {name: self.file_stats[name]
+                           for name in files_rows
+                           if name in self.file_stats}
         return {
             "version": self.version + 1,
             "n_buckets": self.n_buckets,
@@ -545,8 +659,10 @@ class BucketedMergeTable:
             "fields": self.fields,
             "target_rows_per_bucket": self.target_rows,
             "retain_versions": self.retain,
+            "stats_cols": self.stats_cols,
             "files": sorted(files_rows),
             "file_rows": files_rows,
+            "file_stats": files_stats,
         }
 
     def _load_meta(self, meta: dict) -> None:
@@ -554,7 +670,10 @@ class BucketedMergeTable:
         self.columns = meta.get("columns")
         self.fields = meta.get("fields")
         self.file_rows = dict(meta.get("file_rows") or {})
+        self.file_stats = dict(meta.get("file_stats") or {})
         self.version = int(meta.get("version") or 0)
+        if meta.get("stats_cols"):
+            self.stats_cols = list(meta["stats_cols"])
         if meta.get("target_rows_per_bucket"):
             self.target_rows = int(meta["target_rows_per_bucket"])
         if meta.get("retain_versions"):
@@ -1018,7 +1137,8 @@ class BucketedMergeTable:
                 raise
             fault("after_data_write")
 
-            moves, new_rows = self._stage_moves(tmp, tmp_rel, token)
+            moves, new_rows, new_stats = self._stage_moves(
+                tmp, tmp_rel, token)
             retire = [os.path.basename(f) for f in old_files]
             if self.file_rows:
                 files_rows = {name: rows
@@ -1030,12 +1150,16 @@ class BucketedMergeTable:
                     for p in _data_files(self.table_dir)
                     if os.path.basename(p) not in set(retire)}
             files_rows.update(new_rows)
+            files_stats = {name: self.file_stats[name]
+                           for name in files_rows
+                           if name in self.file_stats}
+            files_stats.update(new_stats)
             plan = {
                 "tmp": tmp_rel,
                 "moves": moves,
                 "retire": retire,
                 "ledger_batch": None,
-                "meta": self._meta_dict(files_rows),
+                "meta": self._meta_dict(files_rows, files_stats),
             }
             if self._commit(plan, fault, expected_version=self.version):
                 return len(write_buckets)
@@ -1046,11 +1170,16 @@ class BucketedMergeTable:
             f"{MAX_COMMIT_RETRIES} times in a row")
 
     def _stage_moves(self, tmp: str, tmp_rel: str, token: str):
-        """(moves, name→rows) for the bucket files a Spark job left
-        under ``tmp`` — shared by merge and compact."""
+        """(moves, name→rows, name→col stats) for the bucket files a
+        Spark job left under ``tmp`` — shared by merge and compact.
+        Row counts and column min/max come from ONE footer open per
+        file (no data pages), so manifest stats cost nothing extra at
+        commit time — the Delta/Iceberg per-file-stats-in-the-txn-log
+        design."""
         gen_tag = f"n{self.n_buckets:05d}"
         moves: list[tuple[str, str]] = []
         new_rows: dict[str, int] = {}
+        new_stats: dict[str, dict] = {}
         for bdir in sorted(_glob.glob(os.path.join(tmp, f"{_BCOL}=*"))):
             b = int(os.path.basename(bdir).split("=", 1)[1])
             for i, f in enumerate(
@@ -1060,8 +1189,11 @@ class BucketedMergeTable:
                     os.path.join(tmp_rel, os.path.basename(bdir),
                                  os.path.basename(f)),
                     dst))
-                new_rows[dst] = _file_rows(f)
-        return moves, new_rows
+                rows, stats = _file_footer(f, self.stats_cols)
+                new_rows[dst] = rows
+                if stats:
+                    new_stats[dst] = stats
+        return moves, new_rows, new_stats
 
     # -- merge ------------------------------------------------------
     def merge(self, batch: DataFrame,
@@ -1221,7 +1353,7 @@ class BucketedMergeTable:
             raise
         fault("after_data_write")
 
-        moves, new_rows = self._stage_moves(tmp, tmp_rel, token)
+        moves, new_rows, new_stats = self._stage_moves(tmp, tmp_rel, token)
         retire = [os.path.basename(f) for f in old_files]
         prev_cols, prev_fields = self.columns, self.fields
         self.columns, self.fields = out_cols, out_fields
@@ -1247,13 +1379,16 @@ class BucketedMergeTable:
             for name, rows in survivors.items()
         }
         files_rows.update(new_rows)
+        files_stats = {name: self.file_stats[name]
+                       for name in files_rows if name in self.file_stats}
+        files_stats.update(new_stats)
 
         plan = {
             "tmp": tmp_rel,
             "moves": moves,
             "retire": retire,
             "ledger_batch": str(batch_id) if ledgered else None,
-            "meta": self._meta_dict(files_rows),
+            "meta": self._meta_dict(files_rows, files_stats),
         }
         if not self._commit(plan, fault, expected_version=self.version):
             self.columns, self.fields = prev_cols, prev_fields

@@ -100,7 +100,8 @@ def _atomic_overwrite(df: DataFrame, table_dir: str) -> None:
 def upsert_batch(table_dir: str, keys: Sequence[str], order_col: str,
                  n_buckets: int | None = None,
                  expected_rows: int | None = None,
-                 target_rows_per_bucket: int | None = None):
+                 target_rows_per_bucket: int | None = None,
+                 stats_cols: Sequence[str] | None = None):
     """K5 — upsert-sink foreachBatch: new batch rows overwrite older
     rows with the same key (latest `order_col` wins), exactly the
     consumer-visible semantics of the reference's upsert-kafka topics.
@@ -120,6 +121,7 @@ def upsert_batch(table_dir: str, keys: Sequence[str], order_col: str,
         BucketedMergeTable(
             table_dir, keys, n_buckets, expected_rows=expected_rows,
             target_rows_per_bucket=target_rows_per_bucket,
+            stats_cols=stats_cols,
         ).merge(batch, merge)
 
     return fn
@@ -419,7 +421,8 @@ def scd2_merge_batch(table_dir: str, key_col: str,
                      version_col: str = "valid_from",
                      closed_col: str = "valid_to",
                      op_col: str = "typ",
-                     target_rows_per_bucket: int | None = None):
+                     target_rows_per_bucket: int | None = None,
+                     stats_cols: Sequence[str] | None = None):
     """SCD type-2 maintenance foreachBatch: each micro-batch of change
     rows (key, attrs…, valid_from, op) is merged into a version-history
     table — the streaming face of plans/analytics.scd2_dim_history,
@@ -462,6 +465,11 @@ def scd2_merge_batch(table_dir: str, key_col: str,
         BucketedMergeTable(
             table_dir, [key_col],
             target_rows_per_bucket=target_rows_per_bucket,
+            # manifest stats on the version column by default: the
+            # SCD2 history range-scan ("changes since ts") is exactly
+            # the query manifest data skipping serves (round 11)
+            stats_cols=(stats_cols if stats_cols is not None
+                        else [version_col]),
         ).merge(incoming, merge)
 
     return fn

@@ -1005,3 +1005,62 @@ def test_compact_migrates_grown_table_and_survives_kill(spark, tmp_path):
     after2 = {os.path.basename(p)
               for p in glob.glob(os.path.join(table2, "*.parquet"))}
     assert all("-n00008-" in n for n in after2)
+
+
+def test_manifest_stats_prune_skips_cold_buckets(spark, tmp_path):
+    """Round-11 stretch: per-file column min/max ride the manifest
+    (committed transactionally with the files — never stale, gathered
+    from the same footer open that counts rows), and read_pruned
+    skips every bucket file whose envelope misses the range. The
+    merge-table shape this serves: CDC touches a SUBSET of buckets
+    per window, so cold buckets' max(ts) ages out and a recent-ts
+    scan opens only the recently-touched files. Exact file-skip
+    counts pinned; stats survive growth and compaction commits."""
+    import json
+
+    from realtime_data_warehouse_spark.streaming.merge_table import (
+        BucketedMergeTable,
+        read_pruned,
+        read_table,
+        stats_pruned_files,
+    )
+
+    table = str(tmp_path / "t")
+
+    def merge(cur, rows):
+        from realtime_data_warehouse_spark.operators.state import (
+            latest_per_key,
+        )
+        merged = rows if cur is None else cur.unionByName(rows)
+        return latest_per_key(merged, ["k"], "ts")
+
+    t = BucketedMergeTable(table, ["k"], n_buckets=16, stats_cols=["ts"])
+    base = spark.range(200).select(
+        F.col("id").alias("k"), (F.col("id") % 10).cast("long").alias("ts"),
+        (F.col("id") * 2).alias("v"))
+    t.merge(base, merge)  # every bucket: ts in [0, 9]
+
+    # a later CDC batch touches exactly the buckets of 2 keys at ts 100
+    cdc = spark.createDataFrame([(7, 100, 700), (8, 100, 800)],
+                                "k long, ts long, v long")
+    t.merge(cdc, merge)
+    with open(os.path.join(table, "_table_meta.json")) as fh:
+        meta = json.load(fh)
+    hot_files = {f for f, st in meta["file_stats"].items()
+                 if st["ts"][1] >= 100}
+    assert 1 <= len(hot_files) <= 2, meta["file_stats"]
+
+    keep, total = stats_pruned_files(table, "ts", lo=50)
+    assert total == 16 and set(keep) == hot_files, \
+        "recent-ts scan must open only the CDC-touched bucket files"
+    got = {r.k: r.v for r in read_pruned(spark, table, "ts",
+                                         lo=50).collect()}
+    assert got == {7: 700, 8: 800}
+    # envelope is an upper bound: residual filter still applies
+    assert read_pruned(spark, table, "ts", lo=9, hi=9).count() == \
+        read_table(spark, table).filter("ts = 9").count()
+
+    # a disjoint range below every envelope prunes to nothing
+    keep0, _ = stats_pruned_files(table, "ts", lo=500)
+    assert keep0 == []
+    assert read_pruned(spark, table, "ts", lo=500).count() == 0
