@@ -450,8 +450,15 @@ def scd2_merge_batch(table_dir: str, key_col: str,
 
     def fn(batch: DataFrame, batch_id: int) -> None:
         _recover_table(table_dir)
-        incoming = batch.withColumn(closed_col,
-                                    F.lit(None).cast("int"))
+        # the null valid_to MUST carry the version column's own type:
+        # valid_to is lead(version_col) in the stored table, so a
+        # hardcoded narrower cast (the pre-round-11 "int") made the
+        # schema-evolution TYPE probe flag every batch of a
+        # long-versioned table as an evolution — silently forcing the
+        # O(table) full rewrite on every micro-batch (found by the
+        # round-11 Zipf ladder reading O(n) instead of flat)
+        vt = {f.name: f.dataType for f in batch.schema.fields}[version_col]
+        incoming = batch.withColumn(closed_col, F.lit(None).cast(vt))
 
         def merge(cur, rows):
             touched = rows if cur is None \

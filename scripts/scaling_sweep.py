@@ -1258,6 +1258,164 @@ def main() -> int:
         record("merge_scd2_zipf_hotkey", n, round(min(hot_secs), 3),
                hot_rows)
 
+    # ---- compaction (round 11): pre-paying split-on-touch --------------
+    # A growth event is metadata-only, so the table keeps old-
+    # generation files that each serve several current buckets: a
+    # 1-key Get reads the whole multi-bucket file, and the first CDC
+    # batch touching any child consumes the file whole and rewrites
+    # ALL its children (split-on-touch — paid at merge latency).
+    # optimize_table→compact rewrites every such bucket to one
+    # current-generation file at MAINTENANCE time. Measured here:
+    # per-Get read amplification (mean rows a 1-key lookup reads,
+    # from the manifest) and an 8-key CDC batch, before vs after
+    # compaction, plus the compaction cost itself. Build: two engine
+    # merges with target 100k so the LAST commit's growth leaves the
+    # files one generation behind the bucket count.
+    mc_sizes = [3_000_000] if quick else [10_000_000, 30_000_000]
+    if xl:
+        mc_sizes.append(100_000_000)
+    if sizes_override is not None:
+        mc_sizes = list(sizes_override)
+    if not want("merge_compact"):
+        mc_sizes = []
+    for n in mc_sizes:
+        import json as _json
+
+        from realtime_data_warehouse_spark.operators.maintenance import (
+            optimize_table,
+        )
+        from realtime_data_warehouse_spark.streaming.sinks import (
+            upsert_batch,
+        )
+
+        tdir = tempfile.mkdtemp(prefix=f"scal_mc_{n}_")
+        table = os.path.join(tdir, "t")
+        # size-relative target: the post-build growth always fires,
+        # leaving the files exactly one generation behind the bucket
+        # count — the same relative fragmentation at every ladder size
+        fn = upsert_batch(table, keys=["k"], order_col="ts",
+                          target_rows_per_bucket=max(25_000, n // 100))
+        half = n // 2
+        for b, (lo, hi) in enumerate(((0, half), (half, n))):
+            fn(spark.range(lo, hi).select(
+                F.col("id").alias("k"), F.lit(0).cast("long").alias("ts"),
+                (F.col("id") * 3).alias("v")), b)
+
+        def _manifest(table=table):
+            with open(os.path.join(table, "_table_meta.json")) as fh:
+                return _json.load(fh)
+
+        def _get_amp(meta) -> tuple[int, float, int]:
+            """(live files, mean rows a 1-key Get reads, old-gen
+            file count) from the manifest."""
+            import re as _re
+            nb = int(meta["n_buckets"])
+            per_bucket = [0] * nb
+            old = 0
+            for name, rows in meta["file_rows"].items():
+                m = _re.match(r"^b(\d{5})-n(\d{5})-", name)
+                if not m:
+                    continue
+                fid, gen = int(m.group(1)), int(m.group(2))
+                if gen < nb:
+                    old += 1
+                for child in range(fid, nb, gen):
+                    per_bucket[child] += rows
+            return (len(meta["file_rows"]),
+                    sum(per_bucket) / nb, old)
+
+        meta0 = _manifest()
+        files0, amp0, old0 = _get_amp(meta0)
+        assert old0 > 0, f"build must leave old-gen files at n={n}"
+
+        def cdc_pass(i: int) -> float:
+            cdc = spark.createDataFrame(
+                [(int(h * n / 9.0) + i, 10 + i, -1) for h in range(1, 9)],
+                "k long, ts long, v long")
+            t0 = time.perf_counter()
+            fn(cdc, 100 + i)
+            return time.perf_counter() - t0
+
+        # before: each batch pays split-on-touch on fresh buckets
+        pre = [cdc_pass(i) for i in range(2)]
+        t0 = time.perf_counter()
+        nrew = optimize_table(spark, table)
+        compact_sec = time.perf_counter() - t0
+        meta1 = _manifest()
+        files1, amp1, old1 = _get_amp(meta1)
+        assert old1 == 0, "compaction must migrate every old-gen file"
+        post = [cdc_pass(100 + i) for i in range(2)]
+        assert spark.read.parquet(table).count() == n
+        print(f"merge_compact n={n}: files {files0}->{files1}, "
+              f"get-amp {amp0:,.0f}->{amp1:,.0f} rows, old-gen "
+              f"{old0}->{old1}, rewrote {nrew} buckets in "
+              f"{compact_sec:.2f}s; 8-key CDC "
+              f"{min(pre):.2f}s pre / {min(post):.2f}s post")
+        shutil.rmtree(tdir, ignore_errors=True)
+        record("merge_compact", n, round(compact_sec, 3), nrew)
+        record("merge_cdc_split_on_touch", n, round(min(pre), 3), n)
+        record("merge_cdc_post_compact", n, round(min(post), 3), n)
+
+    # ---- manifest-stats pruning (round 11 stretch) ----------------------
+    # Per-file ts envelopes ride the manifest; a recent-ts scan opens
+    # only the CDC-touched bucket files. Measured: files and BYTES
+    # kept vs total, and the wall-clock of the pruned read vs the
+    # full-scan filter for the same predicate.
+    msp_sizes = [3_000_000] if quick else [10_000_000, 30_000_000]
+    if xl:
+        msp_sizes.append(100_000_000)
+    if sizes_override is not None:
+        msp_sizes = list(sizes_override)
+    if not want("merge_stats_prune"):
+        msp_sizes = []
+    for n in msp_sizes:
+        from realtime_data_warehouse_spark.streaming.merge_table import (
+            read_pruned,
+            read_table,
+            stats_pruned_files,
+        )
+        from realtime_data_warehouse_spark.streaming.sinks import (
+            upsert_batch,
+        )
+
+        tdir = tempfile.mkdtemp(prefix=f"scal_sp_{n}_")
+        table = os.path.join(tdir, "t")
+        fn = upsert_batch(table, keys=["k"], order_col="ts",
+                          stats_cols=["ts"])
+        half = n // 2
+        for b, (lo, hi) in enumerate(((0, half), (half, n))):
+            fn(spark.range(lo, hi).select(
+                F.col("id").alias("k"), F.lit(0).cast("long").alias("ts"),
+                (F.col("id") * 3).alias("v")), b)
+        cdc = spark.createDataFrame(
+            [(int(h * n / 9.0), 100, -1) for h in range(1, 9)],
+            "k long, ts long, v long")
+        fn(cdc, 2)
+
+        keep, total = stats_pruned_files(table, "ts", lo=50)
+        all_files, _ = stats_pruned_files(table, "ts")  # open range
+        kept_bytes = sum(os.path.getsize(os.path.join(table, f))
+                         for f in keep)
+        total_bytes = sum(os.path.getsize(os.path.join(table, f))
+                          for f in all_files)
+        pruned_best, full_best = float("inf"), float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            got_p = read_pruned(spark, table, "ts", lo=50).count()
+            pruned_best = min(pruned_best, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            got_f = read_table(spark, table).filter(
+                F.col("ts") >= 50).count()
+            full_best = min(full_best, time.perf_counter() - t0)
+        assert got_p == got_f == 8, (got_p, got_f)
+        print(f"merge_stats_prune n={n}: files {len(keep)}/{total}, "
+              f"bytes {kept_bytes:,}/{total_bytes:,} "
+              f"({kept_bytes / max(total_bytes, 1):.4f}), "
+              f"pruned {pruned_best:.3f}s vs full {full_best:.3f}s")
+        shutil.rmtree(tdir, ignore_errors=True)
+        record("merge_stats_prune", n, round(pruned_best, 3), len(keep))
+        record("merge_scan_unpruned", n, round(full_best, 3), total)
+
     # ---- point-lookup read amplification (round-10 stretch) ------------
     # The bucketed layout's read-side dividend: an 8-key Get against a
     # 64-bucket table opens ≤8 files (merge_table.point_lookup hashes
