@@ -1356,6 +1356,95 @@ def main() -> int:
         record("merge_cdc_split_on_touch", n, round(min(pre), 3), n)
         record("merge_cdc_post_compact", n, round(min(post), 3), n)
 
+    # ---- OCC contention (round 11): what concurrent writers cost -------
+    # Multi-writer arbitration is optimistic: writers overlap on the
+    # Spark merge work and serialize only the commit critical section
+    # (flock + version CAS); a lost race re-merges. This family
+    # measures the price: the SAME 8 disjoint-key CDC batches applied
+    # (a) serially by one writer and (b) by two concurrent writers
+    # (4 each) into identically-built tables. Conflicts are counted.
+    # Expected: concurrent ≲ serial (the Spark jobs overlap) with a
+    # small retry tax when commits collide.
+    mo_sizes = [3_000_000] if quick else [10_000_000]
+    if sizes_override is not None:
+        mo_sizes = list(sizes_override)
+    if not want("merge_occ"):
+        mo_sizes = []
+    for n in mo_sizes:
+        import threading
+
+        from realtime_data_warehouse_spark.operators.state import (
+            latest_per_key,
+        )
+        from realtime_data_warehouse_spark.streaming.merge_table import (
+            BucketedMergeTable,
+        )
+        from realtime_data_warehouse_spark.streaming.sinks import (
+            upsert_batch,
+        )
+
+        def occ_merge(cur, rows):
+            merged = rows if cur is None else cur.unionByName(rows)
+            return latest_per_key(merged, ["k"], "ts")
+
+        tdir = tempfile.mkdtemp(prefix=f"scal_mo_{n}_")
+        tables = {}
+        for mode in ("serial", "concurrent"):
+            table = os.path.join(tdir, mode)
+            fn = upsert_batch(table, keys=["k"], order_col="ts")
+            half = n // 2
+            for b, (lo, hi) in enumerate(((0, half), (half, n))):
+                fn(spark.range(lo, hi).select(
+                    F.col("id").alias("k"),
+                    F.lit(0).cast("long").alias("ts"),
+                    (F.col("id") * 3).alias("v")), b)
+            tables[mode] = table
+
+        def occ_batch(j: int):
+            return spark.createDataFrame(
+                [(int(h * n / 9.0) + j, 10 + j, -1) for h in range(1, 9)],
+                "k long, ts long, v long")
+
+        t0 = time.perf_counter()
+        for j in range(8):
+            BucketedMergeTable(tables["serial"], ["k"]).merge(
+                occ_batch(j), occ_merge, batch_id=f"s{j}", ledgered=True)
+        serial_sec = time.perf_counter() - t0
+
+        conflicts = [0, 0]
+        errs = []
+
+        def occ_writer(w: int):
+            try:
+                for j in range(w * 4, w * 4 + 4):
+                    t = BucketedMergeTable(tables["concurrent"], ["k"])
+                    t.merge(occ_batch(j), occ_merge,
+                            batch_id=f"c{j}", ledgered=True)
+                    conflicts[w] += t.conflicts_seen
+            except Exception as exc:  # noqa: BLE001
+                errs.append(exc)
+
+        t0 = time.perf_counter()
+        ws = [threading.Thread(target=occ_writer, args=(w,))
+              for w in (0, 1)]
+        for w in ws:
+            w.start()
+        for w in ws:
+            w.join()
+        conc_sec = time.perf_counter() - t0
+        assert not errs, errs
+        for mode in ("serial", "concurrent"):
+            got = spark.read.parquet(tables[mode]).filter(
+                F.col("v") < 0).count()
+            assert got == 64, f"{mode}: {got} of 64 upserts landed"
+        print(f"merge_occ n={n}: serial {serial_sec:.2f}s, "
+              f"2-writer concurrent {conc_sec:.2f}s, "
+              f"conflicts {sum(conflicts)}")
+        shutil.rmtree(tdir, ignore_errors=True)
+        record("merge_occ_serial", n, round(serial_sec, 3), 8)
+        record("merge_occ_concurrent", n, round(conc_sec, 3),
+               sum(conflicts))
+
     # ---- manifest-stats pruning (round 11 stretch) ----------------------
     # Per-file ts envelopes ride the manifest; a recent-ts scan opens
     # only the CDC-touched bucket files. Measured: files and BYTES

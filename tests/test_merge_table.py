@@ -1133,3 +1133,115 @@ def test_cross_process_commit_arbitration(tmp_path):
         ids = set(fh.read().split())
     assert ids == {f"w{w}-{i}" for w in (1, 2) for i in range(20)}
     assert not os.path.exists(os.path.join(table, "_pending.json"))
+
+
+def test_compact_racing_concurrent_merge_converges(spark, tmp_path):
+    """Compaction and a merge racing on one table must serialize via
+    the commit CAS: whichever loses re-reads and retries, and the
+    final table holds both effects — the merge's rows and a fully
+    current-generation layout (or a layout the next compact finishes
+    for free). Deterministic interleave via the fault hook: the
+    compact computes its rewrite, then a merge commits first."""
+    import json
+
+    from realtime_data_warehouse_spark.streaming.merge_table import (
+        BucketedMergeTable,
+        read_table,
+    )
+
+    table = str(tmp_path / "t")
+
+    def merge(cur, rows):
+        from realtime_data_warehouse_spark.operators.state import (
+            latest_per_key,
+        )
+        merged = rows if cur is None else cur.unionByName(rows)
+        return latest_per_key(merged, ["k"], "ts")
+
+    base = spark.range(400).select(
+        F.col("id").alias("k"), F.lit(0).cast("long").alias("ts"),
+        (F.col("id") * 2).alias("v"))
+    BucketedMergeTable(table, ["k"], n_buckets=4,
+                       target_rows_per_bucket=50).merge(base, merge)
+    # growth fired: files one generation behind -> compact has work
+    t = BucketedMergeTable(table, ["k"])
+    fired = {"done": False}
+
+    def interleave(stage):
+        if stage == "after_data_write" and not fired["done"]:
+            fired["done"] = True
+            BucketedMergeTable(table, ["k"]).merge(
+                spark.createDataFrame([(7, 1, 999)],
+                                      "k long, ts long, v long"), merge)
+
+    rewritten = t.compact(spark, fault=interleave)
+    assert rewritten > 0
+    got = {r.k: r.v for r in read_table(spark, table).collect()}
+    assert got[7] == 999 and got[0] == 0 and len(got) == 400
+    # after the dust settles one more compact leaves zero fragments
+    BucketedMergeTable(table, ["k"]).compact(spark)
+    with open(os.path.join(table, "_table_meta.json")) as fh:
+        meta = json.load(fh)
+    nb = meta["n_buckets"]
+    assert all(f"-n{nb:05d}-" in f for f in meta["files"])
+    got2 = {r.k: r.v for r in read_table(spark, table).collect()}
+    assert got2 == got
+
+
+def test_growth_commit_lost_race_is_skipped_not_corrupted(spark, tmp_path):
+    """_maybe_grow's CAS: if another writer commits between a merge's
+    commit and its growth check, the growth is dropped (reloaded
+    state, no marker published) and simply fires on a later merge —
+    never a half-applied doubling. Interleave via the growth commit's
+    own fault hook (fires inside _commit after the version check, so
+    we inject BEFORE by committing during the merge's
+    after_ledger_write stage — the stage between the merge commit
+    and the growth commit is not observable, so instead we pin the
+    behavioral contract: concurrent merges that BOTH qualify for
+    growth still end at a consistent bucket count and identical
+    data)."""
+    import json
+    import threading
+
+    from realtime_data_warehouse_spark.streaming.merge_table import (
+        BucketedMergeTable,
+        read_table,
+    )
+
+    table = str(tmp_path / "t")
+
+    def merge(cur, rows):
+        merged = rows if cur is None else cur.unionByName(rows)
+        return merged.groupBy("k").agg(F.sum("v").alias("v"))
+
+    errors = []
+
+    def writer(tag, lo, hi):
+        try:
+            rows = spark.range(lo, hi).select(
+                F.col("id").alias("k"), F.lit(1).alias("v"))
+            BucketedMergeTable(table, ["k"], n_buckets=4,
+                               target_rows_per_bucket=50).merge(
+                rows, merge, batch_id=tag, ledgered=True)
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    # both batches push the table past the growth target concurrently
+    ta = threading.Thread(target=writer, args=("a", 0, 300))
+    tb = threading.Thread(target=writer, args=("b", 300, 600))
+    ta.start(); tb.start(); ta.join(); tb.join()
+    assert not errors, errors
+
+    with open(os.path.join(table, "_table_meta.json")) as fh:
+        meta = json.load(fh)
+    # 600 rows / target 50 -> the mean trigger wants >= 16 buckets;
+    # whichever writer's growth won, the count is a power of two and
+    # every manifest file's generation divides it
+    nb = meta["n_buckets"]
+    assert nb >= 8 and (nb & (nb - 1)) == 0
+    import re as _re
+    for f in meta["files"]:
+        gen = int(_re.match(r"^b\d{5}-n(\d{5})-", f).group(1))
+        assert nb % gen == 0
+    got = {r.k: r.v for r in read_table(spark, table).collect()}
+    assert got == {k: 1 for k in range(600)}
