@@ -504,17 +504,14 @@ def main() -> None:
                "stream_incremental_agg_refresh"]
 
     def latency_bench() -> dict[str, object]:
+        from realtime_data_warehouse_spark.session import (  # noqa: E402,PLC0415
+            use_rocksdb_state,
+        )
         from realtime_data_warehouse_spark.streaming import (  # noqa: E402,PLC0415
             runner as _runner,
         )
 
-        out: dict[str, object] = {}
-        gc_hint()
-        load_sample("latency")
-        for name in LATENCY:
-            QUERIES[name](spark, sf_dir).write.format("noop").mode(
-                "overwrite").save()  # untimed: stages replay input
-            unpersist_all()
+        def one_run(name: str) -> dict | None:
             _runner.RECENT_DRAINS.clear()
             QUERIES[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite").save()
@@ -526,14 +523,14 @@ def main() -> None:
                 if p.get("durationMs", {}).get("triggerExecution")
                 is not None)
             if not durs:
-                continue
+                return None
 
             def pct(q: float) -> float:
                 return durs[min(len(durs) - 1, int(q * len(durs)))]
 
             rows = sum(int(p.get("numInputRows", 0))
                        for d in drains for p in d)
-            out[name] = {
+            return {
                 "queries": len(drains),
                 "batches": len(durs),
                 "input_rows": rows,
@@ -543,6 +540,28 @@ def main() -> None:
                 "within_5s_frac": round(
                     sum(x <= 5000.0 for x in durs) / len(durs), 3),
             }
+
+        out: dict[str, object] = {}
+        gc_hint()
+        load_sample("latency")
+        for name in LATENCY:
+            QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite").save()  # untimed: stages replay input
+            unpersist_all()
+            r = one_run(name)
+            if r is not None:
+                out[name] = r
+            # same distribution on the RocksDB store — the per-batch
+            # commit cost of the production state backend, which the
+            # drain-total *_rocksdb columns amortize away
+            gc_hint()
+            use_rocksdb_state(spark, True)
+            try:
+                r = one_run(name)
+                if r is not None:
+                    out[f"{name}_rocksdb"] = r
+            finally:
+                use_rocksdb_state(spark, False)
         return out
 
     latency_timings = latency_bench()

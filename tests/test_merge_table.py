@@ -1245,3 +1245,35 @@ def test_growth_commit_lost_race_is_skipped_not_corrupted(spark, tmp_path):
         assert nb % gen == 0
     got = {r.k: r.v for r in read_table(spark, table).collect()}
     assert got == {k: 1 for k in range(600)}
+
+
+def test_commit_lock_timeout_raises_instead_of_deadlocking(tmp_path):
+    """A writer wedged (alive, holding the flock, not finishing) must
+    not deadlock every other writer forever: acquisition gives up
+    after LOCK_TIMEOUT_S with a clear TimeoutError. Pure filesystem."""
+    import fcntl
+    import time as _time
+
+    from realtime_data_warehouse_spark.streaming import merge_table as MT
+
+    table = str(tmp_path / "t")
+    os.makedirs(table)
+    t = MT.BucketedMergeTable(table, ["k"], n_buckets=4)
+
+    # an external holder (same process, separate fd = separate lock
+    # owner) grabs the commit lock and never releases
+    fd = os.open(os.path.join(table, "_commit.lock"),
+                 os.O_CREAT | os.O_RDWR)
+    fcntl.flock(fd, fcntl.LOCK_EX)
+    old = MT.LOCK_TIMEOUT_S
+    MT.LOCK_TIMEOUT_S = 0.2
+    try:
+        t0 = _time.monotonic()
+        with pytest.raises(TimeoutError, match="commit lock"):
+            t.recover()
+        assert _time.monotonic() - t0 < 5
+    finally:
+        MT.LOCK_TIMEOUT_S = old
+        os.close(fd)
+    # holder gone (fd closed releases the flock): next acquisition wins
+    t.recover()
