@@ -174,7 +174,8 @@ def dim_upsert_batch(warehouse_dir: str, key_expr: str = "rowkey",
 def additive_merge_batch(table_dir: str, keys: Sequence[str],
                          sum_cols: Sequence[str], prepare=None,
                          merge_aggs: dict | None = None, fault=None,
-                         target_rows_per_bucket: int | None = None):
+                         target_rows_per_bucket: int | None = None,
+                         writer_id: str | None = None):
     """Continuous-aggregate maintenance sink: each micro-batch's rows
     are reduced to PARTIAL aggregates (`prepare`, e.g. a per-day
     tumble) and merged into the stored aggregate table by summation —
@@ -206,7 +207,15 @@ def additive_merge_batch(table_dir: str, keys: Sequence[str],
     the suite kills the query at each point on both state-store
     providers, restarts from the same checkpoint, and asserts the
     merged table equals the batch recompute — no double-apply, no
-    lost batch (tests/test_streaming.py)."""
+    lost batch (tests/test_streaming.py).
+
+    MULTI-WRITER note (round 11): the ledger namespace is per TABLE,
+    but foreachBatch batch ids are per QUERY — two different
+    streaming queries feeding one additive table would collide on
+    ids ("batch 0" from writer B would read as a replay of writer
+    A's batch 0 and silently skip). Pass a distinct ``writer_id``
+    per query to namespace the ledger ids (Delta's appId/txn
+    version discipline); single-query tables need nothing."""
     def fn(batch: DataFrame, batch_id: int) -> None:
         _recover_table(table_dir)
         partial = prepare(batch) if prepare is not None else batch
@@ -226,8 +235,10 @@ def additive_merge_batch(table_dir: str, keys: Sequence[str],
         BucketedMergeTable(
             table_dir, list(keys),
             target_rows_per_bucket=target_rows_per_bucket,
-        ).merge(partial, merge, batch_id=batch_id, ledgered=True,
-                fault=fault)
+        ).merge(partial, merge,
+                batch_id=(f"{writer_id}-{batch_id}" if writer_id
+                          else batch_id),
+                ledgered=True, fault=fault)
 
     return fn
 

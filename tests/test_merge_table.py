@@ -1277,3 +1277,45 @@ def test_commit_lock_timeout_raises_instead_of_deadlocking(tmp_path):
         os.close(fd)
     # holder gone (fd closed releases the flock): next acquisition wins
     t.recover()
+
+
+def test_additive_multiwriter_needs_writer_id_namespace(spark, tmp_path):
+    """Round 11: the additive sink's exactly-once ledger is per TABLE
+    but foreachBatch ids are per QUERY — two queries feeding one
+    table MUST namespace their ids via writer_id or the second
+    query's batch 0 reads as a replay of the first's and silently
+    skips. Both behaviors pinned: with writer_ids the sums include
+    every batch from both writers; without, the collision loses a
+    batch (the documented hazard, asserted so a future change that
+    silently alters ledger semantics fails here)."""
+    from realtime_data_warehouse_spark.streaming.sinks import (
+        additive_merge_batch,
+    )
+
+    rows = spark.createDataFrame([(k, 1) for k in range(20)],
+                                 "k long, v long")
+
+    # namespaced: writer A batch 0 + writer B batch 0 both apply
+    good = str(tmp_path / "good")
+    fa = additive_merge_batch(good, keys=["k"], sum_cols=["v"],
+                              writer_id="qa")
+    fb = additive_merge_batch(good, keys=["k"], sum_cols=["v"],
+                              writer_id="qb")
+    fa(rows, 0)
+    fb(rows, 0)
+    got = {r.k: r.v for r in spark.read.parquet(good).collect()}
+    assert got == {k: 2 for k in range(20)}
+    # replay within a writer still dedups
+    fa(rows, 0)
+    got = {r.k: r.v for r in spark.read.parquet(good).collect()}
+    assert got == {k: 2 for k in range(20)}
+
+    # un-namespaced collision: writer B's batch 0 is skipped
+    bad = str(tmp_path / "bad")
+    ga = additive_merge_batch(bad, keys=["k"], sum_cols=["v"])
+    gb = additive_merge_batch(bad, keys=["k"], sum_cols=["v"])
+    ga(rows, 0)
+    gb(rows, 0)
+    got = {r.k: r.v for r in spark.read.parquet(bad).collect()}
+    assert got == {k: 1 for k in range(20)}, \
+        "id collision must skip (the documented single-query contract)"
