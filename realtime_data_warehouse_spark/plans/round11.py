@@ -162,3 +162,68 @@ def scd2_changes_since(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return read_pruned(spark, table_dir, "valid_from", lo=1).select(
         "p_partkey", "p_size", "valid_from", "valid_to", "typ")
+
+
+@register(
+    "multiwriter_additive_sum",
+    oracle="""
+    SELECT l_suppkey,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_qty
+    FROM lineitem
+    GROUP BY l_suppkey
+    """,
+)
+def multiwriter_additive_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VERDICT r10 item 1's done-criterion on the driver-checked
+    surface: TWO interleaved writers (threads, each its own ledgered
+    additive sink with a distinct writer_id) push three disjoint
+    micro-batches each into ONE merge table, concurrently — and the
+    stored table must hash-match the serialized one-shot SQL
+    aggregate. The commit CAS serializes the six commits (losers
+    re-merge); sums ride DECIMAL through the sink so the result is
+    exact and interleaving-independent; the writer_id namespace keeps
+    the two queries' batch ids from colliding in the exactly-once
+    ledger. Any lost update, double-apply, or torn manifest breaks
+    the hash."""
+    import os as _os
+    import tempfile as _tempfile
+    import threading
+
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from ..streaming.merge_table import read_table
+    from ..streaming.sinks import additive_merge_batch
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_orderkey", "l_quantity")
+    rundir = _tempfile.mkdtemp(prefix="rdw_r11_mw_")
+    table = _os.path.join(rundir, "t")
+    errors: list[Exception] = []
+
+    def writer(w: int) -> None:
+        try:
+            fn = additive_merge_batch(
+                table, keys=["l_suppkey"], sum_cols=["sum_qty"],
+                writer_id=f"w{w}")
+            for i in range(3):
+                part = (
+                    li.filter(F.pmod(F.col("l_orderkey"), F.lit(6))
+                              == w * 3 + i)
+                    .groupBy("l_suppkey")
+                    .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                         .cast("decimal(38,2)").alias("sum_qty"))
+                )
+                fn(part, i)
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in (0, 1)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if errors:
+        raise errors[0]
+    return read_table(spark, table).select(
+        "l_suppkey", F.col("sum_qty").cast("double").alias("sum_qty"))
