@@ -674,7 +674,26 @@ def main() -> None:
     with open(full, "w") as fh:
         json.dump(result, fh, indent=1, sort_keys=True)
         fh.write("\n")
-    print(json.dumps(result))
+    # r12 measurement fix (VERDICT r11 item 6): the driver keeps only a
+    # ~2000-char stdout TAIL, so printing the full dict left
+    # BENCH_r{N}.json with parsed:null every round. Print a compact
+    # final line that carries the whole driver contract (metric /
+    # value / unit / per-query seconds / sf) plus the headline
+    # secondary metrics, and point at BENCH_FULL.json for the rest.
+    # Same numbers, same methodology — only the stdout framing changed.
+    compact = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": "sec",
+        "queries": timings_raw,
+        "sf": result["sf"],
+        "value_compacted": result["value_compacted"],
+        "compaction_sec": compaction_sec,
+        "latency_within_5s_frac": {
+            k: v["within_5s_frac"] for k, v in latency_timings.items()},
+        "full_artifact": "BENCH_FULL.json",
+    }
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -334,7 +334,15 @@ def _tmp_owner_alive(tmp_name: str) -> bool:
     LIVE process — recovery must not delete another writer's
     in-progress output (round 11). Legacy ``.tmp-<token>`` names (no
     pid segment) read as dead: they predate multi-writer and are
-    always orphans by the old single-writer contract."""
+    always orphans by the old single-writer contract.
+
+    SINGLE-HOST assumption (r12 ADVICE): the pid probe is only
+    meaningful for writers on this host — the whole commit protocol
+    (flock) already assumes one host per table dir. A recycled pid
+    (or PermissionError) reads as alive, so the sweep in
+    _recover_locked adds an age fallback: a .tmp dir untouched for
+    2x LOCK_TIMEOUT_S is removed regardless — no live writer holds
+    an in-flight dir longer than a lock timeout."""
     parts = tmp_name.split("-")
     if len(parts) < 3 or not parts[1].isdigit():
         return False
@@ -435,7 +443,15 @@ def stats_pruned_files(table_dir: str, col: str, lo=None,
     whole history, so a value-correlated column (e.g. ts) spans
     widely — but CDC touches a SUBSET of buckets per window, so cold
     buckets' max(ts) ages out and a recent-ts scan skips them. The
-    skip rate is the fraction of buckets untouched since ``lo``."""
+    skip rate is the fraction of buckets untouched since ``lo``.
+
+    Bound types: timestamp/date stats are stored as ISO strings
+    (_stat_jsonable — lexicographic == chronological), so datetime
+    bounds are normalized through the same function here (r12 ADVICE
+    fix: a datetime bound used to TypeError against the stored
+    strings); callers may equivalently pass ISO strings directly."""
+    lo = _stat_jsonable(lo) if lo is not None else None
+    hi = _stat_jsonable(hi) if hi is not None else None
     meta_path = os.path.join(table_dir.rstrip("/"), _META)
     if not os.path.exists(meta_path):
         raise ValueError(f"{table_dir} is not a merge table (no {_META})")
@@ -840,7 +856,17 @@ class BucketedMergeTable:
             os.remove(marker)
         for d in _glob.glob(os.path.join(self.table_dir, ".tmp-*")):
             if _tmp_owner_alive(os.path.basename(d)):
-                continue
+                # age fallback (r12 ADVICE fix): a recycled pid makes
+                # a dead writer's dir read as alive forever — an
+                # unbounded disk leak. No live writer keeps an
+                # in-flight tmp dir past a lock timeout, so anything
+                # older than 2x LOCK_TIMEOUT_S is an orphan.
+                try:
+                    age = time.time() - os.path.getmtime(d)
+                except OSError:
+                    continue  # vanished concurrently
+                if age <= 2 * LOCK_TIMEOUT_S:
+                    continue
             shutil.rmtree(d, ignore_errors=True)
 
     # -- commit (shared by merge and grow) --------------------------
@@ -1131,7 +1157,11 @@ class BucketedMergeTable:
                 shutil.rmtree(tmp, ignore_errors=True)
                 if any(s in str(exc) for s in (
                         "FileNotFound", "PATH_NOT_FOUND",
-                        "does not exist")):
+                        "does not exist")) and (
+                            self._disk_version() != self.version):
+                    # torn read under a real concurrent commit only
+                    # (r12 ADVICE fix — see the same guard in
+                    # _merge_once); unrelated missing files re-raise
                     self._reload_from_disk()
                     continue
                 raise
@@ -1348,8 +1378,12 @@ class BucketedMergeTable:
                                       "does not exist")):
                 # a concurrent commit retired a file we were reading
                 # mid-scan — a torn read; the reload+retry makes it a
-                # plain conflict
-                return False
+                # plain conflict. r12 ADVICE fix: only if the manifest
+                # version actually advanced — an unrelated missing
+                # file (e.g. a deleted upstream source of the batch)
+                # must surface, not silently re-merge 20 times.
+                if self._disk_version() != self.version:
+                    return False
             raise
         fault("after_data_write")
 

@@ -103,6 +103,13 @@ def pinned_shuffle(spark: SparkSession, n: int):
 #: numRecentProgressUpdates (default 100) dicts.
 RECENT_DRAINS: list[list[dict]] = []
 
+#: r12 ADVICE fix: concurrent drains (threaded streaming tests, a
+#: future parallel bench) could interleave appends with a reader's
+#: clear()/read and misattribute one query's progress to another run;
+#: all mutation goes through this lock. Readers that clear-then-read
+#: single-threaded (bench.py) are unaffected.
+_DRAINS_LOCK = __import__("threading").Lock()
+
 
 def _await_drained(q, timeout_s: int) -> None:
     """awaitTermination(timeout) RETURNS (False) when the query is
@@ -115,9 +122,10 @@ def _await_drained(q, timeout_s: int) -> None:
     done = q.awaitTermination(timeout_s)
     try:
         import json as _json  # noqa: PLC0415
-        RECENT_DRAINS.append([_json.loads(p.json)
-                              for p in q.recentProgress])
-        del RECENT_DRAINS[:-50]  # bound: long sweeps drain hundreds
+        progress = [_json.loads(p.json) for p in q.recentProgress]
+        with _DRAINS_LOCK:
+            RECENT_DRAINS.append(progress)
+            del RECENT_DRAINS[:-50]  # bound: long sweeps drain hundreds
     except Exception:  # noqa: BLE001  (progress is observability only)
         pass
     if done:
