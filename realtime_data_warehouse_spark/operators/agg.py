@@ -333,7 +333,8 @@ def gapfill_interp(buckets: DataFrame, bucket_col: str,
     )
 
 
-def two_pass_exact_quantile(df: DataFrame, value_col: str, q: float,
+def two_pass_exact_quantile(df: DataFrame, value_col: str,
+                            q: float | Sequence[float],
                             keys: Sequence[str] = (),
                             n_buckets: int = 1024) -> DataFrame:
     """Exact (discrete, lower-median convention) quantile per group
@@ -356,7 +357,15 @@ def two_pass_exact_quantile(df: DataFrame, value_col: str, q: float,
          bracket is ~0.1% of the table.
 
     Rank convention: k = (n+1)//2-style lower quantile —
-    k = ceil(q·n) 1-indexed, matching DuckDB quantile_disc."""
+    k = ceil(q·n) 1-indexed, matching DuckDB quantile_disc.
+
+    r12: `q` may be a SEQUENCE of quantiles — the min/max/count pass
+    and the histogram pass are q-INDEPENDENT, so k quantiles share
+    them instead of paying 2 extra scans each (guide §1.2 step 1:
+    remove unnecessary passes; sketch_quantile_error's three-q
+    certification dropped from 9 scans to 4). Multi-q output adds a
+    `q` column: (keys…, q, {value_col}_q), one row per (group, q);
+    the scalar form and its schema are byte-unchanged."""
     import math
 
     from pyspark.sql import Window
@@ -400,6 +409,51 @@ def two_pass_exact_quantile(df: DataFrame, value_col: str, q: float,
     for r in hist:
         per_group.setdefault(tuple(r[k] for k in keys), []).append(
             (r["__b"], r["c"]))
+
+    if not isinstance(q, (int, float)):
+        # multi-q branch: locate every (group, q) target in the SAME
+        # histogram, then one bracket pass ranks rows within each
+        # (group, bucket) and a broadcast join picks each target rank.
+        qs = [float(x) for x in q]
+        hits = []  # (group_key, q, bucket, remaining_rank)
+        for gk, bl in per_group.items():
+            n = bounds[gk][2]
+            sbl = sorted(bl)
+            for qq in qs:
+                want = max(1, math.ceil(qq * n))
+                below = 0
+                for b, c in sbl:
+                    if below + c >= want:
+                        hits.append((gk, qq, b, want - below))
+                        break
+                    below += c
+        cond = None
+        for gk, _qq, b, _kk in {(gk, None, b, None)
+                                for gk, _q2, b, _k2 in hits}:
+            gcond = F.col("__b") == F.lit(b)
+            for kcol, kval in zip(keys, gk):
+                gcond = gcond & (F.col(kcol) == F.lit(kval))
+            cond = gcond if cond is None else (cond | gcond)
+        tgt = df.sparkSession.createDataFrame(
+            [tuple(gk) + (qq, int(b), int(kk)) for gk, qq, b, kk in hits],
+            schema=df.select(*[F.col(k) for k in keys]).schema.add(
+                "q", "double").add("__tb", "long").add("__tk", "long"),
+        )
+        ranked = (
+            df.withColumn("__b", bexpr).filter(cond)
+            .withColumn("__rn", F.row_number().over(
+                (Window.partitionBy(*keys, "__b") if keys
+                 else Window.partitionBy("__b")).orderBy(v)))
+        )
+        joined = ranked.join(
+            F.broadcast(tgt),
+            [*(ranked[k] == tgt[k] for k in keys),
+             ranked["__b"] == tgt["__tb"], ranked["__rn"] == tgt["__tk"]],
+        )
+        return joined.select(
+            *[ranked[k] for k in keys], tgt["q"],
+            v.alias(f"{value_col}_q"))
+
     targets = {}  # group -> (bucket, remaining_rank)
     for gk, bl in per_group.items():
         n = bounds[gk][2]

@@ -162,10 +162,21 @@ def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: ground truth is probe-bounded (broadcast probes × one
     corpus scan); every config's candidates come from the same bucket
     equi-joins lsh_topk runs — no new join shape."""
+    from ..cache import persisted
+
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 10)
-    brute = S.brute_force_topk(emb, queries, k=5, rank_rounded=True).select(
-        "query_id", "neighbor_id")
+    # r12 (guide §1.2 step 1 — don't recompute what you already have):
+    # `brute` is referenced by all six config subplans below, and
+    # Catalyst re-executes repeated subtrees — the exact brute-force
+    # scoring pass (corpus × probes HOF dot products + top-k window)
+    # ran SIX times inside the one union plan. A lazy tracked persist
+    # collapses the six executions onto one InMemoryRelation (released
+    # via cache.unpersist_all between grading queries); results are
+    # plan-identical rows, so the oracle hash is untouched.
+    brute = persisted(S.brute_force_topk(
+        emb, queries, k=5, rank_rounded=True).select(
+        "query_id", "neighbor_id"))
 
     def bucketed(df, idc, out, bits=8, offset=0):
         return df.select(

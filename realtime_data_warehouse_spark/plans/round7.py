@@ -142,12 +142,16 @@ def sketch_quantile_error(spark: SparkSession, sf_dir: str) -> DataFrame:
               for r in li.join(F.broadcast(ests_df), "l_returnflag")
               .groupBy("l_returnflag").agg(*aggs).collect()}
 
-    # pass 3 — the exact quantile (two_pass: histogram + bracket)
+    # pass 3 — the exact quantiles. r12: ONE multi-q two_pass call —
+    # the min/max/count and histogram scans are q-independent, so the
+    # three quantiles share them (9 scans → 4; guide §1.2 step 1).
+    # Values are identical to three scalar calls: same histogram, same
+    # rank convention, same bracket rows.
     exact_of = {}
-    for q in _QS:
-        for r in two_pass_exact_quantile(
-                li, "l_extendedprice", q, keys=["l_returnflag"]).collect():
-            exact_of[(r["l_returnflag"], q)] = float(r["l_extendedprice_q"])
+    for r in two_pass_exact_quantile(
+            li, "l_extendedprice", list(_QS),
+            keys=["l_returnflag"]).collect():
+        exact_of[(r["l_returnflag"], r["q"])] = float(r["l_extendedprice_q"])
 
     rows = []
     for flag, n in sorted(n_of.items()):

@@ -77,6 +77,20 @@ def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFra
     return df
 
 
+#: fan_out result cache (r12, guide §1.2 step 2 — per-call work):
+#: `df.rdd.getNumPartitions()` converts the plan to an RDD in the JVM
+#: (analysis + physical planning + py4j round trips) on EVERY call,
+#: and registry queries call fan_out on the same session-cached
+#: load_table DataFrames constantly — a pure plan-build tax of
+#: ~0.1 s/call that a bench of 60+ queries × 3 passes pays hundreds
+#: of times. The decision (and the derived DataFrame, immutable like
+#: load_table's) is memoized per (source DataFrame, target). Weak
+#: keys: entries die with their session's table cache.
+_FAN_OUT_CACHE: "weakref.WeakKeyDictionary[DataFrame, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def fan_out(df: DataFrame, parts: int | None = None) -> DataFrame:
     """Round-robin re-split of an under-partitioned scan before
     CPU-heavy map work (tokenize/shingle/hash/Arrow-UDF stages).
@@ -95,9 +109,16 @@ def fan_out(df: DataFrame, parts: int | None = None) -> DataFrame:
     and an unconditional repartition would just add a wasted shuffle
     of the full input."""
     target = parts or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
-        return df
-    return df.repartition(target)
+    try:
+        per_df = _FAN_OUT_CACHE.setdefault(df, {})
+    except TypeError:  # un-weakref-able subclass: fall through uncached
+        per_df = {}
+    got = per_df.get(target)
+    if got is not None:
+        return got
+    out = df if df.rdd.getNumPartitions() >= target else df.repartition(target)
+    per_df[target] = out
+    return out
 
 
 def load_tables(spark: SparkSession, sf_dir: str,

@@ -446,6 +446,28 @@ def test_two_pass_exact_quantile_matches_sort(spark):
         gotg = two_pass_exact_quantile(df, "x", q, n_buckets=32).collect()
         assert gotg[0]["x_q"] == allv[k - 1]
 
+    # r12 multi-q form: one histogram, k quantiles — must equal the
+    # scalar calls value-for-value (grouped and global), including a
+    # case where two quantiles land in the SAME bucket (0.90/0.91).
+    qs = [0.1, 0.5, 0.9, 0.91]
+    got_multi = {
+        (r["g"], r["q"]): r["x_q"]
+        for r in two_pass_exact_quantile(
+            df, "x", qs, keys=["g"], n_buckets=32).collect()
+    }
+    assert len(got_multi) == 3 * len(qs)
+    for g in ("0", "1", "2"):
+        vals = sorted(r.x for r in rows if r.g == g)
+        for q in qs:
+            k = max(1, math.ceil(q * len(vals)))
+            assert got_multi[(g, q)] == vals[k - 1], (g, q)
+    got_g = {r["q"]: r["x_q"] for r in two_pass_exact_quantile(
+        df, "x", qs, n_buckets=32).collect()}
+    allv = sorted(r.x for r in rows)
+    for q in qs:
+        k = max(1, math.ceil(q * len(allv)))
+        assert got_g[q] == allv[k - 1], q
+
 
 def test_gapfill_interp_linear_and_edge_fallback(spark):
     """gapfill_interp: interior holes get the straight-line value
