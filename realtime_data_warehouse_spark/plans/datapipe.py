@@ -1060,13 +1060,19 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigram head) fits a broadcast, dropping one exchange. The
     per-doc rollup reuses the doc_id key. No UDFs anywhere — the
     whole chain is codegen'd expressions."""
+    from ..cache import persisted
     from ..functions.tokenize import tokenize
 
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     toked = docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
 
     idx = F.sequence(F.lit(1), F.size("toks") - 1)
-    bi = (
+    # r12 (guide §1.2 step 1): `bi` feeds the bigram-count rollup AND
+    # the final per-bigram join, `uni` feeds the vocab count AND the
+    # unigram join — without persists the interpreted tokenize +
+    # explode pass re-executed once per reference (4 tokenizations of
+    # the corpus per run). Lazy tracked persists collapse each to one.
+    bi = persisted(
         toked.filter(F.size("toks") >= 2)
         .select(
             "doc_id",
@@ -1080,7 +1086,7 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "g.w1", "g.w2")
     )
-    uni = (
+    uni = persisted(
         toked.select(F.explode("toks").alias("w"))
         .groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
     )

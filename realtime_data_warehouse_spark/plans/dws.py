@@ -283,19 +283,26 @@ def a6_latest_per_key_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     matches the oracle's CASE expression."""
     orders = load_table(spark, sf_dir, "orders")
     amount = F.col("o_totalprice").cast("decimal(14,2)")
-    base = orders.select(
+    # r12 (guide §1.2 step 1): the v1∪v2 upsert stream used to union
+    # two scans of orders (the single-row-group scan is 1-core, so the
+    # second scan is pure serial cost); generating both images from
+    # ONE scan via a version explode emits the identical row set —
+    # every key a v1, %20 keys additionally a v2 with amount+100 —
+    # into the same latest_per_key kernel. Oracle unchanged.
+    upserts = orders.select(
         F.col("o_orderkey").alias("id"),
         F.col("o_orderstatus").alias("status"),
         amount.alias("amount"),
-        F.lit(1).alias("version"),
+        F.explode(
+            F.when(F.col("o_orderkey") % 20 == 0, F.array(F.lit(1), F.lit(2)))
+            .otherwise(F.array(F.lit(1)))
+        ).alias("version"),
+    ).withColumn(
+        "amount",
+        F.when(F.col("version") == 2, F.col("amount") + 100)
+        .otherwise(F.col("amount")),
     )
-    v2 = orders.filter(F.col("o_orderkey") % 20 == 0).select(
-        F.col("o_orderkey").alias("id"),
-        F.col("o_orderstatus").alias("status"),
-        (amount + 100).alias("amount"),
-        F.lit(2).alias("version"),
-    )
-    latest = latest_per_key(base.unionByName(v2), ["id"], "version")
+    latest = latest_per_key(upserts, ["id"], "version")
     return latest.groupBy("status").agg(
         F.sum("amount").cast("double").alias("sum_amount"),
         F.count(F.lit(1)).alias("row_ct"),
