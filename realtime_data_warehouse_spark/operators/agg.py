@@ -24,6 +24,7 @@ finals, same as Flink's windowAll pre-aggregated by `reduce`.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame, Window
@@ -333,6 +334,93 @@ def gapfill_interp(buckets: DataFrame, bucket_col: str,
     )
 
 
+def quantile_bucket_expr(value_col: str, bounds: dict, keys: Sequence[str],
+                         n_buckets: int = 1024) -> Column:
+    """Per-group equi-width bucket id for the two-pass exact quantile:
+    nested WHENs select each group's own (lo, hi) bounds. `bounds`
+    maps group-key tuple → (lo, hi, n) — the stats-scan output. Shared
+    by the histogram and bracket passes (the filter must reuse the
+    IDENTICAL expression so no float-boundary row falls between them)
+    and exposed so callers can ride their own aggregates on the same
+    scans (see two_pass_exact_quantile docstring)."""
+    keys = list(keys)
+    v = F.col(value_col).cast("double")
+
+    def bucket_expr(lo: float, hi: float):
+        span = (hi - lo) or 1.0
+        return F.least(F.lit(n_buckets - 1),
+                       F.floor((v - F.lit(lo)) / F.lit(span)
+                               * F.lit(n_buckets)).cast("long"))
+
+    if not keys:
+        lo, hi, _n = bounds[()]
+        return bucket_expr(lo, hi)
+    bexpr = None
+    for gk, (lo, hi, _n) in bounds.items():
+        cond = None
+        for kcol, kval in zip(keys, gk):
+            c = F.col(kcol) == F.lit(kval)
+            cond = c if cond is None else (cond & c)
+        be = bucket_expr(lo, hi)
+        bexpr = be if bexpr is None else F.when(cond, be).otherwise(bexpr)
+        # build nested whens so each group uses its own bounds
+    return F.lit(0).cast("long") if bexpr is None else bexpr
+
+
+def quantile_multi_bracket(df: DataFrame, value_col: str,
+                           qs: Sequence[float], keys: Sequence[str],
+                           n_buckets: int, bounds: dict,
+                           per_group: dict) -> DataFrame:
+    """Bracket pass of the multi-quantile two-pass plan: locate every
+    (group, q) target rank in the driver-held histogram (`per_group`:
+    group → [(bucket, count)]), scan ONLY the target buckets, rank
+    within (group, bucket) and broadcast-join each target rank out.
+    Factored from two_pass_exact_quantile so callers that merged their
+    own aggregates into the stats/histogram scans reuse the identical
+    bracket logic (same rank convention, same bucket expression)."""
+    keys = list(keys)
+    v = F.col(value_col).cast("double")
+    bexpr = quantile_bucket_expr(value_col, bounds, keys, n_buckets)
+    hits = []  # (group_key, q, bucket, remaining_rank)
+    for gk, bl in per_group.items():
+        n = bounds[gk][2]
+        sbl = sorted(bl)
+        for qq in qs:
+            want = max(1, math.ceil(qq * n))
+            below = 0
+            for b, c in sbl:
+                if below + c >= want:
+                    hits.append((gk, qq, b, want - below))
+                    break
+                below += c
+    cond = None
+    for gk, _qq, b, _kk in {(gk, None, b, None)
+                            for gk, _q2, b, _k2 in hits}:
+        gcond = F.col("__b") == F.lit(b)
+        for kcol, kval in zip(keys, gk):
+            gcond = gcond & (F.col(kcol) == F.lit(kval))
+        cond = gcond if cond is None else (cond | gcond)
+    tgt = df.sparkSession.createDataFrame(
+        [tuple(gk) + (qq, int(b), int(kk)) for gk, qq, b, kk in hits],
+        schema=df.select(*[F.col(k) for k in keys]).schema.add(
+            "q", "double").add("__tb", "long").add("__tk", "long"),
+    )
+    ranked = (
+        df.withColumn("__b", bexpr).filter(cond)
+        .withColumn("__rn", F.row_number().over(
+            (Window.partitionBy(*keys, "__b") if keys
+             else Window.partitionBy("__b")).orderBy(v)))
+    )
+    joined = ranked.join(
+        F.broadcast(tgt),
+        [*(ranked[k] == tgt[k] for k in keys),
+         ranked["__b"] == tgt["__tb"], ranked["__rn"] == tgt["__tk"]],
+    )
+    return joined.select(
+        *[ranked[k] for k in keys], tgt["q"],
+        v.alias(f"{value_col}_q"))
+
+
 def two_pass_exact_quantile(df: DataFrame, value_col: str,
                             q: float | Sequence[float],
                             keys: Sequence[str] = (),
@@ -365,11 +453,14 @@ def two_pass_exact_quantile(df: DataFrame, value_col: str,
     remove unnecessary passes; sketch_quantile_error's three-q
     certification dropped from 9 scans to 4). Multi-q output adds a
     `q` column: (keys…, q, {value_col}_q), one row per (group, q);
-    the scalar form and its schema are byte-unchanged."""
-    import math
+    the scalar form and its schema are byte-unchanged.
 
-    from pyspark.sql import Window
-
+    The three stages are exposed as module helpers
+    (`quantile_bucket_expr`, `quantile_multi_bracket`) so a caller
+    that already scans the data for its own aggregates can RIDE the
+    stats/histogram scans instead of re-reading (guide §1.2 step 1;
+    sketch_quantile_error merges its sketch and conditional-count
+    aggregates into these scans, 5 scans → 3)."""
     keys = list(keys)
     gb = lambda d: d.groupBy(*keys) if keys else d.groupBy()  # noqa: E731
 
@@ -379,27 +470,7 @@ def two_pass_exact_quantile(df: DataFrame, value_col: str,
     bounds = {tuple(r[k] for k in keys): (r["lo"], r["hi"], r["n"])
               for r in stats}
 
-    def bucket_expr(lo: float, hi: float):
-        span = (hi - lo) or 1.0
-        return F.least(F.lit(n_buckets - 1),
-                       F.floor((v - F.lit(lo)) / F.lit(span)
-                               * F.lit(n_buckets)).cast("long"))
-
-    # pass 1 — per-group histogram (single scan, bounded output)
-    if keys:
-        bexpr = None
-        for gk, (lo, hi, _n) in bounds.items():
-            cond = None
-            for kcol, kval in zip(keys, gk):
-                c = F.col(kcol) == F.lit(kval)
-                cond = c if cond is None else (cond & c)
-            be = bucket_expr(lo, hi)
-            bexpr = be if bexpr is None else F.when(cond, be).otherwise(bexpr)
-            # build nested whens so each group uses its own bounds
-        bexpr = F.lit(0).cast("long") if bexpr is None else bexpr
-    else:
-        lo, hi, _n = bounds[()]
-        bexpr = bucket_expr(lo, hi)
+    bexpr = quantile_bucket_expr(value_col, bounds, keys, n_buckets)
     hist = (
         df.withColumn("__b", bexpr)
         .groupBy(*keys, "__b").agg(F.count(F.lit(1)).alias("c"))
@@ -411,48 +482,9 @@ def two_pass_exact_quantile(df: DataFrame, value_col: str,
             (r["__b"], r["c"]))
 
     if not isinstance(q, (int, float)):
-        # multi-q branch: locate every (group, q) target in the SAME
-        # histogram, then one bracket pass ranks rows within each
-        # (group, bucket) and a broadcast join picks each target rank.
-        qs = [float(x) for x in q]
-        hits = []  # (group_key, q, bucket, remaining_rank)
-        for gk, bl in per_group.items():
-            n = bounds[gk][2]
-            sbl = sorted(bl)
-            for qq in qs:
-                want = max(1, math.ceil(qq * n))
-                below = 0
-                for b, c in sbl:
-                    if below + c >= want:
-                        hits.append((gk, qq, b, want - below))
-                        break
-                    below += c
-        cond = None
-        for gk, _qq, b, _kk in {(gk, None, b, None)
-                                for gk, _q2, b, _k2 in hits}:
-            gcond = F.col("__b") == F.lit(b)
-            for kcol, kval in zip(keys, gk):
-                gcond = gcond & (F.col(kcol) == F.lit(kval))
-            cond = gcond if cond is None else (cond | gcond)
-        tgt = df.sparkSession.createDataFrame(
-            [tuple(gk) + (qq, int(b), int(kk)) for gk, qq, b, kk in hits],
-            schema=df.select(*[F.col(k) for k in keys]).schema.add(
-                "q", "double").add("__tb", "long").add("__tk", "long"),
-        )
-        ranked = (
-            df.withColumn("__b", bexpr).filter(cond)
-            .withColumn("__rn", F.row_number().over(
-                (Window.partitionBy(*keys, "__b") if keys
-                 else Window.partitionBy("__b")).orderBy(v)))
-        )
-        joined = ranked.join(
-            F.broadcast(tgt),
-            [*(ranked[k] == tgt[k] for k in keys),
-             ranked["__b"] == tgt["__tb"], ranked["__rn"] == tgt["__tk"]],
-        )
-        return joined.select(
-            *[ranked[k] for k in keys], tgt["q"],
-            v.alias(f"{value_col}_q"))
+        return quantile_multi_bracket(
+            df, value_col, [float(x) for x in q], keys, n_buckets,
+            bounds, per_group)
 
     targets = {}  # group -> (bucket, remaining_rank)
     for gk, bl in per_group.items():

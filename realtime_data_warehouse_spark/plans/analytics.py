@@ -542,8 +542,18 @@ def corr_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     last ulps, which a value-hash check can't tolerate. One map-side
     partial agg per group; the six power sums travel as one row per
     group, so this scales like any sum (the same trick
-    label_centroids uses for embedding sums)."""
-    li = load_table(spark, sf_dir, "lineitem")
+    label_centroids uses for embedding sums).
+
+    r12: fan_out before the aggregate — the six decimal power sums
+    (incl. three decimal multiplies) are CPU-heavy map work that a
+    single-row-group scan would run on one core; the round-robin
+    exchange carries only the 3 referenced columns (pruning passes
+    through it) and is a no-op on a multi-file table. Measured
+    (min-of-5 interleaved): 1.98 → 1.10 s at sf0.1."""
+    from ..sources.batch import fan_out
+
+    li = fan_out(load_table(spark, sf_dir, "lineitem")
+                 .select("l_returnflag", "l_quantity", "l_extendedprice"))
     q, p = F.col("l_quantity"), F.col("l_extendedprice")
     sums = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),

@@ -141,6 +141,10 @@ def dwd_trade_order_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     rid = (F.col("l_orderkey") * 100 + F.col("l_linenumber")).alias("id")
     price = F.col("l_extendedprice").cast("decimal(12,2)")
     disc = (F.lit(1) - F.col("l_discount")).cast("decimal(3,2)")
+    # r12 measured dead end (do not retry): fan_out on the probe side
+    # read 1.06 s vs 0.96 s plain — the wide-row output materialization
+    # after the three broadcast probes dominates, and the added
+    # round-robin exchange of 600k detail rows buys nothing.
     detail = li.select(
         rid,
         F.col("l_orderkey").alias("order_id"),

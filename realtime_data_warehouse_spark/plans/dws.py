@@ -49,7 +49,12 @@ def dws_sku_order_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     (DwsTradeSkuOrderWindow.java:124-156, dim chain :72-122). The dim
     join runs *after* aggregation — same cardinality trick as the
     reference (enrich aggregates, not raw facts) — and part is
-    broadcast, so enrichment adds zero shuffles."""
+    broadcast, so enrichment adds zero shuffles.
+
+    r12 measured dead end (do not retry): fan_out before the tumble
+    read neutral-to-worse in an interleaved A/B (plain 1.68 s vs
+    fan_out 1.75 min-of-5) — the (partkey, day) partial agg barely
+    collapses, so the extra exchange pays for no parallel-map win."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     price = F.col("l_extendedprice").cast("decimal(12,2)")
@@ -99,8 +104,14 @@ def dws_province_order_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DwsTradeProvinceOrderWindow (A3+J5): distinct-order-set count +
     amount per province (DwsTradeProvinceOrderWindow.java:117-162),
     province dim = customer→nation→region snowflake chain, each hop
-    broadcast (dims are tiny vs the fact)."""
-    orders = load_table(spark, sf_dir, "orders")
+    broadcast (dims are tiny vs the fact).
+
+    r12: fan_out on the fact side — the three broadcast probes and the
+    distinct-agg partials otherwise run on the single scan core under
+    a one-row-group layout; no-op on multi-file tables."""
+    from ..sources.batch import fan_out
+
+    orders = fan_out(load_table(spark, sf_dir, "orders"))
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")

@@ -75,7 +75,13 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     — weights summed decimal-exact — so the ordered cumulative pass
     runs over distinct prices only; weighted quantiles this way cost
     one pre-agg shuffle plus one bounded window sort, with no
-    sort of raw facts anywhere."""
+    sort of raw facts anywhere.
+
+    r12 measured dead end (do not retry): fan_out before the pre-agg
+    read 1.27 s vs 1.13 s plain — (group, price) partials barely
+    collapse (price is near-unique), so the round-robin exchange
+    duplicates the groupBy's own full shuffle instead of buying
+    parallel map work."""
     li = load_table(spark, sf_dir, "lineitem")
     pw = (
         li.groupBy(F.col("l_returnflag"),

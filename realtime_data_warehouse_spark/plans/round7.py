@@ -99,58 +99,83 @@ def sketch_quantile_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     9 count pairs + 9 exact values), same contract as
     two_pass_exact_quantile/kmeans_train.
 
-    Scale: three scans total (sketch agg, conditional-count agg, and
-    two_pass's histogram+bracket passes) — all map-side partials, no
-    full-data shuffle; at 100 TB this is the cheap certification that
-    amortizes over every subsequent sketch query."""
-    from ..operators.agg import two_pass_exact_quantile
+    Scale: THREE scans total (r12, guide §1.2 step 1 — ride every
+    q-independent aggregate on a shared scan; was 5): (1) sketch +
+    group sizes + the exact-quantile min/max bounds in one aggregate;
+    (2) the exact-quantile histogram + the conditional counts around
+    each estimate in one aggregate (the per-(group, bucket) rows
+    carry the lt/le partials, summed per group driver-side — ≤
+    |groups|·n_buckets rows, model-parameter-sized); (3) the bracket
+    pass, via the same agg.quantile_multi_bracket the public two-pass
+    operator composes (identical bucket expression, identical rank
+    convention, so exact_q is byte-unchanged). All map-side partials,
+    no full-data shuffle; at 100 TB this is the cheap certification
+    that amortizes over every subsequent sketch query."""
+    from ..operators.agg import quantile_bucket_expr, quantile_multi_bracket
 
     li = load_table(spark, sf_dir, "lineitem")
     v = F.col("l_extendedprice").cast("double")
 
-    # pass 1 — the sketch under test + exact group sizes (one scan)
+    # scan 1 — the sketch under test + exact group sizes + the
+    # two-pass quantile's min/max bounds (one aggregate)
     stats = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
         F.approx_percentile(
             v, F.array(*[F.lit(q) for q in _QS]), F.lit(_ACCURACY)
         ).alias("ests"),
+        F.min(v).alias("lo"),
+        F.max(v).alias("hi"),
+        # count(v), not count(*): the two-pass rank convention counts
+        # non-null values (identical here — no nulls — but kept exact)
+        F.count(v).alias("nv"),
     ).collect()
     n_of = {r["l_returnflag"]: r["n"] for r in stats}
     est_of = {(r["l_returnflag"], q): float(r["ests"][i])
               for r in stats for i, q in enumerate(_QS)}
+    bounds = {(r["l_returnflag"],): (r["lo"], r["hi"], r["nv"])
+              for r in stats}
 
-    # pass 2 — exact conditional counts around each estimate (one
-    # scan, 6 aggregates). The per-group estimates ride in as a
-    # BROADCAST-joined frame, not a chained CASE expression: expression
-    # depth stays O(1) in the number of groups, so the same gate is
-    # reusable on a high-cardinality key without blowing up the plan
-    # (round-7 verdict item: the CASE chain was O(groups) deep).
+    # scan 2 — the exact-quantile histogram AND the conditional
+    # counts around each estimate, one aggregate keyed
+    # (group, bucket). The estimates ride in as a BROADCAST-joined
+    # frame, not a chained CASE expression: expression depth stays
+    # O(1) in the number of groups (round-7 verdict item); the lt/le
+    # sums come back as per-bucket partials and fold per group on the
+    # driver — same totals as the old dedicated scan.
     ests_df = spark.createDataFrame(
         [(flag,) + tuple(est_of[(flag, q)] for q in _QS)
          for flag in sorted(n_of)],
         "l_returnflag string, " + ", ".join(
             f"e{int(q * 100)} double" for q in _QS),
     )
-    aggs = []
+    aggs = [F.count(F.lit(1)).alias("c")]
     for q in _QS:
         e = F.col(f"e{int(q * 100)}")
         aggs.append(F.sum((v < e).cast("long"))
                     .alias(f"lt_{int(q * 100)}"))
         aggs.append(F.sum((v <= e).cast("long"))
                     .alias(f"le_{int(q * 100)}"))
-    counts = {r["l_returnflag"]: r
-              for r in li.join(F.broadcast(ests_df), "l_returnflag")
-              .groupBy("l_returnflag").agg(*aggs).collect()}
+    bexpr = quantile_bucket_expr("l_extendedprice", bounds,
+                                 ["l_returnflag"])
+    hist = (li.join(F.broadcast(ests_df), "l_returnflag")
+            .withColumn("__b", bexpr)
+            .groupBy("l_returnflag", "__b").agg(*aggs).collect())
+    per_group: dict[tuple, list] = {}
+    counts: dict[str, dict] = {}
+    for r in hist:
+        per_group.setdefault((r["l_returnflag"],), []).append(
+            (r["__b"], r["c"]))
+        acc = counts.setdefault(r["l_returnflag"], {})
+        for q in _QS:
+            for p in ("lt", "le"):
+                k = f"{p}_{int(q * 100)}"
+                acc[k] = acc.get(k, 0) + r[k]
 
-    # pass 3 — the exact quantiles. r12: ONE multi-q two_pass call —
-    # the min/max/count and histogram scans are q-independent, so the
-    # three quantiles share them (9 scans → 4; guide §1.2 step 1).
-    # Values are identical to three scalar calls: same histogram, same
-    # rank convention, same bracket rows.
+    # scan 3 — the bracket pass (shared two-pass machinery)
     exact_of = {}
-    for r in two_pass_exact_quantile(
-            li, "l_extendedprice", list(_QS),
-            keys=["l_returnflag"]).collect():
+    for r in quantile_multi_bracket(
+            li, "l_extendedprice", list(_QS), ["l_returnflag"],
+            1024, bounds, per_group).collect():
         exact_of[(r["l_returnflag"], r["q"])] = float(r["l_extendedprice_q"])
 
     rows = []

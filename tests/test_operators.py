@@ -468,6 +468,34 @@ def test_two_pass_exact_quantile_matches_sort(spark):
         k = max(1, math.ceil(q * len(allv)))
         assert got_g[q] == allv[k - 1], q
 
+    # r12 staged form: a caller composing the exposed stages itself
+    # (own stats scan → own histogram scan → quantile_multi_bracket,
+    # the scan-merging path sketch_quantile_error rides) must
+    # reproduce two_pass_exact_quantile value-for-value.
+    from pyspark.sql import functions as FF
+
+    from realtime_data_warehouse_spark.operators.agg import (
+        quantile_bucket_expr,
+        quantile_multi_bracket,
+    )
+
+    v = FF.col("x").cast("double")
+    stats = df.groupBy("g").agg(FF.min(v).alias("lo"),
+                                FF.max(v).alias("hi"),
+                                FF.count(v).alias("n")).collect()
+    bounds = {(r["g"],): (r["lo"], r["hi"], r["n"]) for r in stats}
+    bexpr = quantile_bucket_expr("x", bounds, ["g"], 32)
+    per_group: dict = {}
+    for r in (df.withColumn("__b", bexpr).groupBy("g", "__b")
+              .agg(FF.count(FF.lit(1)).alias("c")).collect()):
+        per_group.setdefault((r["g"],), []).append((r["__b"], r["c"]))
+    got_staged = {
+        (r["g"], r["q"]): r["x_q"]
+        for r in quantile_multi_bracket(
+            df, "x", qs, ["g"], 32, bounds, per_group).collect()
+    }
+    assert got_staged == got_multi
+
 
 def test_gapfill_interp_linear_and_edge_fallback(spark):
     """gapfill_interp: interior holes get the straight-line value
