@@ -248,6 +248,12 @@ def hll_error_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_partkey").alias("xp"),
         F.approx_count_distinct("l_partkey", _RSD).alias("ap"),
     )
+    # r12 measured dead end (do not retry): unpivoting ONE 4-agg
+    # aggregate with stack() — on the theory that the union re-executes
+    # the subtree — read 2.25 s vs this form's 1.30 (min-of-5
+    # interleaved). Column pruning splits the union into two LIGHTER
+    # aggregates (each Expand covers one distinct column), which beats
+    # a single wide multi-distinct Expand.
 
     def side(key_col: str, exact: str, approx: str) -> DataFrame:
         return base.select(

@@ -39,6 +39,33 @@ def test_minhash_lsh_equals_exact_jaccard(spark, sf_small):
     assert exact == lsh
 
 
+def test_minhash_lsh_join_equals_exact_fuzzy_join(spark, sf_small):
+    """r12: the cross-corpus banded path (minhash_lsh_join, the
+    decontaminate_neardup candidate generator) must equal the exact
+    PPJoin cross-table path (fuzzy_set_join over the same cohort
+    split) pair-for-pair and value-for-value — two physical paths,
+    one result, same discipline as test_minhash_lsh_equals_exact."""
+    docs = load_table(spark, sf_small, "documents")
+    bench_pred = F.col("doc_id") % 13 == 0
+    post = D.gram_postings(docs)
+    tp = post.filter(~bench_pred).select(
+        F.col("doc_id").alias("train_id"), "s", "sz")
+    bp = post.filter(bench_pred).select(
+        F.col("doc_id").alias("bench_id"), "s", "sz")
+    exact = {(r.train_id, r.bench_id, r.jaccard)
+             for r in D.fuzzy_set_join(
+                 None, None, "train_id", "bench_id", threshold=0.8,
+                 left_postings=tp, right_postings=bp).collect()}
+    sh = D.with_shingles(docs.select("doc_id", "text"), "text", 2,
+                         drop_empty=True).select("doc_id", "shingles")
+    train = sh.filter(~bench_pred).withColumnRenamed("doc_id", "train_id")
+    bench = sh.filter(bench_pred).withColumnRenamed("doc_id", "bench_id")
+    banded = {(r.train_id, r.bench_id, r.jaccard)
+              for r in D.minhash_lsh_join(
+                  train, bench, "train_id", "bench_id", 0.8).collect()}
+    assert exact == banded
+
+
 def test_minhash_signature_matches_expression_variant(spark):
     """The numpy minhash kernel must be bit-identical to the
     independent pure-expression implementation (same coefficient
