@@ -405,8 +405,9 @@ def decontaminate_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.001/0.01, value-hash A/B at sf0.1). Before, the PPJoin prefix
     path paid a multi-million-row candidate join on this corpus's
     ~931-gram vocabulary (the prefix prunes nothing when every
-    posting list is huge): 4.4 → 1.9 s at sf0.1. The exact PPJoin
-    cross-table path stays first-class as fuzzy_join_parts."""
+    posting list is huge): 5.40 → 2.14 s at sf0.1, min-of-5
+    interleaved, 21 → 10 jobs. The exact PPJoin cross-table path
+    stays first-class as fuzzy_join_parts."""
     from ..cache import persisted
 
     docs = fan_out(load_table(spark, sf_dir, "documents"))
