@@ -52,6 +52,165 @@ HEADLINE = [
 ]
 
 
+#: per-micro-batch trigger-latency section: windowed agg, stream-stream
+#: join chain, merge-table sink. One staged file is one micro-batch
+#: (maxFilesPerTrigger=1 is the read discipline); runner.RECENT_DRAINS
+#: captures every drained query's recentProgress, and multi-query
+#: entries (the wide join runs a chain) contribute every stage's
+#: batches — each is a real trigger commit on the clock.
+LATENCY = ["stream_daily_uv_window", "stream_order_wide_join",
+           "stream_incremental_agg_refresh"]
+
+
+def run_latency_bench(spark, sf_dir: str) -> dict:
+    """Per-micro-batch trigger latency (durationMs.triggerExecution:
+    source read → state update → sink commit) for the LATENCY shapes,
+    on both state stores, plus the RocksDB wide-join TRIGGER-SIZING
+    ladder (r13, VERDICT r12 item 4): when the 3-slice staging misses
+    the 5 s SLO on RocksDB, re-stage the same replay at more slices
+    (smaller per-trigger batches — the deployment's
+    maxFilesPerTrigger/rate-limit knob) until frac ≥ 0.8, and state
+    the largest honest batch size that holds it."""
+    from realtime_data_warehouse_spark.session import (  # noqa: PLC0415
+        use_rocksdb_state,
+    )
+    from realtime_data_warehouse_spark.streaming import (  # noqa: PLC0415
+        runner as _runner,
+    )
+
+    def gc_hint() -> None:
+        import gc  # noqa: PLC0415
+
+        gc.collect()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:  # noqa: BLE001
+            pass
+
+    def one_run(name: str) -> dict | None:
+        _runner.RECENT_DRAINS.clear()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite").save()
+        drains = [list(d) for d in _runner.RECENT_DRAINS]
+        unpersist_all()
+        durs = sorted(
+            float(p["durationMs"]["triggerExecution"])
+            for d in drains for p in d
+            if p.get("durationMs", {}).get("triggerExecution")
+            is not None)
+        if not durs:
+            return None
+
+        def pct(q: float) -> float:
+            return durs[min(len(durs) - 1, int(q * len(durs)))]
+
+        rows = sum(int(p.get("numInputRows", 0))
+                   for d in drains for p in d)
+        return {
+            "queries": len(drains),
+            "batches": len(durs),
+            "input_rows": rows,
+            "p50_ms": pct(0.50),
+            "p95_ms": pct(0.95),
+            "max_ms": durs[-1],
+            "within_5s_frac": round(
+                sum(x <= 5000.0 for x in durs) / len(durs), 3),
+        }
+
+    out: dict = {}
+    for name in LATENCY:
+        gc_hint()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite").save()  # untimed: stages replay input
+        unpersist_all()
+        r = one_run(name)
+        if r is not None:
+            out[name] = r
+        # same distribution on the RocksDB store — the per-batch
+        # commit cost of the production state backend, which the
+        # drain-total *_rocksdb columns amortize away
+        gc_hint()
+        use_rocksdb_state(spark, True)
+        try:
+            r = one_run(name)
+            if r is not None:
+                out[f"{name}_rocksdb"] = r
+        finally:
+            use_rocksdb_state(spark, False)
+
+    # RocksDB wide-join trigger-sizing ladder (only when the default
+    # staging misses the SLO — the ladder is the honest statement of
+    # the batch size at which the production store holds it)
+    wj = out.get("stream_order_wide_join_rocksdb")
+    if wj is not None and wj["within_5s_frac"] < 0.8:
+        n_detail = spark.read.parquet(
+            os.path.join(sf_dir, "lineitem.parquet")).count()
+        ladder = [dict(slices=3, rows_per_trigger=-(-n_detail // 3), **{
+            k: wj[k] for k in ("batches", "p50_ms", "within_5s_frac")})]
+        for slices in (6, 12, 24):
+            os.environ["SPARK_GRAFT_OWJ_SLICES"] = str(slices)
+            try:
+                gc_hint()
+                use_rocksdb_state(spark, True)
+                try:
+                    QUERIES["stream_order_wide_join"](
+                        spark, sf_dir).write.format("noop").mode(
+                        "overwrite").save()  # untimed staging pass
+                    unpersist_all()
+                    r = one_run("stream_order_wide_join")
+                finally:
+                    use_rocksdb_state(spark, False)
+            finally:
+                os.environ.pop("SPARK_GRAFT_OWJ_SLICES", None)
+            if r is None:
+                break
+            ladder.append(dict(
+                slices=slices, rows_per_trigger=-(-n_detail // slices),
+                **{k: r[k] for k in ("batches", "p50_ms",
+                                     "within_5s_frac")}))
+            if r["within_5s_frac"] >= 0.8:
+                break
+        holds = [e for e in ladder if e["within_5s_frac"] >= 0.8]
+        out["stream_order_wide_join_rocksdb_ladder"] = {
+            "ladder": ladder,
+            "max_rows_per_trigger_frac80": (
+                max(e["rows_per_trigger"] for e in holds) if holds
+                else None),
+            "note": ("RocksDB 4-way join chain vs the 5 s per-batch "
+                     "SLO at decreasing trigger sizes (re-staged "
+                     "time-slices of the same replay; smaller "
+                     "per-trigger files = the deployment's "
+                     "maxFilesPerTrigger / rate-limit knob). "
+                     "max_rows_per_trigger_frac80 is the largest "
+                     "measured detail-stream batch that holds "
+                     "within_5s_frac >= 0.8 on this box."),
+        }
+    return out
+
+
+def _latency_main(out_path: str) -> None:
+    """--latency-json entry: fresh-session latency measurement (the
+    bench main() runs this in a subprocess so the SLO metric is not
+    distorted by ~110 queries of session aging — VERDICT r12 item 5)."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("rdw-bench-latency")
+    tune_for_scale(spark)
+    # minimal engine warm-up: executor + Python worker pool + parquet
+    # reader, same discipline as main()'s untimed init
+    import pandas as pd  # noqa: F401,PLC0415
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    _noop = F.pandas_udf(lambda s: s, "long")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    spark.range(0, 10_000, 1, cpus).select(_noop("id").alias("v")).write \
+        .format("noop").mode("overwrite").save()
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    out = run_latency_bench(spark, sf_dir)
+    with open(out_path, "w") as fh:
+        json.dump(out, fh)
+    spark.stop()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -170,40 +329,68 @@ def main() -> None:
                    section: str = "headline") -> dict[str, float]:
         return run_family(HEADLINE, data_dir, passes, section=section)
 
-    # Pass 1 — the driver's own layout, untouched (one row group per
-    # table): what the grader's environment actually serves.
-    timings_raw = run_passes(sf_dir)
+    # Diagnostic pass — the driver's own layout, untouched (one row
+    # group per table): what the grader's environment serves BEFORE
+    # table maintenance runs. Kept as its own series so the r11/r12
+    # as-served numbers stay round-over-round comparable.
+    timings_raw = run_passes(sf_dir, section="headline_as_served")
 
-    # Ingest compaction (one-time, cost REPORTED in the JSON): the
-    # driver's parquet is written as ONE row group per table, and
-    # parquet scans cannot split inside a row group, so every query's
-    # scan stage would run on one core regardless of cluster width —
-    # a storage-layout artifact, not an engine property. A real lake
-    # deployment maintains exactly this compaction on ingest (small-
-    # file/row-group compaction is standard table maintenance). Data
-    # is byte-identical, only re-laid-out; correctness gates still run
-    # on the original files.
+    # Table maintenance (r13, VERDICT r12 item 1 — cost REPORTED in
+    # the JSON, never folded into query time): the driver's parquet is
+    # written as ONE row group per table, and parquet scans cannot
+    # split inside a row group, so on the as-served layout every scan
+    # runs on one core regardless of cluster width — a storage-layout
+    # artifact, not an engine property (the r12 scaling block measured
+    # 8 cores beating 32 on all 21 headline queries because of it).
+    # The engine's own maintenance verb (operators/maintenance.
+    # maintain_table) evaluates its fragmentation trigger per table
+    # and compacts only what the trigger flags; data is byte-identical,
+    # only re-laid-out, and correctness gates still run on the
+    # original files. The PRIMARY headline series below measures this
+    # maintained layout — the state a real deployment keeps its tables
+    # in — with the as-served series kept as the diagnostic column.
+    import shutil  # noqa: PLC0415
     import tempfile  # noqa: PLC0415
 
+    from realtime_data_warehouse_spark.operators.maintenance import (  # noqa: E402,PLC0415
+        maintain_table,
+    )
     from realtime_data_warehouse_spark.schemas import TESTDATA_TABLES  # noqa: E402,PLC0415
 
-    t_compact = time.perf_counter()
-    compacted = tempfile.mkdtemp(prefix="rdw_bench_compact_")
+    def _link_or_copy(src: str, dst: str) -> None:
+        try:
+            os.link(src, dst)  # zero-copy when same filesystem
+        except OSError:
+            shutil.copy2(src, dst)
+
+    # stage the served files into a writable warehouse (untimed: this
+    # reproduces "the tables as ingested"; the maintenance pass is
+    # what's timed)
+    maintained = tempfile.mkdtemp(prefix="rdw_bench_maint_")
     for t in TESTDATA_TABLES:
         src = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(src):
-            spark.read.parquet(src).repartition(cpus).write.mode(
-                "overwrite"
-            ).parquet(os.path.join(compacted, f"{t}.parquet"))
+        if not os.path.exists(src):
+            continue
+        dst = os.path.join(maintained, f"{t}.parquet")
+        if os.path.isdir(src):
+            shutil.copytree(src, dst, copy_function=_link_or_copy)
+        else:
+            os.makedirs(dst)
+            _link_or_copy(src, os.path.join(dst, "part-00000.parquet"))
+
+    t_compact = time.perf_counter()
+    maintenance_files: dict[str, int] = {}
+    for t in TESTDATA_TABLES:
+        dst = os.path.join(maintained, f"{t}.parquet")
+        if os.path.exists(dst):
+            maintenance_files[t] = maintain_table(spark, dst)
     compaction_sec = round(time.perf_counter() - t_compact, 3)
 
-    # Pass 2 — the maintained-table layout a real lake deployment
-    # keeps compacted on ingest. Both series go in the JSON; the
-    # PRIMARY "value" is the driver's layout exactly as served (no
-    # self-chosen re-layout), the compacted series is the clearly
-    # labeled secondary metric, and compaction cost stays its own
-    # field, never folded into either.
-    timings_compacted = run_passes(compacted, section="headline_compacted")
+    # PRIMARY headline series — the maintained-table layout the
+    # engine's own scheduled maintenance keeps (VERDICT r12 item 1
+    # flipped the primary from as-served to maintained; the swap and
+    # both series are documented in OPTIMIZATION_r13.md).
+    timings_main = run_passes(maintained, section="headline")
 
     # Skew stress — the testdata keys are uniform, so the headline
     # numbers never pressure the skew machinery; this section does.
@@ -265,7 +452,7 @@ def main() -> None:
                     spark.conf.set(k, v)
         return out
 
-    skew_timings = skew_bench(compacted)
+    skew_timings = skew_bench(maintained)
 
     # Round-4 analytics family (funnel / retention / anomaly / SCD2 /
     # passage dedup) — timed on the as-served layout and reported as
@@ -487,105 +674,65 @@ def main() -> None:
         stream_timings[name] = {"sec": round(best, 3), "input_rows": n_in,
                                 "rows_per_sec": int(n_in / best)}
 
-    # Micro-batch LATENCY (round 11, VERDICT item 5): the reference is
-    # a *real-time* warehouse whose SLO is a 5-second checkpoint
-    # cadence (BaseApp.java:30-33) — a PER-BATCH budget. The drain
-    # numbers above measure throughput; this section records the
-    # per-micro-batch trigger latency distribution (source read →
-    # state update → sink commit, durationMs.triggerExecution) for
-    # three representative stateful shapes: windowed agg,
-    # stream-stream join chain, and the merge-table sink. One staged
-    # file is one micro-batch (maxFilesPerTrigger=1 is the read
-    # discipline), and runner.RECENT_DRAINS captures every drained
-    # query's recentProgress. Multi-query entries (the wide join runs
-    # a chain) contribute every stage's batches to the distribution —
-    # each is a real trigger commit on the clock.
-    LATENCY = ["stream_daily_uv_window", "stream_order_wide_join",
-               "stream_incremental_agg_refresh"]
+    # Micro-batch LATENCY (round 11, VERDICT item 5; isolation r13,
+    # VERDICT r12 item 5): the reference is a *real-time* warehouse
+    # whose SLO is a 5-second checkpoint cadence (BaseApp.java:30-33)
+    # — a PER-BATCH budget. Through r12 this section ran at the END of
+    # a ~110-query session, and session aging (persist debris, JVM
+    # heap fragmentation, codegen caches) distorted the one SLO metric
+    # the bench reports (committed r12: wide-join p50 7.9 s aged vs
+    # 3.1-3.5 s fresh, same code). It now runs in a FRESH subprocess
+    # session — same interpreter, env, core count and sf — so the
+    # metric measures the engine, not the bench's session history.
+    import subprocess  # noqa: PLC0415
 
-    def latency_bench() -> dict[str, object]:
-        from realtime_data_warehouse_spark.session import (  # noqa: E402,PLC0415
-            use_rocksdb_state,
-        )
-        from realtime_data_warehouse_spark.streaming import (  # noqa: E402,PLC0415
-            runner as _runner,
-        )
-
-        def one_run(name: str) -> dict | None:
-            _runner.RECENT_DRAINS.clear()
-            QUERIES[name](spark, sf_dir).write.format("noop").mode(
-                "overwrite").save()
-            drains = [list(d) for d in _runner.RECENT_DRAINS]
-            unpersist_all()
-            durs = sorted(
-                float(p["durationMs"]["triggerExecution"])
-                for d in drains for p in d
-                if p.get("durationMs", {}).get("triggerExecution")
-                is not None)
-            if not durs:
-                return None
-
-            def pct(q: float) -> float:
-                return durs[min(len(durs) - 1, int(q * len(durs)))]
-
-            rows = sum(int(p.get("numInputRows", 0))
-                       for d in drains for p in d)
-            return {
-                "queries": len(drains),
-                "batches": len(durs),
-                "input_rows": rows,
-                "p50_ms": pct(0.50),
-                "p95_ms": pct(0.95),
-                "max_ms": durs[-1],
-                "within_5s_frac": round(
-                    sum(x <= 5000.0 for x in durs) / len(durs), 3),
-            }
-
-        out: dict[str, object] = {}
-        gc_hint()
-        load_sample("latency")
-        for name in LATENCY:
-            QUERIES[name](spark, sf_dir).write.format("noop").mode(
-                "overwrite").save()  # untimed: stages replay input
-            unpersist_all()
-            r = one_run(name)
-            if r is not None:
-                out[name] = r
-            # same distribution on the RocksDB store — the per-batch
-            # commit cost of the production state backend, which the
-            # drain-total *_rocksdb columns amortize away
-            gc_hint()
-            use_rocksdb_state(spark, True)
-            try:
-                r = one_run(name)
-                if r is not None:
-                    out[f"{name}_rocksdb"] = r
-            finally:
-                use_rocksdb_state(spark, False)
-        return out
-
-    latency_timings = latency_bench()
+    load_sample("latency")
+    lat_path = os.path.join(tempfile.mkdtemp(prefix="rdw_bench_lat_"),
+                            "latency.json")
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__),
+         "--latency-json", lat_path],
+        stdout=subprocess.DEVNULL,
+    )
+    if proc.returncode == 0 and os.path.exists(lat_path):
+        with open(lat_path) as fh:
+            latency_timings = json.load(fh)
+        latency_timings["session"] = "fresh (isolated subprocess)"
+    else:  # keep the metric rather than lose it; mark it aged
+        latency_timings = run_latency_bench(spark, sf_dir)
+        latency_timings["session"] = "aged-fallback (subprocess failed)"
 
     result = {
         "metric": "headline_queries_total_runtime",
-        "value": round(sum(timings_raw.values()), 3),
+        "value": round(sum(timings_main.values()), 3),
         "unit": "sec",
-        "queries": timings_raw,
+        "queries": timings_main,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "layout": "driver layout as-served (single row group per table)",
+        "layout": ("maintained (engine table-maintenance lifecycle: "
+                   "operators/maintenance.maintain_table fragmentation "
+                   "trigger; maintenance cost = compaction_sec, never "
+                   "folded into query time)"),
         "headline_note": (
-            "round-5 comparability break, in the HONEST direction: "
-            "tracked persists are now released between every timed "
-            "execution, so min-of-3 is the true cold-plan number — "
-            "through round 4 later passes could ride cached blocks "
-            "from pass 1 (e.g. dedup_minhash_lsh's shared shingle "
-            "pass), understating steady-state cost. Same machine, "
-            "same queries: ~1-2 s of the round-4 headline was "
-            "cache-riding, not execution."),
+            "r13 measurement change (VERDICT r12 item 1, documented in "
+            "OPTIMIZATION_r13.md): the PRIMARY series now measures the "
+            "maintained-table layout the engine's scheduled maintenance "
+            "keeps; the driver's as-served single-row-group layout — "
+            "the primary through r12 — stays in queries_as_served/"
+            "value_as_served, same methodology (min-of-3, noop sink, "
+            "tracked persists released between passes)."),
         "compaction_sec": compaction_sec,
-        "value_compacted": round(sum(timings_compacted.values()), 3),
-        "queries_compacted": timings_compacted,
-        "layout_compacted": "one-time ingest compaction (see docstring)",
+        "maintenance_files": maintenance_files,
+        "maintenance_note": (
+            "per-table files written by maintain_table (0 = the "
+            "fragmentation trigger judged the layout healthy and no "
+            "Spark job ran); staging the served files into the "
+            "writable warehouse is untimed, the trigger evaluation + "
+            "compaction itself is compaction_sec"),
+        "value_as_served": round(sum(timings_raw.values()), 3),
+        "queries_as_served": timings_raw,
+        "layout_as_served": ("driver layout exactly as served (single "
+                             "row group per table) — diagnostic series, "
+                             "primary through r12"),
         "skew_join": skew_timings,
         "skew_join_note": ("40% of lineitem on one part key, broadcast "
                            "disabled: plain sort-merge vs AQE skew split "
@@ -652,7 +799,10 @@ def main() -> None:
             "the fraction of batches inside the reference's 5-second "
             "checkpoint SLO (BaseApp.java:30-33) — the per-batch "
             "budget a 24/7 stream must meet, which drain throughput "
-            "alone cannot show"),
+            "alone cannot show. r13: measured in a FRESH subprocess "
+            "session (VERDICT r12 item 5 — end-of-session aging was "
+            "distorting the metric), plus the RocksDB wide-join "
+            "trigger-sizing ladder (VERDICT r12 item 4)"),
         "streaming_throughput": stream_timings,
         "streaming_note": (
             "stateful streams drained availableNow end-to-end with "
@@ -685,16 +835,20 @@ def main() -> None:
         "metric": result["metric"],
         "value": result["value"],
         "unit": "sec",
-        "queries": timings_raw,
+        "queries": timings_main,
         "sf": result["sf"],
-        "value_compacted": result["value_compacted"],
+        "value_as_served": result["value_as_served"],
         "compaction_sec": compaction_sec,
         "latency_within_5s_frac": {
-            k: v["within_5s_frac"] for k, v in latency_timings.items()},
+            k: v["within_5s_frac"] for k, v in latency_timings.items()
+            if isinstance(v, dict) and "within_5s_frac" in v},
         "full_artifact": "BENCH_FULL.json",
     }
     print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":
-    main()
+    if "--latency-json" in sys.argv:
+        _latency_main(sys.argv[sys.argv.index("--latency-json") + 1])
+    else:
+        main()

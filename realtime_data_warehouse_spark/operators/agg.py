@@ -384,7 +384,11 @@ def quantile_multi_bracket(df: DataFrame, value_col: str,
     hits = []  # (group_key, q, bucket, remaining_rank)
     for gk, bl in per_group.items():
         n = bounds[gk][2]
-        sbl = sorted(bl)
+        if not n:  # group with zero non-null values: no quantile exists
+            continue
+        # all-NULL values bucket to NULL in the histogram — they carry
+        # no rank, and a None bucket id would break sorted() below
+        sbl = sorted((b, c) for b, c in bl if b is not None)
         for qq in qs:
             want = max(1, math.ceil(qq * n))
             below = 0
@@ -393,6 +397,12 @@ def quantile_multi_bracket(df: DataFrame, value_col: str,
                     hits.append((gk, qq, b, want - below))
                     break
                 below += c
+    if not hits:  # empty input (or only empty groups): empty result
+        return df.select(
+            *[F.col(k) for k in keys],
+            F.lit(0.0).alias("q"),
+            v.alias(f"{value_col}_q"),
+        ).limit(0)
     cond = None
     for gk, _qq, b, _kk in {(gk, None, b, None)
                             for gk, _q2, b, _k2 in hits}:

@@ -70,6 +70,145 @@ def optimize_table(spark: SparkSession, table_dir: str,
     return n_files
 
 
+def parquet_layout(table_dir: str) -> dict:
+    """Physical-layout census of a parquet table directory, from file
+    footers only (pyarrow metadata reads — no data pages): file count,
+    row-group count, total data bytes, and the largest single
+    row-group's on-disk bytes. Row groups are the unit that matters:
+    a parquet scan can split a FILE into byte ranges, but each row
+    group is consumed whole by whichever task holds its midpoint — so
+    `row_groups` is the hard ceiling on non-empty scan tasks
+    regardless of file count, split size, or cluster width."""
+    import pyarrow.parquet as pq  # noqa: PLC0415
+
+    n_files = n_rg = total = max_rg = 0
+    for root, _dirs, files in os.walk(table_dir):
+        for f in files:
+            if f.startswith(("_", ".")) or not f.endswith(".parquet"):
+                continue
+            path = os.path.join(root, f)
+            n_files += 1
+            total += os.path.getsize(path)
+            md = pq.ParquetFile(path).metadata
+            n_rg += md.num_row_groups
+            for i in range(md.num_row_groups):
+                max_rg = max(max_rg, md.row_group(i).total_byte_size)
+    return {"files": n_files, "row_groups": n_rg, "bytes": total,
+            "max_row_group_bytes": max_rg}
+
+
+#: floor on useful output-file size for the under-split direction of
+#: the fragmentation trigger. At warehouse scale the byte-derived file
+#: count (bytes / split size) dwarfs cluster width, so this floor
+#: never binds; on a small SF it stops row-light tables (a 5-row dim)
+#: from being shredded into one file per core while still letting a
+#: row-heavy-but-well-compressed fact reach cluster-wide scan
+#: parallelism. Env-overridable, local default measured at sf0.1.
+DEFAULT_MIN_FILE_BYTES = int(os.environ.get(
+    "SPARK_GRAFT_MIN_FILE_BYTES", 64 * 1024))
+
+
+def desired_files(total_bytes: int, parallelism: int,
+                  target_split_bytes: int = 128 * 1024 * 1024,
+                  min_file_bytes: int = DEFAULT_MIN_FILE_BYTES) -> int:
+    """How many files a healthy copy of this table holds.
+
+    Two regimes, max-combined:
+    - by size: ceil(bytes / target split) — the standard lakehouse
+      sizing (files ~ one scan split each). This is the binding term
+      at production scale.
+    - by width: min(parallelism, ceil(bytes / min_file_bytes)) — a
+      table big enough to be worth splitting should offer at least
+      one split per core; tiny tables stay at ceil(bytes/floor)
+      files (1 for a dim table) instead of exploding into
+      `parallelism` near-empty files.
+    """
+    if total_bytes <= 0:
+        return 1
+    by_split = -(-total_bytes // target_split_bytes)
+    by_width = min(max(parallelism, 1), -(-total_bytes // min_file_bytes))
+    return max(1, by_split, by_width)
+
+
+def needs_compaction(table_dir: str, parallelism: int,
+                     target_split_bytes: int = 128 * 1024 * 1024,
+                     min_file_bytes: int = DEFAULT_MIN_FILE_BYTES) -> bool:
+    """Fragmentation trigger — the predicate a scheduled maintenance
+    pass evaluates per table (VERDICT r12 item 1). Fires in either
+    degenerate direction:
+
+    - UNDER-SPLIT: fewer row groups than a healthy layout's file
+      count. One giant row group (the classic single-bulk-write
+      artifact) caps every scan of the table at one task — at
+      production sizes this is exactly "a row group wider than the
+      split size"; at a small SF the same rule scales down through
+      desired_files' width term.
+    - OVER-FRAGMENTED: more than 4x the healthy file count (the
+      small-files problem: per-file open cost + driver listing).
+
+    A table the trigger passes is left untouched, so maintenance is
+    idempotent: compacting to desired_files makes both conditions
+    false on the next evaluation."""
+    lay = parquet_layout(table_dir)
+    if lay["files"] == 0:
+        return False
+    want = desired_files(lay["bytes"], parallelism,
+                         target_split_bytes, min_file_bytes)
+    return lay["row_groups"] < want or lay["files"] > 4 * want
+
+
+def maintain_table(spark: SparkSession, table_dir: str,
+                   parallelism: int | None = None,
+                   target_split_bytes: int | None = None,
+                   min_file_bytes: int = DEFAULT_MIN_FILE_BYTES) -> int:
+    """Conditional OPTIMIZE — the verb a table-maintenance schedule
+    runs after every N commits: evaluate the fragmentation trigger
+    and compact only when it fires. Returns files written (0 = layout
+    already healthy, no Spark job ran).
+
+    Bucketed MERGE tables delegate to BucketedMergeTable.compact,
+    which carries its own trigger (files-per-bucket > 1 or
+    old-generation fragments) and returns 0 when nothing is
+    fragmented — same idempotence contract.
+
+    Plain parquet dirs compact to desired_files() round-robin files
+    (one row group each) under the same rename-aside crash-safe swap
+    as optimize_table. parallelism defaults to the session's
+    defaultParallelism, target_split_bytes to the session's
+    spark.sql.files.maxPartitionBytes — the maintained layout tracks
+    the split size scans will actually use."""
+    meta_path = os.path.join(table_dir.rstrip("/"), "_table_meta.json")
+    if os.path.exists(meta_path):
+        import json  # noqa: PLC0415
+
+        from ..streaming.merge_table import (  # noqa: PLC0415
+            BucketedMergeTable,
+        )
+        with open(meta_path) as fh:
+            keys = json.load(fh)["keys"]
+        return BucketedMergeTable(table_dir, keys).compact(spark)
+    if parallelism is None:
+        parallelism = spark.sparkContext.defaultParallelism
+    if target_split_bytes is None:
+        raw = spark.conf.get("spark.sql.files.maxPartitionBytes",
+                             str(128 * 1024 * 1024))
+        try:  # set in plain bytes by tune_for_scale; default has a 'b'
+            target_split_bytes = int(raw.lower().rstrip("b"))
+        except ValueError:
+            target_split_bytes = 128 * 1024 * 1024
+    _recover_table(table_dir)
+    if not needs_compaction(table_dir, parallelism,
+                            target_split_bytes, min_file_bytes):
+        return 0
+    want = desired_files(table_bytes(table_dir), parallelism,
+                         target_split_bytes, min_file_bytes)
+    df = spark.read.parquet(table_dir).repartition(want)
+    tmp = table_dir.rstrip("/") + ".__new__"
+    df.write.mode("overwrite").parquet(tmp)
+    _swap_in(tmp, table_dir)
+    return want
+
+
 def _morton_interleave(bucket_cols, bits: int):
     """Bit-interleave N bucket-index columns into one Morton (Z-curve)
     code, as a pure JVM expression tree (codegen'd — no UDF). Bucket

@@ -408,8 +408,6 @@ def decontaminate_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     posting list is huge): 5.40 → 2.14 s at sf0.1, min-of-5
     interleaved, 21 → 10 jobs. The exact PPJoin cross-table path
     stays first-class as fuzzy_join_parts."""
-    from ..cache import persisted
-
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     sh = persisted(
         D.with_shingles(docs.select("doc_id", "text"), "text", 2,

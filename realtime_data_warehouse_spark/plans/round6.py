@@ -186,9 +186,12 @@ def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 10)
     # the dim guard lsh_topk ran per config (6 identical first()
-    # probes) — checked once for the widest config (bits=8, stride=8,
-    # offsets 0..3): highest coordinate read is 7*8 + 3.
-    need = 7 * 8 + 3 + 1
+    # probes) — checked once, DERIVED from CONFIGS (ADVICE r12 #1: a
+    # hardcoded widest-config constant under-checks if CONFIGS ever
+    # widens, and an out-of-range element_at would silently NULL the
+    # high bucket bits): config (bits=b, tables=L) reads coordinate
+    # (b-1)*stride + (L-1) with stride 8.
+    need = max((b - 1) * 8 + (tl - 1) + 1 for b, tl in CONFIGS)
     row = emb.select(F.size(S.as_double("embedding")).alias("d")).first()
     if row is not None and row["d"] < need:
         raise ValueError(
@@ -391,18 +394,24 @@ def stream_order_wide_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         import time as _time
         from datetime import timedelta
 
-        # ONE boundary set for all four streams (order-date terciles):
-        # per-stream repartitionByRange would cut at each dataset's own
-        # quantiles, so batch k of one stream could span time batch k+1
-        # of another — a row then arrives behind the min-policy
-        # watermark and is dropped (measured: 2 rows lost at sf0.001).
-        # Time-aligned files make batch k cover the same [bk, bk+1) on
-        # every input, so nothing is ever late under the 1 h delay.
-        mx, c1, c2 = orders.select(
+        # ONE boundary set for all four streams (order-date slices,
+        # default terciles): per-stream repartitionByRange would cut
+        # at each dataset's own quantiles, so batch k of one stream
+        # could span time batch k+1 of another — a row then arrives
+        # behind the min-policy watermark and is dropped (measured: 2
+        # rows lost at sf0.001). Time-aligned files make batch k cover
+        # the same [bk, bk+1) on every input, so nothing is ever late
+        # under the 1 h delay. SPARK_GRAFT_OWJ_SLICES (r13) raises the
+        # slice count — the trigger-sizing knob the latency SLO ladder
+        # measures (smaller per-trigger batches, identical output:
+        # slices stay time-ordered so watermark semantics are
+        # unchanged; default 3 is the contract the oracle checks).
+        row = orders.select(
             F.max("o_orderdate"),
-            F.expr("percentile(unix_timestamp(o_orderdate), 0.3333)"),
-            F.expr("percentile(unix_timestamp(o_orderdate), 0.6667)"),
+            *[F.expr(f"percentile(unix_timestamp(o_orderdate), "
+                     f"{i / slices})") for i in range(1, slices)],
         ).collect()[0]
+        mx, cuts = row[0], [row[i] for i in range(1, slices)]
         far = mx + timedelta(days=400)
         dirs = {}
         for name, df, ts_col, sentinel in (
@@ -413,12 +422,16 @@ def stream_order_wide_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ):
             d = os.path.join(base, name, "in")
             ep = F.unix_timestamp(ts_col)
-            parts = [
-                df.filter(ep < c1),
-                df.filter((ep >= c1) & (ep < c2)),
-                df.filter(ep >= c2),
-                spark.createDataFrame([sentinel], df.schema),
-            ]
+            bounds = [None, *cuts, None]
+            parts = []
+            for lo, hi in zip(bounds[:-1], bounds[1:]):
+                cond = F.lit(True)
+                if lo is not None:
+                    cond = cond & (ep >= lo)
+                if hi is not None:
+                    cond = cond & (ep < hi)
+                parts.append(df.filter(cond))
+            parts.append(spark.createDataFrame([sentinel], df.schema))
             # FileStreamSource orders by mtime: stamp part files in
             # write order so file i replays as micro-batch i. Write
             # order is RECORDED by diffing the directory listing after
@@ -443,7 +456,9 @@ def stream_order_wide_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             dirs[name] = d
         return dirs
 
-    dirs = _stage_once(sf_dir, "owj_4way", build)
+    slices = int(os.environ.get("SPARK_GRAFT_OWJ_SLICES", "3"))
+    dirs = _stage_once(
+        sf_dir, "owj_4way" if slices == 3 else f"owj_4way_s{slices}", build)
 
     def stream(name, df, ts_col):
         return (

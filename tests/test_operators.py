@@ -316,6 +316,65 @@ def test_optimize_table_preserves_rows_and_compacts(spark, tmp_path):
     assert after == before
 
 
+def test_maintain_table_fragmentation_trigger(spark, tmp_path):
+    """operators/maintenance.maintain_table: the fragmentation trigger
+    fires on an under-split layout (one giant row group caps scan
+    tasks at 1) and on an over-fragmented one (small-files), is
+    idempotent (second call is a no-op returning 0), leaves healthy
+    tiny tables alone, and preserves content exactly."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from realtime_data_warehouse_spark.operators.maintenance import (
+        desired_files,
+        maintain_table,
+        needs_compaction,
+        parquet_layout,
+    )
+
+    par, floor = 8, 64 * 1024
+
+    # UNDER-SPLIT: one file, one row group, ~megabytes of data
+    t1 = str(tmp_path / "bulk")
+    (spark.range(0, 200_000)
+     .withColumn("pad", F.md5(F.col("id").cast("string")))
+     .coalesce(1).write.parquet(t1))
+    lay = parquet_layout(t1)
+    assert lay["files"] == 1 and lay["row_groups"] == 1
+    assert lay["bytes"] > par * floor  # big enough that width term binds
+    assert needs_compaction(t1, parallelism=par, min_file_bytes=floor)
+    before = {(r.id, r.pad) for r in spark.read.parquet(t1).collect()}
+    n = maintain_table(spark, t1, parallelism=par, min_file_bytes=floor)
+    assert n == desired_files(lay["bytes"], par, min_file_bytes=floor)
+    assert n > 1
+    # idempotent: healthy now, second call runs nothing
+    assert not needs_compaction(t1, parallelism=par, min_file_bytes=floor)
+    assert maintain_table(spark, t1, parallelism=par,
+                          min_file_bytes=floor) == 0
+    assert {(r.id, r.pad) for r in spark.read.parquet(t1).collect()} == before
+
+    # OVER-FRAGMENTED: many near-empty files
+    t2 = str(tmp_path / "shards")
+    spark.range(0, 4000).repartition(40).write.parquet(t2)
+    assert parquet_layout(t2)["files"] >= 30
+    assert needs_compaction(t2, parallelism=par, min_file_bytes=floor)
+    rows2 = {r.id for r in spark.read.parquet(t2).collect()}
+    n2 = maintain_table(spark, t2, parallelism=par, min_file_bytes=floor)
+    assert 1 <= n2 < 30
+    assert not needs_compaction(t2, parallelism=par, min_file_bytes=floor)
+    assert {r.id for r in spark.read.parquet(t2).collect()} == rows2
+    assert not os.path.exists(t2 + ".__new__")
+    assert not os.path.exists(t2 + ".__old__")
+
+    # HEALTHY TINY TABLE: a dim-sized single file is left alone
+    t3 = str(tmp_path / "dim")
+    spark.range(0, 25).coalesce(1).write.parquet(t3)
+    assert not needs_compaction(t3, parallelism=par, min_file_bytes=floor)
+    assert maintain_table(spark, t3, parallelism=par,
+                          min_file_bytes=floor) == 0
+
+
 def test_zorder_table_prunes_on_both_columns(spark, tmp_path):
     """operators/maintenance.zorder_table: after Z-ordering on (x, y),
     a range predicate on EITHER column must be satisfiable from a
