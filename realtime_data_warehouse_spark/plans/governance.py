@@ -407,17 +407,31 @@ def decontaminate_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~931-gram vocabulary (the prefix prunes nothing when every
     posting list is huge): 5.40 → 2.14 s at sf0.1, min-of-5
     interleaved, 21 → 10 jobs. The exact PPJoin cross-table path
-    stays first-class as fuzzy_join_parts."""
+    stays first-class as fuzzy_join_parts.
+
+    r13 persist shape (same move as minhash_lsh_pairs, interleaved
+    A/B in scripts/r13_ab/ab_decontam_persist.py — wide 1.424 s vs
+    narrow 1.258 s, narrow wins all 5 pairwise passes): persist the
+    NARROW banded keys of the whole corpus ONCE and split the bands
+    by cohort, so the Arrow-batched signature pass runs once (not
+    once per side) and nothing wide sits in storage; the two verify
+    sides re-derive shingles from the raw text (codegen'd
+    projections)."""
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    sh = persisted(
-        D.with_shingles(docs.select("doc_id", "text"), "text", 2,
-                        drop_empty=True).select("doc_id", "shingles"))
+    sh = D.with_shingles(docs.select("doc_id", "text"), "text", 2,
+                         drop_empty=True).select("doc_id", "shingles")
+    bands = persisted(D.band_keys(sh, "doc_id"))
+    train_b = bands.filter(~F.expr(_BENCH)).withColumnRenamed(
+        "doc_id", "train_id")
+    bench_b = bands.filter(F.expr(_BENCH)).withColumnRenamed(
+        "doc_id", "bench_id")
     train = sh.filter(~F.expr(_BENCH)).withColumnRenamed(
         "doc_id", "train_id")
     bench = sh.filter(F.expr(_BENCH)).withColumnRenamed(
         "doc_id", "bench_id")
     return D.minhash_lsh_join(train, bench, "train_id", "bench_id",
-                              threshold=0.8)
+                              threshold=0.8,
+                              left_bands=train_b, right_bands=bench_b)
 
 
 # ---------------------------------------------------------------------------
