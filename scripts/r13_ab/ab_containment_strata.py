@@ -2,8 +2,16 @@
 (VERDICT r12 item 3): stratum 1 = bounded size ratio (n_out < c^2 *
 n_in) via banded minhash at the implied Jaccard floor t/(1-t+c^2);
 stratum 2 = large outers (bucket_out >= bucket_in + 2) via the exact
-inner-prefix pigeonhole restricted to those buckets. Counts both
+inner-prefix pigeonhole restricted to those buckets. A containment-t
+pair with n_out <= c^2*n_in has Jaccard >= t/(1-t+c^2), so banding at
+that floor covers stratum 1 with negligible miss probability; pairs
+with larger outers land in stratum 2, which is exact. Counts both
 strata's candidate rows and checks coverage of the 510 true pairs.
+
+MEASURED VERDICT (r13, kept as the dead-end record): stratum 1
+collapses 10x but the corpus' size spread (8-98 distinct shingles)
+puts the candidate mass in stratum 2 (2.9M of 4.4M raw rows), and the
+signature pass adds ~1 s — net a wash or worse vs the shipped plan.
 """
 import math
 import os
